@@ -1,0 +1,113 @@
+"""Op protocol and registry — the TPU-native counterpart of the reference's
+IOP plugin vtable (`/root/reference/src/iop/iop_api.h:78-316`).
+
+Design translation (SURVEY.md §7): instead of `process()` callbacks dispatched
+by a recursive cache-walking executor, each op contributes
+
+  * host-side **planning** (`plan`): static geometry/colorspace resolution —
+    the analog of `modify_roi_out` / `output_format` / `commit_params`'
+    shape-relevant half.  Runs once per (image, history) signature.
+  * host-side **coefficients** (`coeffs`): numbers derived from params, fed to
+    the jitted graph as *traced* arguments so slider edits never recompile —
+    the analog of `commit_params`' numeric half.
+  * an in-graph **apply** (pure JAX / Pallas): the analog of `process()` /
+    `process_cl()`, fused by XLA with its neighbours instead of being a
+    cache-boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core.types import Colorspace, ImageSpec, RawMeta
+
+
+@dataclasses.dataclass
+class PlanContext:
+    """Pipeline-global planning state threaded through ops, replacing the
+    reference's `dt_dev_pixelpipe_iop_t` contract fields
+    (src/develop/pixelpipe_hb.h:100-165)."""
+
+    meta: RawMeta
+    # export scale (finalscale target); 1.0 = full size
+    scale: float = 1.0
+    # per-channel theoretical maxima after each stage, the reference's
+    # `processed_maximum` (pixelpipe_hb.h dsc plumbing). Host-side floats.
+    processed_maximum: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # white-balance coefficients committed by temperature, consumed by
+    # highlight reconstruction and others (dsc_out.temperature.coeffs analog)
+    wb_coeffs: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    # extra cross-op scratch (analog of dsc side-band fields)
+    notes: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass(frozen=True)
+class OpPlan:
+    """Static, hashable result of planning one op instance."""
+
+    spec_in: ImageSpec
+    spec_out: ImageSpec
+    static: Any = None  # op-specific static config (must be hashable)
+    enabled: bool = True
+
+
+class Op:
+    """Base op. Subclasses set `name` and override what they need."""
+
+    name: str = ""
+    # colorspace this op's apply() expects; None = anything
+    input_colorspace: Optional[Colorspace] = None
+    # mandatory ops are instantiated even without a history entry
+    # (reference: modules with `default_enabled`, e.g. rawprepare/demosaic)
+    mandatory: bool = False
+
+    # --- host side ---------------------------------------------------------
+    def default_params(self, meta: RawMeta):
+        from ..core.params import params_class
+
+        return params_class(self.name)()
+
+    def enabled_by_default(self, meta: RawMeta) -> bool:
+        return self.mandatory
+
+    def plan(self, ctx: PlanContext, spec_in: ImageSpec, p) -> OpPlan:
+        return OpPlan(spec_in=spec_in, spec_out=spec_in)
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p):
+        """-> pytree of np arrays / python floats, traced into the graph."""
+        return None
+
+    # --- device side (pure jax) --------------------------------------------
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        return x
+
+
+_OPS: Dict[str, Op] = {}
+
+
+def register(op_cls):
+    """Class decorator: instantiate and register an op implementation."""
+    inst = op_cls()
+    assert inst.name, f"{op_cls} missing name"
+    _OPS[inst.name] = inst
+    return op_cls
+
+
+def get_op(name: str) -> Optional[Op]:
+    return _OPS.get(name)
+
+
+def all_ops() -> Dict[str, Op]:
+    return dict(_OPS)
+
+
+def pad_to(img: np.ndarray, spec: ImageSpec) -> np.ndarray:
+    """Edge-replicate pad a host image up to the spec's padded shape."""
+    if img.ndim == 2:
+        h, w = img.shape
+        return np.pad(img, ((0, spec.pad_h - h), (0, spec.pad_w - w)), mode="edge")
+    _, h, w = img.shape
+    return np.pad(img, ((0, 0), (0, spec.pad_h - h), (0, spec.pad_w - w)), mode="edge")

@@ -1,0 +1,86 @@
+"""colorin — input color profile: camera RGB -> working RGB.
+
+Reference: `/root/reference/src/iop/colorin.c` (params v7,
+colorin.c:119-129): input profile type + working profile type.  The default
+path (DT_COLORSPACE_ENHANCED_MATRIX/STANDARD_MATRIX) applies the camera
+matrix to XYZ then the working-profile matrix — pure 3x3 linear algebra,
+which we fold into ONE matrix at plan time (the reference keeps LCMS at the
+edges and uses the fast matrix path internally, src/common/colorspaces.c).
+ICC LUT profiles are a later milestone (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..color import matrices as cm
+from ..color.transforms import apply_matrix
+from ..core.params import cfield, params
+from ..core.types import Colorspace, ImageSpec
+from .base import Op, OpPlan, PlanContext, register
+
+# dt_colorspaces_color_profile_type_t (src/common/colorspaces.h:90-130)
+CS_SRGB = 1
+CS_ADOBERGB = 2
+CS_LIN_REC709 = 3
+CS_LIN_REC2020 = 4
+CS_STANDARD_MATRIX = 11
+CS_ENHANCED_MATRIX = 12
+CS_REC709 = 20
+CS_PROPHOTO = 21
+CS_DISPLAY_P3 = 27
+
+_WORK_NAMES = {
+    CS_LIN_REC2020: "rec2020",
+    CS_LIN_REC709: "srgb",       # Rec709 primaries == sRGB primaries
+    CS_PROPHOTO: "prophoto",
+    CS_ADOBERGB: "adobergb",
+    CS_SRGB: "srgb",
+    CS_DISPLAY_P3: "displayp3",
+}
+
+
+@params(op="colorin", version=7)
+@dataclasses.dataclass
+class ColorinParams:
+    type: int = cfield("i", CS_ENHANCED_MATRIX)
+    filename: str = cfield("s:512", "")
+    intent: int = cfield("i", 0)
+    normalize: int = cfield("i", 0)
+    blue_mapping: int = cfield("i", 0)
+    type_work: int = cfield("i", CS_LIN_REC2020)
+    filename_work: str = cfield("s:512", "")
+
+
+@register
+class Colorin(Op):
+    name = "colorin"
+    input_colorspace = Colorspace.CAMERA_RGB
+    mandatory = True
+
+    def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: ColorinParams) -> OpPlan:
+        work = _WORK_NAMES.get(p.type_work, "rec2020")
+        ctx.notes["work_profile"] = work
+        return OpPlan(
+            spec_in=spec_in,
+            spec_out=spec_in.with_colorspace(Colorspace.WORK_RGB),
+            static=(p.type, work),
+        )
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: ColorinParams):
+        meta = ctx.meta
+        if meta.cam_to_xyz is not None and p.type in (
+            CS_STANDARD_MATRIX, CS_ENHANCED_MATRIX
+        ):
+            cam2xyz = np.asarray(meta.cam_to_xyz, dtype=np.float64).reshape(3, 3)
+            M = cm.normalized_cam_to_work(cam2xyz)
+        else:
+            # camera input already in a standard space (e.g. linear DNG)
+            src = _WORK_NAMES.get(p.type, "srgb")
+            M = cm.rgb_to_rgb_matrix(src, cm.WORK_PROFILE)
+        return {"M": M.astype(np.float32)}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        return apply_matrix(x, c["M"])

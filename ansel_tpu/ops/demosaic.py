@@ -1,0 +1,171 @@
+"""demosaic — CFA mosaic -> camera RGB.
+
+Reference: `/root/reference/src/iop/demosaic.c` (params v4
+demosaic.c:266-274, method enum demosaic.c:120-141) with per-method
+implementations in `src/iop/demosaic/{rcd.c, ppg.c, vng.c, markesteijn.c,
+lmmse.c, ...}`.
+
+TPU design: methods are static plan choices dispatching to fused-JAX or
+Pallas kernels in `ansel_tpu.kernels`.  Round 1 ships:
+  * BILINEAR — masked 3x3 convolution, pure XLA (also the fallback)
+  * PPG      — green gradient-select + chroma interpolation, pure XLA
+  * RCD      — ratio-corrected demosaic (kernels/rcd.py), the quality default
+Passthrough modes supported.  AMaZE/LMMSE/VNG4/X-Trans arrive later rounds
+(SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..core.params import cfield, params
+from ..core.types import CFAPattern, Colorspace, ImageSpec
+from . import _bayer
+from .base import Op, OpPlan, PlanContext, register
+
+# method ids (reference demosaic.c:120-141)
+PPG = 0
+AMAZE = 1
+VNG4 = 2
+PASSTHROUGH_MONO = 3
+PASSTHROUGH_COLOR = 4
+RCD = 5
+LMMSE = 6
+DOWNSAMPLE = 7
+XTRANS_FLAG = 0x1000   # DEMOSAIC_XTRANS
+DUAL_FLAG = 0x2000     # DEMOSAIC_DUAL
+MARKESTEIJN = XTRANS_FLAG | 1
+MARKESTEIJN_3 = XTRANS_FLAG | 2
+
+
+@params(op="demosaic", version=4)
+@dataclasses.dataclass
+class DemosaicParams:
+    green_eq: int = cfield("i", 0)
+    median_thrs: float = cfield("f", 0.0)
+    color_smoothing: int = cfield("i", 0)
+    demosaicing_method: int = cfield("i", RCD)
+    lmmse_refine: int = cfield("i", 1)
+    dual_thrs: float = cfield("f", 0.20)
+
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        if version == 3:  # demosaic.c:342-359: dual_thrs added in v4
+            g, m, cs, dm, lr = struct.unpack("<ifiIi", raw[:20])
+            return cls(green_eq=g, median_thrs=m, color_smoothing=cs,
+                       demosaicing_method=dm, lmmse_refine=lr)
+        return None
+
+
+def _conv2(x: jnp.ndarray, k) -> jnp.ndarray:
+    """Small 2-D convolution on one plane, SAME padding, via XLA conv —
+    tiles straight onto the TPU convolution path."""
+    import jax
+
+    k = jnp.asarray(k, x.dtype)
+    return jax.lax.conv_general_dilated(
+        x[None, None], k[None, None],
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
+
+def bilinear_demosaic(x: jnp.ndarray, cfa: CFAPattern) -> jnp.ndarray:
+    """Masked-kernel bilinear: G via 4-neighbour average, R/B via the classic
+    [1 2 1]/4 ⊗ [1 2 1]/4 kernel over their sparse planes."""
+    h, w = x.shape
+    masks = _bayer.color_masks(cfa, h, w, x.dtype)  # (3,h,w)
+    kG = [[0, 1, 0], [1, 4, 1], [0, 1, 0]]
+    kRB = [[1, 2, 1], [2, 4, 2], [1, 2, 1]]
+    planes = masks * x[None]
+    r = _conv2(planes[0], kRB) / 4.0
+    g = _conv2(planes[1], kG) / 4.0
+    b = _conv2(planes[2], kRB) / 4.0
+    return jnp.stack([r, g, b])
+
+
+def ppg_demosaic(x: jnp.ndarray, cfa: CFAPattern) -> jnp.ndarray:
+    """Patterned-pixel-grouping (reference src/iop/demosaic/ppg.c semantics):
+    green by gradient-weighted directional choice, chroma by green-ratio
+    interpolation.  Expressed as shifted-array selects so XLA fuses the whole
+    thing into one elementwise pass over 8 shifted views."""
+    h, w = x.shape
+    masks = _bayer.color_masks(cfa, h, w, x.dtype)
+    is_g = masks[1]
+
+    def sh(a, dy, dx):  # shifted view with edge clamp
+        return jnp.roll(a, (-dy, -dx), axis=(0, 1))
+
+    # --- green interpolation at R/B sites: choose the axis with the smaller
+    # gradient, correcting with the second derivative of the host color.
+    gN, gS = sh(x, -1, 0), sh(x, 1, 0)
+    gW, gE = sh(x, 0, -1), sh(x, 0, 1)
+    cNN, cSS = sh(x, -2, 0), sh(x, 2, 0)
+    cWW, cEE = sh(x, 0, -2), sh(x, 0, 2)
+    grad_v = jnp.abs(gN - gS) + jnp.abs(x - cNN) + jnp.abs(x - cSS)
+    grad_h = jnp.abs(gW - gE) + jnp.abs(x - cWW) + jnp.abs(x - cEE)
+    est_v = (gN + gS) * 0.5 + (2.0 * x - cNN - cSS) * 0.25
+    est_h = (gW + gE) * 0.5 + (2.0 * x - cWW - cEE) * 0.25
+    est_b = (gN + gS + gW + gE) * 0.25 + (4.0 * x - cNN - cSS - cWW - cEE) * 0.125
+    g_interp = jnp.where(
+        grad_v < 0.8 * grad_h, est_v,
+        jnp.where(grad_h < 0.8 * grad_v, est_h, est_b),
+    )
+    g = jnp.where(is_g > 0, x, jnp.maximum(g_interp, 0.0))
+
+    # --- chroma: interpolate (c - g) differences bilinearly over each
+    # sparse chroma plane, then add g back.
+    kRB = [[1, 2, 1], [2, 4, 2], [1, 2, 1]]
+    out = []
+    for ci in (0, 2):
+        diff = (x - g) * masks[ci]
+        num = _conv2(diff, kRB)
+        den = _conv2(masks[ci], kRB)
+        out.append(jnp.maximum(g + num / jnp.maximum(den, 1e-6), 0.0))
+    return jnp.stack([out[0], g, out[1]])
+
+
+@register
+class Demosaic(Op):
+    name = "demosaic"
+    input_colorspace = Colorspace.RAW
+    mandatory = True
+
+    def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: DemosaicParams) -> OpPlan:
+        spec_out = spec_in.with_colorspace(Colorspace.CAMERA_RGB)
+        method = p.demosaicing_method
+        if spec_in.cfa is CFAPattern.XTRANS and not (method & XTRANS_FLAG):
+            method = MARKESTEIJN
+        return OpPlan(spec_in=spec_in, spec_out=spec_out, static=method)
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DemosaicParams):
+        # rcd normalizes by max processed_maximum (rcd.c:283-284) so its eps
+        # constants are amplitude-invariant; traced so WB edits don't recompile
+        return {"scaler": max(ctx.processed_maximum)}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        method = plan.static & ~DUAL_FLAG
+        cfa = plan.spec_in.cfa
+        if method in (PASSTHROUGH_MONO, XTRANS_FLAG | 3):
+            return jnp.stack([x, x, x])
+        if cfa is CFAPattern.XTRANS:
+            from ..kernels import markesteijn
+
+            return markesteijn.xtrans_demosaic(x, ctx.meta.xtrans)
+        if method == RCD:
+            from ..kernels import rcd
+
+            return rcd.rcd_demosaic(x, cfa, c["scaler"])
+        if method == PPG:
+            return ppg_demosaic(x, cfa)
+        # AMaZE / LMMSE / VNG4 pending: RCD is the reference-quality default
+        # (SURVEY.md notes AMaZE may be replaced by RCD+LMMSE initially)
+        if method in (AMAZE, LMMSE, VNG4):
+            from ..kernels import rcd
+
+            return rcd.rcd_demosaic(x, cfa, c["scaler"])
+        return bilinear_demosaic(x, cfa)

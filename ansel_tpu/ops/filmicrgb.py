@@ -1,0 +1,548 @@
+"""filmicrgb — scene->display parametric tone mapping.
+
+Reference: `/root/reference/src/iop/filmicrgb.c` (params v5
+filmicrgb.c:229-259).  Split host/device exactly like the reference:
+
+  * host: spline solve `dt_iop_filmic_rgb_compute_spline`
+    (filmicrgb.c:3614-3932) — v3 spline geometry (filmicrgb.c:476-548),
+    sigmoid scale (filmicrgb.c:3602-3610), poly3/poly4 Gauss solves,
+    rational closed form; plus commit-time sigmas/saturation
+    (commit_params filmicrgb.c:3985-4035).
+  * device: log tone map (filmicrgb.c:1025-1029), piecewise spline eval
+    (filmic_spline, filmicrgb.c:1042-1140), desaturate_v2
+    (filmicrgb.c:1157-1166), chroma/split v2_v3 pixel loops
+    (filmicrgb.c:1551-1705), norms (filmicrgb.c:927-1014).
+
+Colorscience V1–V3 are exact; V4/V5/AgX (v8) currently evaluate through the
+V3 chroma path (documented gap, next rounds add Ych gamut mapping + AgX
+inset/outset).  Highlight reconstruction (reconstruct_*) lands with the
+wavelet stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import cfield, params
+from ..core.types import Colorspace, ImageSpec
+from .base import Op, OpPlan, PlanContext, register
+
+NORM_MIN = 1.52587890625e-05  # 2^-16 (reference src/math/math.h:37)
+SAFETY_MARGIN = 0.01          # reference filmicrgb.c spline geometry
+
+# methods (filmicrgb.c:131-139)
+METHOD_NONE = 0
+METHOD_MAX_RGB = 1
+METHOD_LUMINANCE = 2
+METHOD_POWER_NORM = 3
+METHOD_EUCLIDEAN_V1 = 4
+METHOD_EUCLIDEAN_V2 = 5
+
+# curve types (filmicrgb.c:142-152)
+CURVE_POLY_4 = 0
+CURVE_POLY_3 = 1
+CURVE_RATIONAL = 2
+CURVE_SIGMOID = 3
+
+# colorscience (filmicrgb.c:155-167)
+CSCI_V1, CSCI_V2, CSCI_V3, CSCI_V4, CSCI_V5 = 0, 1, 2, 3, 4
+CSCI_AGX_FIRST = 5  # V6..V10 are AgX bleach variants
+
+SPLINE_V1, SPLINE_V2, SPLINE_V3 = 0, 1, 2
+
+# camera-rgb fallback luminance weights
+# (colorspaces_inline_conversions.h:618-621); the work-profile Y row is used
+# when available, matching dt_ioppr_get_rgb_matrix_luminance
+_FALLBACK_Y = (0.2225045, 0.7168786, 0.0606169)
+
+
+@params(op="filmicrgb", version=5)
+@dataclasses.dataclass
+class FilmicParams:
+    grey_point_source: float = cfield("f", 18.45)
+    black_point_source: float = cfield("f", -8.0)
+    white_point_source: float = cfield("f", 4.0)
+    reconstruct_threshold: float = cfield("f", 3.0)
+    reconstruct_feather: float = cfield("f", 3.0)
+    reconstruct_bloom_vs_details: float = cfield("f", 100.0)
+    reconstruct_grey_vs_color: float = cfield("f", 100.0)
+    reconstruct_structure_vs_texture: float = cfield("f", 100.0)
+    security_factor: float = cfield("f", 0.0)
+    grey_point_target: float = cfield("f", 18.45)
+    black_point_target: float = cfield("f", 0.01517634)
+    white_point_target: float = cfield("f", 100.0)
+    output_power: float = cfield("f", 4.0)
+    latitude: float = cfield("f", 10.0)
+    contrast: float = cfield("f", 1.18)
+    saturation: float = cfield("f", 0.0)
+    balance: float = cfield("f", 0.0)
+    noise_level: float = cfield("f", 0.05)
+    preserve_color: int = cfield("i", METHOD_MAX_RGB)
+    version: int = cfield("i", 7)          # DT_FILMIC_COLORSCIENCE_V8
+    auto_hardness: int = cfield("i", 1)
+    custom_grey: int = cfield("i", 0)
+    high_quality_reconstruction: int = cfield("i", 1)
+    noise_distribution: int = cfield("i", 1)
+    shadows: int = cfield("i", CURVE_SIGMOID)
+    highlights: int = cfield("i", CURVE_SIGMOID)
+    compensate_icc_black: int = cfield("i", 0)
+    spline_version: int = cfield("i", SPLINE_V3)
+
+
+@dataclasses.dataclass
+class Spline:
+    x: list
+    y: list
+    M1: list
+    M2: list
+    M3: list
+    M4: list
+    M5: list
+    latitude_min: float = 0.0
+    latitude_max: float = 1.0
+    types: tuple = (CURVE_SIGMOID, CURVE_SIGMOID)
+
+
+def _clamp(v, lo, hi):
+    return min(max(v, lo), hi)
+
+
+def _sigmoid_scale(limit_x, limit_y, tx, ty, slope, power):
+    """filmicrgb.c:3602-3610."""
+    projected = slope * max(1e-6, limit_x - tx)
+    actual = max(1e-6, limit_y - ty)
+    base = max(1e-6, actual ** (-power) - projected ** (-power))
+    return min(1e9, base ** (-1.0 / power))
+
+
+def _v3_geometry(p: FilmicParams):
+    """filmic_v3_compute_geometry (filmicrgb.c:476-513)."""
+    if p.custom_grey:
+        grey_display = (
+            _clamp(p.grey_point_target, p.black_point_target, p.white_point_target)
+            / 100.0
+        ) ** (1.0 / p.output_power)
+    else:
+        grey_display = 0.1845 ** (1.0 / p.output_power)
+    dr = p.white_point_source - p.black_point_source
+    grey_log = abs(p.black_point_source) / dr
+    black_display = (_clamp(p.black_point_target, 0.0, p.grey_point_target) / 100.0) ** (
+        1.0 / p.output_power
+    )
+    white_display = (max(p.white_point_target, p.grey_point_target) / 100.0) ** (
+        1.0 / p.output_power
+    )
+    slope = p.contrast * dr / 8.0
+    min_contrast = 1.0
+    min_contrast = max(min_contrast, (white_display - grey_display) / (1.0 - grey_log))
+    min_contrast = max(min_contrast, (grey_display - black_display) / grey_log)
+    min_contrast += SAFETY_MARGIN
+    contrast = slope / (p.output_power * grey_display ** (p.output_power - 1.0))
+    contrast = _clamp(contrast, min_contrast, 100.0)
+    intercept = grey_display - contrast * grey_log
+    margin = SAFETY_MARGIN * (white_display - black_display)
+    xmin = (black_display + margin - intercept) / contrast
+    xmax = (white_display - margin - intercept) / contrast
+    return dict(
+        grey_log=grey_log, grey_display=grey_display, black_display=black_display,
+        white_display=white_display, contrast=contrast, intercept=intercept,
+        xmin=xmin, xmax=xmax,
+    )
+
+
+def compute_spline(p: FilmicParams) -> Spline:
+    """Host mirror of dt_iop_filmic_rgb_compute_spline (filmicrgb.c:3614+)."""
+    dr = p.white_point_source - p.black_point_source
+    grey_log = abs(p.black_point_source) / dr
+    black_log, white_log = 0.0, 1.0
+
+    if p.custom_grey:
+        grey_display = (
+            _clamp(p.grey_point_target, p.black_point_target, p.white_point_target)
+            / 100.0
+        ) ** (1.0 / p.output_power)
+    else:
+        grey_display = 0.1845 ** (1.0 / p.output_power)
+
+    if p.spline_version == SPLINE_V1:
+        black_display = _clamp(p.black_point_target, 0.0, p.grey_point_target) / 100.0
+        white_display = max(p.white_point_target, p.grey_point_target) / 100.0
+    else:
+        black_display = (
+            _clamp(p.black_point_target, 0.0, p.grey_point_target) / 100.0
+        ) ** (1.0 / p.output_power)
+        white_display = (
+            max(p.white_point_target, p.grey_point_target) / 100.0
+        ) ** (1.0 / p.output_power)
+
+    balance = _clamp(p.balance, -50.0, 50.0) / 100.0
+    if p.spline_version < SPLINE_V3:
+        latitude = _clamp(p.latitude, 0.0, 100.0) / 100.0 * dr
+        contrast = _clamp(p.contrast, 1.00001, 6.0)
+        # legacy commit-side contrast floor (commit_params filmicrgb.c)
+        if contrast < grey_display / grey_log:
+            contrast = 1.0001 * grey_display / grey_log
+        toe_log = grey_log - latitude / dr * abs(p.black_point_source / dr)
+        shoulder_log = grey_log + latitude / dr * abs(p.white_point_source / dr)
+        intercept = grey_display - contrast * grey_log
+        toe_display = toe_log * contrast + intercept
+        shoulder_display = shoulder_log * contrast + intercept
+        norm = math.sqrt(contrast * contrast + 1.0)
+        coeff = -((2.0 * latitude) / dr) * balance
+        toe_display += coeff * contrast / norm
+        shoulder_display += coeff * contrast / norm
+        toe_log += coeff / norm
+        shoulder_log += coeff / norm
+    else:
+        g = _v3_geometry(p)
+        contrast = g["contrast"]
+        latitude = _clamp(p.latitude, 0.0, 100.0) / 100.0
+        toe_log = (1.0 - latitude) * g["grey_log"] + latitude * g["xmin"]
+        shoulder_log = (1.0 - latitude) * g["grey_log"] + latitude * g["xmax"]
+        corr = (
+            2.0 * balance * (shoulder_log - g["grey_log"])
+            if balance > 0.0
+            else 2.0 * balance * (g["grey_log"] - toe_log)
+        )
+        toe_log = max(toe_log - corr, g["xmin"])
+        shoulder_log = min(shoulder_log - corr, g["xmax"])
+        toe_display = toe_log * contrast + g["intercept"]
+        shoulder_display = shoulder_log * contrast + g["intercept"]
+
+    x = [black_log, toe_log, grey_log, shoulder_log, white_log]
+    y = [black_display, toe_display, grey_display, shoulder_display, white_display]
+
+    M1 = [0.0] * 3
+    M2 = [0.0] * 3
+    M3 = [0.0] * 3
+    M4 = [0.0] * 3
+    M5 = [0.0] * 3
+
+    # linear latitude segment
+    M2[2] = contrast
+    M1[2] = y[1] - M2[2] * x[1]
+
+    sigmoid_toe_power = 1.5
+    slope = M2[2]
+    if p.shadows == CURVE_SIGMOID or p.highlights == CURVE_SIGMOID:
+        M3[2] = y[0]  # target black
+        M4[2] = y[4]  # target white
+
+    Tl, Sl = x[1], x[3]
+
+    # --- toe -----------------------------------------------------------------
+    if p.shadows == CURVE_SIGMOID:
+        tx, ty, y0 = x[1], y[1], y[0]
+        dx = max(1e-6, tx)
+        dy = max(1e-6, ty - y0)
+        M1[0] = -_sigmoid_scale(1.0, 1.0 - y0, 1.0 - tx, 1.0 - ty, slope,
+                                sigmoid_toe_power)
+        M2[0] = sigmoid_toe_power
+        M4[0] = slope * dx / dy
+        M3[0] = dy / dx ** M4[0]
+        M5[0] = 1.0 if dy / dx > slope else 0.0
+    elif p.shadows == CURVE_POLY_4:
+        A = np.array(
+            [
+                [0, 0, 0, 0, 1],
+                [0, 0, 0, 1, 0],
+                [Tl**4, Tl**3, Tl**2, Tl, 1],
+                [4 * Tl**3, 3 * Tl**2, 2 * Tl, 1, 0],
+                [12 * Tl**2, 6 * Tl, 2, 0, 0],
+            ],
+            dtype=np.float64,
+        )
+        b = np.array([y[0], 0.0, y[1], M2[2], 0.0])
+        s = np.linalg.solve(A, b)
+        M5[0], M4[0], M3[0], M2[0], M1[0] = s
+    elif p.shadows == CURVE_POLY_3:
+        A = np.array(
+            [
+                [0, 0, 0, 1],
+                [Tl**3, Tl**2, Tl, 1],
+                [3 * Tl**2, 2 * Tl, 1, 0],
+                [6 * Tl, 2, 0, 0],
+            ],
+            dtype=np.float64,
+        )
+        b = np.array([y[0], y[1], M2[2], 0.0])
+        s = np.linalg.solve(A, b)
+        M5[0] = 0.0
+        M4[0], M3[0], M2[0], M1[0] = s
+    else:  # rational
+        xx = x[1] - x[0]
+        yy = y[1] - y[0]
+        g_ = contrast
+        b_ = g_ / (2.0 * yy) + (math.sqrt((xx * g_ / yy + 1.0) ** 2 - 4.0) - 1.0) / (
+            2.0 * xx
+        )
+        c_ = yy / g_ * (b_ * xx**2 + xx) / (b_ * xx**2 + xx - (yy / g_))
+        M1[0] = c_ * g_
+        M2[0] = b_
+        M3[0] = c_
+        M4[0] = y[1]
+
+    # --- shoulder ------------------------------------------------------------
+    if p.highlights == CURVE_SIGMOID:
+        sx, sy, y4 = x[3], y[3], y[4]
+        dx = max(1e-6, 1.0 - sx)
+        dy = max(1e-6, y4 - sy)
+        M4[1] = slope * dx / dy
+        M3[1] = dy / dx ** M4[1]
+        M5[1] = 1.0
+        # generalized-sigmoid scale for the non-degenerate branch
+        M1[1] = _sigmoid_scale(1.0, y4, sx, sy, slope, M4[1])
+        M2[1] = M4[1]
+    elif p.highlights == CURVE_POLY_3:
+        A = np.array(
+            [
+                [1, 1, 1, 1],
+                [Sl**3, Sl**2, Sl, 1],
+                [3 * Sl**2, 2 * Sl, 1, 0],
+                [6 * Sl, 2, 0, 0],
+            ],
+            dtype=np.float64,
+        )
+        b = np.array([y[4], y[3], M2[2], 0.0])
+        s = np.linalg.solve(A, b)
+        M5[1] = 0.0
+        M4[1], M3[1], M2[1], M1[1] = s
+    elif p.highlights == CURVE_POLY_4:
+        A = np.array(
+            [
+                [1, 1, 1, 1, 1],
+                [4, 3, 2, 1, 0],
+                [Sl**4, Sl**3, Sl**2, Sl, 1],
+                [4 * Sl**3, 3 * Sl**2, 2 * Sl, 1, 0],
+                [12 * Sl**2, 6 * Sl, 2, 0, 0],
+            ],
+            dtype=np.float64,
+        )
+        b = np.array([y[4], 0.0, y[3], M2[2], 0.0])
+        s = np.linalg.solve(A, b)
+        M5[1], M4[1], M3[1], M2[1], M1[1] = s
+    else:  # rational
+        xx = x[4] - x[3]
+        yy = y[4] - y[3]
+        g_ = contrast
+        b_ = g_ / (2.0 * yy) + (math.sqrt((xx * g_ / yy + 1.0) ** 2 - 4.0) - 1.0) / (
+            2.0 * xx
+        )
+        c_ = yy / g_ * (b_ * xx**2 + xx) / (b_ * xx**2 + xx - (yy / g_))
+        M1[1] = c_ * g_
+        M2[1] = b_
+        M3[1] = c_
+        M4[1] = y[3]
+
+    return Spline(x=x, y=y, M1=M1, M2=M2, M3=M3, M4=M4, M5=M5,
+                  latitude_min=x[1], latitude_max=x[3],
+                  types=(p.shadows, p.highlights))
+
+
+# --- device side -------------------------------------------------------------
+
+
+def _log_tonemapping(x, grey, black, dynamic_range):
+    return jnp.clip((jnp.log2(x / grey) - black) / dynamic_range, 0.0, 1.0)
+
+
+def _spline_eval(x, s: Spline, c):
+    """Vectorized filmic_spline (filmicrgb.c:1042-1140). Curve types are
+    static; coefficients come in via the traced dict `c`."""
+    lat_min = c["lat_min"]
+    lat_max = c["lat_max"]
+    M1, M2, M3, M4, M5 = c["M1"], c["M2"], c["M3"], c["M4"], c["M5"]
+
+    # toe
+    t_type = s.types[0]
+    if t_type == CURVE_SIGMOID:
+        ty = lat_min * M2[2] + M1[2]
+        u = M2[2] * (x - lat_min) / M1[0]
+        sig = M1[0] * (u / (1.0 + u ** M2[0]) ** (1.0 / M2[0])) + ty
+        powc = M3[2] + jnp.maximum(0.0, M3[0] * jnp.maximum(x, 0.0) ** M4[0])
+        toe = jnp.where(M5[0] != 0.0, powc, sig)
+    elif t_type == CURVE_POLY_4:
+        toe = M1[0] + x * (M2[0] + x * (M3[0] + x * (M4[0] + x * M5[0])))
+    elif t_type == CURVE_POLY_3:
+        toe = M1[0] + x * (M2[0] + x * (M3[0] + x * M4[0]))
+    else:
+        xi = lat_min - x
+        rat = xi * (xi * M2[0] + 1.0)
+        toe = M4[0] - M1[0] * rat / (rat + M3[0])
+
+    # shoulder
+    s_type = s.types[1]
+    if s_type == CURVE_SIGMOID:
+        ty = lat_max * M2[2] + M1[2]
+        u = M2[2] * (x - lat_max) / M1[1]
+        sig = M1[1] * (u / (1.0 + u ** M2[1]) ** (1.0 / M2[1])) + ty
+        powc = M4[2] - jnp.maximum(
+            0.0, M3[1] * jnp.maximum(1.0 - x, 0.0) ** M4[1]
+        )
+        shoulder = jnp.where(M5[1] != 0.0, powc, sig)
+    elif s_type == CURVE_POLY_4:
+        shoulder = M1[1] + x * (M2[1] + x * (M3[1] + x * (M4[1] + x * M5[1])))
+    elif s_type == CURVE_POLY_3:
+        shoulder = M1[1] + x * (M2[1] + x * (M3[1] + x * M4[1]))
+    else:
+        xi = x - lat_max
+        rat = xi * (xi * M2[1] + 1.0)
+        shoulder = M4[1] + M1[1] * rat / (rat + M3[1])
+
+    lat = M1[2] + x * M2[2]
+    return jnp.where(x < lat_min, toe, jnp.where(x > lat_max, shoulder, lat))
+
+
+def _desaturate_v2(x, sigma_toe, sigma_shoulder, saturation):
+    r_toe = x
+    r_shoulder = 1.0 - x
+    sat2 = 0.5 / jnp.sqrt(saturation)
+    key_toe = jnp.exp(-r_toe * r_toe / sigma_toe * sat2)
+    key_shoulder = jnp.exp(-r_shoulder * r_shoulder / sigma_shoulder * sat2)
+    return saturation - (key_toe + key_shoulder) * saturation
+
+
+def _desaturate_v1(x, sigma_toe, sigma_shoulder, saturation):
+    key_toe = jnp.exp(-0.5 * x * x / sigma_toe)
+    key_shoulder = jnp.exp(-0.5 * (1.0 - x) ** 2 / sigma_shoulder)
+    return 1.0 - jnp.clip((key_toe + key_shoulder) / saturation, 0.0, 1.0)
+
+
+def _pixel_norm(rgb, variant: int, y_weights):
+    """(3,H,W) -> (H,W); get_pixel_norm (filmicrgb.c:955-1014)."""
+    if variant == METHOD_MAX_RGB:
+        return jnp.max(rgb, axis=0)
+    if variant == METHOD_LUMINANCE or variant == METHOD_NONE:
+        w = jnp.asarray(y_weights, rgb.dtype).reshape(3, 1, 1)
+        return jnp.sum(rgb * w, axis=0)
+    if variant == METHOD_POWER_NORM:
+        a = jnp.abs(rgb)
+        return jnp.sum(a**3, axis=0) / jnp.maximum(jnp.sum(a**2, axis=0), 1e-12)
+    if variant == METHOD_EUCLIDEAN_V1:
+        return jnp.sqrt(jnp.sum(rgb**2, axis=0))
+    # METHOD_EUCLIDEAN_V2
+    return jnp.sqrt(jnp.sum(rgb**2, axis=0)) / math.sqrt(3.0)
+
+
+@register
+class FilmicRGB(Op):
+    name = "filmicrgb"
+    input_colorspace = Colorspace.WORK_RGB
+
+    def enabled_by_default(self, meta):
+        return False
+
+    def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: FilmicParams) -> OpPlan:
+        version = p.version
+        preserve = p.preserve_color
+        # AgX (V6+) ignores preserve_color and always norm-maps with max RGB
+        # (reference dispatch filmicrgb.c:2785-2790 + filmic_agx); until the
+        # Ych/AgX inset-outset pass lands, V4..V10 run the exact V4 norm
+        # tone mapping (norm_tone_mapping_v4, filmicrgb.c:2085-2110)
+        if version >= CSCI_AGX_FIRST:
+            preserve = METHOD_MAX_RGB
+        version_class = min(version, CSCI_V4)
+        static = (version_class, preserve, p.shadows, p.highlights)
+        return OpPlan(spec_in=spec_in, spec_out=spec_in, static=static)
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: FilmicParams):
+        s = compute_spline(p)
+        grey_source = p.grey_point_source / 100.0 if p.custom_grey else 0.1845
+        if p.version >= CSCI_V4:
+            saturation = p.saturation / 100.0
+        else:
+            saturation = 2.0 * p.saturation / 100.0 + 1.0
+        sigma_toe = (s.latitude_min / 3.0) ** 2
+        sigma_shoulder = ((1.0 - s.latitude_max) / 3.0) ** 2
+        from ..color import matrices as cm
+
+        return {
+            "M1": np.float32(s.M1), "M2": np.float32(s.M2),
+            "M3": np.float32(s.M3), "M4": np.float32(s.M4),
+            "M5": np.float32(s.M5),
+            "lat_min": np.float32(s.latitude_min),
+            "lat_max": np.float32(s.latitude_max),
+            "y0": np.float32(s.y[0]), "y4": np.float32(s.y[4]),
+            "grey_source": np.float32(grey_source),
+            "black_source": np.float32(p.black_point_source),
+            "dynamic_range": np.float32(
+                p.white_point_source - p.black_point_source
+            ),
+            "output_power": np.float32(p.output_power),
+            "saturation": np.float32(max(saturation, 1e-6)),
+            "sigma_toe": np.float32(max(sigma_toe, 1e-9)),
+            "sigma_shoulder": np.float32(max(sigma_shoulder, 1e-9)),
+            "y_weights": np.float32(cm.WORK_Y),
+            # v4 norm clamp bounds: exp_tonemapping of log range ends
+            # (filmicrgb.c:2151-2152)
+            "norm_min": np.float32(
+                grey_source * 2.0 ** p.black_point_source
+            ),
+            "norm_max": np.float32(
+                grey_source * 2.0 ** p.white_point_source
+            ),
+        }
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        version, preserve, _, _ = plan.static
+        s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
+                   M5=None, types=plan.static[2:4])
+        gs, bs, dr = c["grey_source"], c["black_source"], c["dynamic_range"]
+
+        def curve(v):
+            mapped = _spline_eval(v, s, c)
+            return jnp.clip(mapped, c["y0"], c["y4"]) ** c["output_power"]
+
+        if version >= CSCI_V4:
+            if preserve == METHOD_NONE:
+                # RGB_tone_mapping_v4 (filmicrgb.c:2113-2128): independent
+                # per-channel curves, clamped to [0, white_display]
+                mapped = _log_tonemapping(x, gs, bs, dr)
+                sp = _spline_eval(mapped, s, c)
+                return jnp.clip(sp, 0.0, c["y4"]) ** c["output_power"]
+            # norm_tone_mapping_v4 (filmicrgb.c:2085-2110): clamp norm FIRST
+            # so clipped highlights don't inherit wrong chroma, keep ratios
+            norm = jnp.clip(_pixel_norm(x, preserve, c["y_weights"]),
+                            c["norm_min"], c["norm_max"])
+            ratios = x / norm[None]
+            nlog = _log_tonemapping(norm, gs, bs, dr)
+            nout = curve(nlog)
+            return ratios * nout[None]
+
+        if preserve == METHOD_NONE:
+            # filmic_split_v2_v3 (filmicrgb.c:1551-1588)
+            temp = _log_tonemapping(jnp.maximum(x, NORM_MIN), gs, bs, dr)
+            w = c["y_weights"].reshape(3, 1, 1)
+            lum = jnp.sum(temp * w, axis=0)
+            if version == CSCI_V1:
+                desat = _desaturate_v1(lum, c["sigma_toe"],
+                                       c["sigma_shoulder"], c["saturation"])
+            else:
+                desat = _desaturate_v2(lum, c["sigma_toe"],
+                                       c["sigma_shoulder"], c["saturation"])
+            sat_in = lum[None] + desat[None] * (temp - lum[None])
+            return curve(sat_in)
+
+        # filmic_chroma_v2_v3 (filmicrgb.c:1649-1705)
+        norm = jnp.maximum(_pixel_norm(x, preserve, c["y_weights"]), NORM_MIN)
+        ratios = x / norm[None]
+        min_r = jnp.min(ratios, axis=0, keepdims=True)
+        ratios = jnp.where(min_r < 0.0, ratios - min_r, ratios)
+        nlog = _log_tonemapping(norm, gs, bs, dr)
+        desat = _desaturate_v2(nlog, c["sigma_toe"], c["sigma_shoulder"],
+                               c["saturation"])
+        nout = curve(nlog)
+        ratios = jnp.maximum(ratios + (1.0 - ratios) * (1.0 - desat[None]), 0.0)
+        if version == CSCI_V3:
+            nout = nout / jnp.maximum(
+                _pixel_norm(ratios, preserve, c["y_weights"]), NORM_MIN
+            )
+        out = ratios * nout[None]
+        # gamut penalty (filmicrgb.c:1697-1704)
+        max_pix = jnp.max(out, axis=0, keepdims=True)
+        pen_ratios = jnp.maximum(ratios + (1.0 - max_pix), 0.0)
+        return jnp.where(max_pix > 1.0, pen_ratios * nout[None], out)

@@ -1,0 +1,99 @@
+"""Demosaic quality invariants: constant-color exactness, smooth-gradient
+reconstruction error bounds (the hermetic analog of the reference's
+golden-image delta-E suite, tests/integration/README.md)."""
+
+import numpy as np
+import pytest
+
+from ansel_tpu.core.types import CFAPattern
+from ansel_tpu.kernels.rcd import rcd_demosaic
+from ansel_tpu.ops.demosaic import bilinear_demosaic, ppg_demosaic
+
+
+def _mosaic(img_chw, cfa):
+    _, h, w = img_chw.shape
+    out = np.empty((h, w), np.float32)
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = img_chw[cfa.color_at(y, x), y, x]
+    return out
+
+
+def _interior(a, b=8):
+    return a[..., b:-b, b:-b]
+
+
+@pytest.mark.parametrize("cfa", [CFAPattern.RGGB, CFAPattern.BGGR,
+                                 CFAPattern.GRBG, CFAPattern.GBRG])
+@pytest.mark.parametrize("method", ["bilinear", "ppg", "rcd"])
+def test_constant_color_is_exact(cfa, method):
+    img = np.ones((3, 32, 128), np.float32) * np.array(
+        [0.25, 0.5, 0.75], np.float32
+    ).reshape(3, 1, 1)
+    mosaic = _mosaic(img, cfa)
+    fn = {"bilinear": bilinear_demosaic, "ppg": ppg_demosaic,
+          "rcd": rcd_demosaic}[method]
+    out = np.asarray(fn(mosaic, cfa))
+    assert np.allclose(_interior(out), _interior(img), atol=2e-5), method
+
+
+@pytest.mark.parametrize("method,tol", [("bilinear", 0.02), ("ppg", 0.02),
+                                        ("rcd", 0.01)])
+def test_smooth_gradient_reconstruction(method, tol):
+    h, w = 64, 128
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    img = np.stack([
+        0.2 + 0.5 * xx, 0.3 + 0.4 * yy, 0.25 + 0.3 * (xx + yy) / 2
+    ]).astype(np.float32)
+    mosaic = _mosaic(img, CFAPattern.RGGB)
+    from ansel_tpu.kernels.rcd import rcd_demosaic as rcd
+    fn = {"bilinear": bilinear_demosaic, "ppg": ppg_demosaic, "rcd": rcd}[method]
+    out = np.asarray(fn(mosaic, CFAPattern.RGGB))
+    err = np.abs(_interior(out) - _interior(img)).max()
+    assert err < tol, f"{method}: {err}"
+
+
+def test_rcd_preserves_cfa_samples():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.1, 0.9, (3, 32, 128)).astype(np.float32)
+    # smooth it to be demosaicable
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(img, sigma=(0, 2, 2)).astype(np.float32)
+    mosaic = _mosaic(img, CFAPattern.RGGB)
+    out = np.asarray(rcd_demosaic(mosaic, CFAPattern.RGGB))
+    # raw sample sites are passed through untouched
+    for y in range(10, 14):
+        for x in range(10, 14):
+            c = CFAPattern.RGGB.color_at(y, x)
+            assert out[c, y, x] == pytest.approx(mosaic[y, x], rel=1e-5)
+
+
+def test_rcd_scaler_invariance():
+    """Output must scale linearly with amplitude when scaler tracks it."""
+    h, w = 32, 128
+    rng = np.random.default_rng(5)
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(rng.uniform(0.1, 0.9, (3, h, w)), sigma=(0, 2, 2))
+    mosaic = _mosaic(img.astype(np.float32), CFAPattern.RGGB)
+    a = np.asarray(rcd_demosaic(mosaic, CFAPattern.RGGB, 1.0))
+    b = np.asarray(rcd_demosaic(mosaic * 4.0, CFAPattern.RGGB, 4.0))
+    assert np.allclose(b, 4.0 * a, rtol=1e-4, atol=1e-5)
+
+
+def test_xtrans_fallback_runs():
+    from ansel_tpu.kernels.markesteijn import xtrans_demosaic
+
+    # canonical X-Trans 6x6 pattern
+    pattern = (1, 0, 2, 1, 2, 0,
+               2, 1, 1, 0, 1, 1,
+               0, 1, 1, 2, 1, 1,
+               1, 2, 0, 1, 0, 2,
+               0, 1, 1, 2, 1, 1,
+               2, 1, 1, 0, 1, 1)
+    img = np.full((3, 36, 132), 0.5, np.float32)
+    mosaic = img[0]
+    out = np.asarray(xtrans_demosaic(mosaic, pattern))
+    assert np.allclose(out[:, 6:-6, 6:-6], 0.5, atol=1e-5)

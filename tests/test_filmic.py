@@ -1,0 +1,98 @@
+"""Filmic spline invariants (reference behavior contract,
+filmicrgb.c:3614+): node interpolation, monotonicity, continuity."""
+
+import numpy as np
+import pytest
+
+from ansel_tpu.core.types import Colorspace, ImageSpec, RawMeta
+from ansel_tpu.ops import base as ob
+from ansel_tpu.ops.filmicrgb import (CURVE_POLY_3, CURVE_POLY_4,
+                                     CURVE_RATIONAL, CURVE_SIGMOID,
+                                     FilmicParams, FilmicRGB, Spline,
+                                     _spline_eval, compute_spline)
+
+
+def _eval_curve(p: FilmicParams, xs: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    s = compute_spline(p)
+    c = {
+        "M1": np.float32(s.M1), "M2": np.float32(s.M2), "M3": np.float32(s.M3),
+        "M4": np.float32(s.M4), "M5": np.float32(s.M5),
+        "lat_min": np.float32(s.latitude_min),
+        "lat_max": np.float32(s.latitude_max),
+    }
+    sp = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None, M5=None,
+                types=(p.shadows, p.highlights))
+    return np.asarray(_spline_eval(jnp.asarray(xs, jnp.float32), sp, c))
+
+
+@pytest.mark.parametrize("shadows,highlights", [
+    (CURVE_SIGMOID, CURVE_SIGMOID),
+    (CURVE_POLY_3, CURVE_POLY_3),
+    (CURVE_POLY_4, CURVE_POLY_4),
+    (CURVE_RATIONAL, CURVE_RATIONAL),
+])
+def test_spline_hits_nodes(shadows, highlights):
+    p = FilmicParams(shadows=shadows, highlights=highlights)
+    s = compute_spline(p)
+    xs = np.array(s.x, np.float32)
+    ys = _eval_curve(p, xs)
+    # grey node on the linear segment; toe/shoulder transitions are the
+    # segment endpoints so they evaluate on the linear part
+    assert ys[2] == pytest.approx(s.y[2], abs=1e-5)
+    assert ys[1] == pytest.approx(s.y[1], abs=1e-4)
+    assert ys[3] == pytest.approx(s.y[3], abs=1e-4)
+    # endpoint targets (exact for sigmoid/rational, approximate for polys)
+    tol = 1e-3 if shadows in (CURVE_SIGMOID, CURVE_RATIONAL) else 2e-2
+    assert abs(ys[0] - s.y[0]) < tol
+    tol = 1e-3 if highlights in (CURVE_SIGMOID, CURVE_RATIONAL) else 2e-2
+    assert abs(ys[4] - s.y[4]) < tol
+
+
+def test_spline_monotone_default():
+    p = FilmicParams()
+    xs = np.linspace(0.0, 1.0, 513, dtype=np.float32)
+    ys = _eval_curve(p, xs)
+    assert np.all(np.diff(ys) > -1e-6)
+
+
+def test_spline_continuous_at_transitions():
+    p = FilmicParams()
+    s = compute_spline(p)
+    for x0 in (s.latitude_min, s.latitude_max):
+        lo = _eval_curve(p, np.array([x0 - 1e-4], np.float32))[0]
+        hi = _eval_curve(p, np.array([x0 + 1e-4], np.float32))[0]
+        assert abs(hi - lo) < 1e-3
+
+
+def test_filmic_op_maps_grey_to_target():
+    meta = RawMeta(width=128, height=64)
+    op = FilmicRGB()
+    p = FilmicParams()
+    ctx = ob.PlanContext(meta=meta)
+    ctx.notes["work_profile"] = "rec2020"
+    spec = ImageSpec(width=128, height=64, colorspace=Colorspace.WORK_RGB)
+    plan = op.plan(ctx, spec, p)
+    c = op.coeffs(ctx, plan, p)
+    x = np.full(spec.array_shape, 0.1845, np.float32)
+    out = np.asarray(op.apply(x, c, plan, ctx))
+    s = compute_spline(p)
+    target = s.y[2] ** p.output_power
+    assert np.allclose(out, target, rtol=5e-3)
+
+
+def test_filmic_monotone_on_grey_ramp():
+    meta = RawMeta(width=256, height=8)
+    op = FilmicRGB()
+    p = FilmicParams()
+    ctx = ob.PlanContext(meta=meta)
+    spec = ImageSpec(width=256, height=8, colorspace=Colorspace.WORK_RGB)
+    plan = op.plan(ctx, spec, p)
+    c = op.coeffs(ctx, plan, p)
+    ramp = np.exp2(np.linspace(-10, 5, 256, dtype=np.float32))
+    x = np.broadcast_to(ramp, (3, 8, 256)).astype(np.float32)
+    out = np.asarray(op.apply(x, c, plan, ctx))
+    line = out[1, 0, :]
+    assert np.all(np.diff(line) > -1e-5)
+    assert line[0] < 0.02 and line[-1] > 0.9

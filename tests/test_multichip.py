@@ -1,0 +1,56 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (the hermetic
+equivalent of multi-node tests: fake mesh via
+xla_force_host_platform_device_count, SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ansel_tpu.io.synthetic import synth_raw
+from ansel_tpu.parallel.batch import BatchPipeline, make_mesh, spatial_sharded_pipe
+from ansel_tpu.pipeline.engine import HistoryItem, Pipeline
+from ansel_tpu.ops import base as ops_base
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_batch_dp_sharding_matches_single():
+    raw, meta, _ = synth_raw(h=64, w=128)
+    history = [HistoryItem("exposure", {"exposure": 0.5}),
+               HistoryItem("filmicrgb", {})]
+    mesh = make_mesh(8, spatial=1)
+    bp = BatchPipeline(meta, history, mesh)
+    batch = np.stack([raw * (1.0 + 0.01 * i) for i in range(8)])
+    out = np.asarray(bp(batch))
+    assert out.shape[0] == 8
+
+    single = Pipeline(meta, history)
+    fn = jax.jit(single.trace_fn())
+    ref = np.asarray(fn(ops_base.pad_to(batch[3], single.spec_in),
+                        single.coeffs()))
+    assert np.allclose(out[3], ref, atol=1e-5)
+
+
+@needs_8
+def test_spatial_sharding_matches_single():
+    raw, meta, _ = synth_raw(h=128, w=128)
+    history = [HistoryItem("filmicrgb", {})]
+    mesh = make_mesh(8, spatial=2)
+    call, pipe = spatial_sharded_pipe(meta, history, mesh)
+    out = np.asarray(call(raw))
+
+    fn = jax.jit(pipe.trace_fn())
+    ref = np.asarray(fn(ops_base.pad_to(raw, pipe.spec_in), pipe.coeffs()))
+    # GSPMD halo exchange must reproduce the unsharded stencil results
+    assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+
+@needs_8
+def test_mixed_dp_sp_mesh():
+    raw, meta, _ = synth_raw(h=64, w=128)
+    mesh = make_mesh(8, spatial=2)
+    bp = BatchPipeline(meta, [HistoryItem("filmicrgb", {})], mesh)
+    out = bp(np.stack([raw] * 4))
+    assert np.isfinite(np.asarray(out)).all()

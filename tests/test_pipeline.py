@@ -1,0 +1,96 @@
+"""End-to-end pipeline tests: synthetic raw -> full default pipe -> display
+RGB, with scene-truth comparison (the hermetic analog of the reference's
+ansel-cli golden-image integration suite)."""
+
+import numpy as np
+import pytest
+
+from ansel_tpu import HistoryItem, compile_pipeline
+from ansel_tpu.core.types import Colorspace
+from ansel_tpu.io.synthetic import synth_raw
+
+
+def _default_history():
+    return [
+        HistoryItem("filmicrgb", {}),
+        HistoryItem("exposure", {"exposure": 0.5}),
+    ]
+
+
+def test_pipeline_plans_mandatory_modules(synth_small):
+    raw, meta, scene = synth_small
+    pipe = compile_pipeline(meta, _default_history())
+    names = [s.name for s in pipe.pipe.stages]
+    assert names == ["rawprepare", "temperature", "highlights", "demosaic",
+                     "exposure", "colorin", "filmicrgb", "colorout"]
+    assert pipe.pipe.spec_out.colorspace is Colorspace.DISPLAY_RGB
+
+
+def test_pipeline_end_to_end(synth_small):
+    raw, meta, scene = synth_small
+    pipe = compile_pipeline(meta, _default_history())
+    out = pipe.output_array(raw)
+    assert out.shape == (3, meta.height, meta.width)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # the specular patch must render bright, shadows dark
+    assert out[:, 4:12, 4:12].mean() > 0.85
+    assert out.mean() > 0.05
+
+
+def test_pipeline_recovers_scene_chromaticity(synth_small):
+    """With WB+colorin undoing the synthetic camera simulation, the
+    work-RGB image right before filmic must match the rendered scene."""
+    raw, meta, scene = synth_small
+    pipe = compile_pipeline(meta, [])  # mandatory modules only
+    out = pipe.output_array(raw)  # display sRGB of pass-through pipe
+    # rebuild the expected: scene (work rgb) -> srgb matrix+trc, highlights
+    # clipping at 1.0/wb limits tolerance to unclipped regions
+    from ansel_tpu.color import matrices as cm
+    from ansel_tpu.color.transforms import srgb_encode
+    import jax.numpy as jnp
+
+    M = cm.rgb_to_rgb_matrix("rec2020", "srgb")
+    expected = np.asarray(
+        srgb_encode(jnp.clip(jnp.einsum("dc,chw->dhw", jnp.asarray(M, jnp.float32),
+                                        jnp.asarray(scene)), 0.0, 1.0))
+    )
+    sel = (scene.max(axis=0) < 0.45)  # away from highlight clipping
+    sel[: meta.height // 8 + 8, : meta.width // 8 + 8] = False
+    border = 8
+    sel[:border] = sel[-border:] = False
+    sel[:, :border] = sel[:, -border:] = False
+    err = np.abs(out - expected).max(axis=0)[sel]
+    assert np.quantile(err, 0.99) < 0.02, np.quantile(err, 0.99)
+
+
+def test_param_edit_does_not_recompile(synth_small):
+    raw, meta, scene = synth_small
+    from ansel_tpu.pipeline import engine
+
+    pipe1 = compile_pipeline(meta, _default_history())
+    n = len(engine._COMPILE_CACHE)
+    pipe2 = compile_pipeline(meta, [
+        HistoryItem("filmicrgb", {}),
+        HistoryItem("exposure", {"exposure": 1.5}),
+    ])
+    assert len(engine._COMPILE_CACHE) == n
+    assert pipe1._fn is pipe2._fn
+    a = pipe1.output_array(raw)
+    b = pipe2.output_array(raw)
+    assert not np.allclose(a, b)  # the edit did change the render
+
+
+def test_disabled_op_skipped(synth_small):
+    raw, meta, scene = synth_small
+    pipe = compile_pipeline(meta, [HistoryItem("filmicrgb", {}, enabled=False)])
+    names = [s.name for s in pipe.pipe.stages]
+    assert "filmicrgb" not in names
+
+
+def test_unknown_op_reported(synth_small):
+    raw, meta, scene = synth_small
+    from ansel_tpu.pipeline.engine import Pipeline
+
+    p = Pipeline(meta, [HistoryItem("liquify", {})])
+    assert any("liquify" in u for u in p.unsupported)
