@@ -1,0 +1,60 @@
+"""ansel-tpu CLI — headless export (the `ansel-cli` analog,
+reference src/apps/ansel-cli/main.c).
+
+Raw input formats (native camera decode is a scheduled native-code
+milestone): .npz bundles produced by `ansel_tpu.io.rawfile` (mosaic +
+metadata), or `synth:WxH` synthetic test raws.
+
+Usage:
+  python -m ansel_tpu.cli <raw.npz|synth:6000x4000> [xmp sidecar] <out.jpg>
+      [--width N] [--height N] [--quality Q] [--core ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ansel-tpu-cli")
+    ap.add_argument("input")
+    ap.add_argument("xmp", nargs="?", default=None)
+    ap.add_argument("output")
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--quality", type=int, default=92)
+    ap.add_argument("--verbose", "-v", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .io.rawfile import load_raw
+    from .io.synthetic import synth_raw
+    from .pipeline.export import ExportSettings, export_image
+
+    t0 = time.perf_counter()
+    if args.input.startswith("synth:"):
+        w, h = (int(v) for v in args.input[6:].split("x"))
+        raw, meta, _ = synth_raw(h=h, w=w)
+    else:
+        raw, meta = load_raw(args.input)
+    if args.verbose:
+        print(f"[load] {meta.width}x{meta.height} {meta.cfa} "
+              f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+
+    xmp = args.xmp if args.xmp and args.xmp.lower().endswith(".xmp") else None
+    settings = ExportSettings(max_width=args.width, max_height=args.height,
+                              quality=args.quality)
+    t0 = time.perf_counter()
+    out = export_image(raw, meta, xmp_path=xmp, output_path=args.output,
+                       settings=settings)
+    if args.verbose:
+        print(f"[export] {out.shape[2]}x{out.shape[1]} -> {args.output} "
+              f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,5 +61,15 @@ def xyz_to_lab(xyz: jnp.ndarray, white_XYZ) -> jnp.ndarray:
     return jnp.stack([L, a, b])
 
 
+def lab_to_xyz(lab: jnp.ndarray, white_XYZ) -> jnp.ndarray:
+    wn = jnp.asarray(np.asarray(white_XYZ), dtype=lab.dtype).reshape(3, 1, 1)
+    fy = (lab[0] + 16.0) / 116.0
+    fx = fy + lab[1] / 500.0
+    fz = fy - lab[2] / 200.0
+    f = jnp.stack([fx, fy, fz])
+    r = jnp.where(f**3 > _LAB_EPS, f**3, (116.0 * f - 16.0) / _LAB_KAPPA)
+    return r * wn
+
+
 def delta_e_76(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum((lab1 - lab2) ** 2, axis=0))

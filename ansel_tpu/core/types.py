@@ -37,6 +37,7 @@ class Colorspace(enum.Enum):
     RAW = "raw"              # single-plane CFA mosaic, linear sensor units
     CAMERA_RGB = "camera"    # demosaiced, still in camera native RGB
     WORK_RGB = "work"        # linear working space (Rec2020 by default)
+    LAB = "lab"              # CIE Lab (legacy display-referred ops)
     DISPLAY_RGB = "display"  # output space after colorout (possibly nonlinear)
 
 

@@ -1,0 +1,49 @@
+"""colorcontrast — steepness/offset scaling of Lab a/b channels.
+
+Reference: `/root/reference/src/iop/colorcontrast.c` (params v2,
+colorcontrast.c:71-78; process :100-140: a' = a*steepness + offset, same
+for b; clamped to ±128 unless unbound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+from .base import Op, OpPlan, PlanContext, register
+
+
+@params(op="colorcontrast", version=2)
+@dataclasses.dataclass
+class ColorContrastParams:
+    a_steepness: float = cfield("f", 1.0)
+    a_offset: float = cfield("f", 0.0)
+    b_steepness: float = cfield("f", 1.0)
+    b_offset: float = cfield("f", 0.0)
+    unbound: int = cfield("i", 1)
+
+
+@register
+class ColorContrast(Op):
+    name = "colorcontrast"
+    input_colorspace = Colorspace.LAB
+
+    def coeffs(self, ctx, plan, p):
+        return {"slope": [1.0, p.a_steepness, p.b_steepness],
+                "offset": [0.0, p.a_offset, p.b_offset]}
+
+    def plan(self, ctx, spec_in, p):
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=bool(p.unbound))
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        slope = jnp.asarray(c["slope"], x.dtype).reshape(3, 1, 1)
+        offset = jnp.asarray(c["offset"], x.dtype).reshape(3, 1, 1)
+        y = x * slope + offset
+        if not plan.static:
+            y = jnp.stack([y[0], jnp.clip(y[1], -128.0, 128.0),
+                           jnp.clip(y[2], -128.0, 128.0)])
+        return y

@@ -156,15 +156,17 @@ class Demosaic(Op):
             from ..kernels import markesteijn
 
             return markesteijn.xtrans_demosaic(x, ctx.meta.xtrans)
-        if method == RCD:
-            from ..kernels import rcd
-
-            return rcd.rcd_demosaic(x, cfa, c["scaler"])
         if method == PPG:
             return ppg_demosaic(x, cfa)
-        # AMaZE / LMMSE / VNG4 pending: RCD is the reference-quality default
+        # RCD is the quality default; AMaZE/LMMSE/VNG4 alias to it for now
         # (SURVEY.md notes AMaZE may be replaced by RCD+LMMSE initially)
-        if method in (AMAZE, LMMSE, VNG4):
+        if method in (RCD, AMAZE, LMMSE, VNG4):
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from ..kernels import rcd_pallas
+
+                return rcd_pallas.rcd_demosaic_pallas(x, cfa, c["scaler"])
             from ..kernels import rcd
 
             return rcd.rcd_demosaic(x, cfa, c["scaler"])

@@ -1,0 +1,111 @@
+"""rgbcurve — RGB tone curves (linked or per-channel) with color
+preservation norms.
+
+Reference: `/root/reference/src/iop/rgbcurve.c` (params v1,
+rgbcurve.c:94-109): up to 20 (x,y) nodes per channel, three interpolators
+(common/curve_tools.c), linked mode applies curve[0] through a chosen RGB
+norm (src/pixel/rgb_norms.h) preserving ratios; independent mode applies
+each channel's curve.  Values >1 use the unbounded linear extrapolation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..color import matrices as cm
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+from ..pixel import curves
+from .base import Op, OpPlan, PlanContext, register
+
+MAXNODES = 20
+SCALE_AUTOMATIC_RGB = 0
+SCALE_MANUAL_RGB = 1
+
+(NORM_NONE, NORM_LUMINANCE, NORM_MAX, NORM_AVERAGE, NORM_SUM, NORM_NORM,
+ NORM_POWER) = range(7)
+
+LUT_MAX = 4.0  # sample the curve over [0, 4] to cover scene-referred range
+
+
+@params(op="rgbcurve", version=1)
+@dataclasses.dataclass
+class RGBCurveParams:
+    # interleaved (x, y) pairs: 3 channels x 20 nodes x 2 floats
+    curve_nodes: tuple = cfield(
+        f"{3 * MAXNODES * 2}f",
+        tuple([0.0, 0.0, 1.0, 1.0] + [0.0] * (MAXNODES * 2 - 4)) * 3,
+    )
+    curve_num_nodes: tuple = cfield("3i", (2, 2, 2))
+    curve_type: tuple = cfield("3i", (2, 2, 2))  # MONOTONE_HERMITE
+    curve_autoscale: int = cfield("i", SCALE_AUTOMATIC_RGB)
+    compensate_middle_grey: int = cfield("i", 0)
+    preserve_colors: int = cfield("i", NORM_LUMINANCE)
+
+
+def rgb_norm(x: jnp.ndarray, kind: int, y_weights) -> jnp.ndarray:
+    if kind == NORM_LUMINANCE:
+        w = jnp.asarray(y_weights, x.dtype).reshape(3, 1, 1)
+        return jnp.sum(x * w, axis=0)
+    if kind == NORM_MAX:
+        return jnp.max(x, axis=0)
+    if kind == NORM_AVERAGE:
+        return jnp.mean(x, axis=0)
+    if kind == NORM_SUM:
+        return jnp.sum(x, axis=0)
+    if kind == NORM_NORM:
+        return jnp.sqrt(jnp.sum(x * x, axis=0))
+    if kind == NORM_POWER:
+        a = jnp.abs(x)
+        return jnp.sum(a**3, axis=0) / jnp.maximum(jnp.sum(a**2, axis=0),
+                                                   1e-12)
+    return jnp.max(x, axis=0)
+
+
+def _nodes(p: RGBCurveParams, ch: int):
+    n = max(2, min(int(p.curve_num_nodes[ch]), MAXNODES))
+    base = ch * MAXNODES * 2
+    xs = [p.curve_nodes[base + 2 * i] for i in range(n)]
+    ys = [p.curve_nodes[base + 2 * i + 1] for i in range(n)]
+    return xs, ys
+
+
+@register
+class RGBCurve(Op):
+    name = "rgbcurve"
+    input_colorspace = Colorspace.WORK_RGB
+
+    def plan(self, ctx: PlanContext, spec_in, p: RGBCurveParams) -> OpPlan:
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(p.curve_autoscale, p.preserve_colors))
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: RGBCurveParams):
+        luts = []
+        slopes = []
+        for ch in range(3):
+            xs, ys = _nodes(p, ch)
+            lut = curves.sample_curve(xs, ys, p.curve_type[ch],
+                                      lut_max=LUT_MAX)
+            luts.append(lut)
+            slopes.append((lut[-1] - lut[-2])
+                          / (LUT_MAX / (curves.LUT_SIZE - 1)))
+        return {"luts": np.stack(luts), "slopes": np.float32(slopes),
+                "y_weights": np.float32(cm.WORK_Y)}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        autoscale, preserve = plan.static
+        if autoscale == SCALE_AUTOMATIC_RGB and preserve != NORM_NONE:
+            ratio_src = rgb_norm(x, preserve, c["y_weights"])
+            ratio_src = jnp.maximum(ratio_src, 1e-9)
+            mapped = curves.apply_lut(ratio_src, c["luts"][0], LUT_MAX,
+                                      c["slopes"][0])
+            return x * (mapped / ratio_src)[None]
+        if autoscale == SCALE_AUTOMATIC_RGB:
+            return curves.apply_lut(x, c["luts"][0], LUT_MAX, c["slopes"][0])
+        return jnp.stack([
+            curves.apply_lut(x[i], c["luts"][i], LUT_MAX, c["slopes"][i])
+            for i in range(3)
+        ])

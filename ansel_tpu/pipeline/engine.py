@@ -82,6 +82,43 @@ class PlannedOp:
     params: Any
 
 
+class _ConvertOp(ops_base.Op):
+    """Synthetic colorspace-conversion stage, inserted by the planner where
+    an op's declared input space differs from the pipeline's current one —
+    the fused analog of the reference's per-node conversion pass
+    (src/develop/pixelpipe_cpu.c:54-77)."""
+
+    name = "_convert"
+
+    def plan_pair(self, spec_in, dst: Colorspace):
+        return ops_base.OpPlan(
+            spec_in=spec_in,
+            spec_out=dataclasses.replace(spec_in, colorspace=dst),
+            static=(spec_in.colorspace, dst),
+        )
+
+    def apply(self, x, c, plan, ctx):
+        from ..color import matrices as cm
+        from ..color import transforms as tr
+
+        src, dst = plan.static
+        white = cm.xy_to_XYZ(*cm.WP_D65)
+        if (src, dst) == (Colorspace.WORK_RGB, Colorspace.LAB):
+            xyz = tr.apply_matrix(x, cm.XYZ_FROM_WORK)
+            return tr.xyz_to_lab(xyz, white)
+        if (src, dst) == (Colorspace.LAB, Colorspace.WORK_RGB):
+            xyz = tr.lab_to_xyz(x, white)
+            return tr.apply_matrix(xyz, cm.WORK_FROM_XYZ)
+        raise ValueError(f"no conversion {src} -> {dst}")
+
+
+_CONVERT = _ConvertOp()
+_CONVERTIBLE = {
+    (Colorspace.WORK_RGB, Colorspace.LAB),
+    (Colorspace.LAB, Colorspace.WORK_RGB),
+}
+
+
 class Pipeline:
     """A planned (but not yet compiled) pipe for one (image, history)."""
 
@@ -98,6 +135,10 @@ class Pipeline:
             cfa=CFAPattern.XTRANS if meta.xtrans else meta.cfa,
         )
         self.spec_in = spec
+        history = list(history)
+        if abs(scale - 1.0) > 1e-9 and not any(
+                h.op == "finalscale" for h in history):
+            history.append(HistoryItem("finalscale"))
         for item in resolve_history(meta, history):
             if not item.enabled:
                 continue
@@ -106,12 +147,18 @@ class Pipeline:
                 self.unsupported.append(item.op)
                 continue
             p = _resolve_params(item, meta)
-            if (op.input_colorspace is not None
-                    and op.input_colorspace is not spec.colorspace):
-                # colorspace contract violation -> auto-disable, like the
-                # reference's format propagation (dev_pixelpipe.c:1158)
-                self.unsupported.append(f"{item.op} (colorspace skip)")
-                continue
+            need = op.input_colorspace
+            if need is not None and need is not spec.colorspace:
+                if (spec.colorspace, need) in _CONVERTIBLE:
+                    cplan = _CONVERT.plan_pair(spec, need)
+                    self.stages.append(
+                        PlannedOp("_convert", _CONVERT, cplan, None))
+                    spec = cplan.spec_out
+                else:
+                    # colorspace contract violation -> auto-disable, like the
+                    # reference's format propagation (dev_pixelpipe.c:1158)
+                    self.unsupported.append(f"{item.op} (colorspace skip)")
+                    continue
             plan = op.plan(self.ctx, spec, p)
             self.stages.append(PlannedOp(item.op, op, plan, p))
             spec = plan.spec_out

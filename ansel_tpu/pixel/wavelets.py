@@ -1,0 +1,132 @@
+"""À-trous (stationary) wavelet transforms.
+
+Reference: `/root/reference/src/pixel/dwt.c` (B3-spline à-trous decompose
+used by retouch/highlights), `src/pixel/eaw.c` (edge-aware wavelets used by
+the atrous equalizer and denoiseprofile's wavelet path).
+
+TPU form: each scale is a separable 5-tap dilated convolution
+(`lax.conv_general_dilated` with rhs_dilation = 2^scale) — XLA maps dilated
+convs directly; no gathers, no Python-level pixel loops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# B3-spline scaling kernel (the classic à-trous kernel, dwt.c / eaw.c)
+B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _sep_blur(x: jnp.ndarray, scale: int, kernel=B3) -> jnp.ndarray:
+    """Separable dilated 5-tap blur on (..., H, W) with hole size 2^scale.
+    Edge handling: symmetric-ish via edge padding before the conv."""
+    k = jnp.asarray(kernel, x.dtype)
+    d = 1 << scale
+    pad = 2 * d
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    xx = x.reshape((-1, 1) + (h, w))
+    xx = jnp.pad(xx, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    kv = k.reshape(1, 1, 5, 1)
+    kh = k.reshape(1, 1, 1, 5)
+    y = jax.lax.conv_general_dilated(
+        xx, kv, (1, 1), "VALID", rhs_dilation=(d, 1),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    y = jax.lax.conv_general_dilated(
+        y, kh, (1, 1), "VALID", rhs_dilation=(1, d),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y.reshape(lead + (h, w))
+
+
+def atrous_decompose(x: jnp.ndarray, scales: int) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    """-> ([detail_0 .. detail_{s-1}], residual).  x = sum(details) + residual."""
+    details = []
+    cur = x
+    for s in range(scales):
+        low = _sep_blur(cur, s)
+        details.append(cur - low)
+        cur = low
+    return details, cur
+
+
+def atrous_reconstruct(details: List[jnp.ndarray], residual: jnp.ndarray,
+                       gains=None) -> jnp.ndarray:
+    out = residual
+    for i, d in enumerate(details):
+        g = 1.0 if gains is None else gains[i]
+        out = out + d * g
+    return out
+
+
+def eaw_dn_decompose(x: jnp.ndarray, scale: int, inv_sigma2):
+    """One scale of the denoise edge-aware à-trous decompose
+    (reference src/pixel/eaw.c:eaw_dn_decompose + dn_weight eaw.c:181-195):
+    25-tap B3 blur whose taps are weighted by the color distance
+    w = 2^-(max(0, |Δrgb|² * inv_sigma2 * 0.02 - 9)), shared across channels.
+
+    x: (3, H, W).  -> (coarse, detail, sum_sq[3])
+    """
+    d = 1 << scale
+    k = jnp.asarray(B3, x.dtype)
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x[0])
+    inv_sigma2 = jnp.asarray(inv_sigma2, x.dtype)
+    for iy in range(5):
+        for ix in range(5):
+            dy, dx = (iy - 2) * d, (ix - 2) * d
+            sh = jnp.roll(x, (-dy, -dx), axis=(-2, -1))
+            dist2 = jnp.sum((sh - x) ** 2, axis=0)
+            wp = jnp.exp2(-jnp.maximum(0.0, dist2 * inv_sigma2 * 0.02 - 9.0))
+            w = (k[iy] * k[ix]) * wp
+            num = num + w[None] * sh
+            den = den + w
+    coarse = num / jnp.maximum(den, 1e-12)[None]
+    detail = x - coarse
+    sum_sq = jnp.sum(detail**2, axis=(1, 2))
+    return coarse, detail, sum_sq
+
+
+def eaw_synthesize(acc: jnp.ndarray, detail: jnp.ndarray, thrs, boost=None):
+    """Soft-threshold shrinkage accumulate (reference eaw.c:157-175)."""
+    t = jnp.asarray(thrs).reshape(-1, 1, 1)
+    amount = jnp.maximum(detail - t, 0.0) + jnp.minimum(detail + t, 0.0)
+    if boost is not None:
+        amount = amount * jnp.asarray(boost).reshape(-1, 1, 1)
+    return acc + amount
+
+
+def eaw_decompose_scale(x: jnp.ndarray, scale: int, sharpen):
+    """One scale of the edge-aware à-trous used by the atrous equalizer
+    (reference src/pixel/eaw.c eaw_decompose): 25-tap B3 blur with
+    per-channel photometric weights w = exp(-diff^2 * sharpen).
+    -> (coarse, detail)."""
+    d = 1 << scale
+    k = jnp.asarray(B3, x.dtype)
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    sharpen = jnp.asarray(sharpen, x.dtype)
+    for iy in range(5):
+        for ix in range(5):
+            dy, dx = (iy - 2) * d, (ix - 2) * d
+            sh = jnp.roll(x, (-dy, -dx), axis=(-2, -1))
+            wgt = (k[iy] * k[ix]) * jnp.exp(-((sh - x) ** 2) * sharpen)
+            num = num + wgt * sh
+            den = den + wgt
+    low = num / jnp.maximum(den, 1e-9)
+    return low, x - low
+
+
+def eaw_decompose(x: jnp.ndarray, scales: int, sharpen: float = 0.0):
+    """Multi-scale edge-aware à-trous decompose -> (details, residual)."""
+    details = []
+    cur = x
+    for s in range(scales):
+        low, det = eaw_decompose_scale(cur, s, sharpen)
+        details.append(det)
+        cur = low
+    return details, cur

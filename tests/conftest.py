@@ -4,7 +4,9 @@ dryrun_multichip contract)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the sandbox exports JAX_PLATFORMS=axon globally, but the
+# test suite must be hermetic on a virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,91 @@
+"""Tests for toneequal and diffuse (heavy-iterative stack, BASELINE cfg 3)."""
+
+import numpy as np
+import pytest
+
+from ansel_tpu.core.types import Colorspace, ImageSpec, RawMeta
+from ansel_tpu.ops import base as ob
+
+
+def _run(op, p, x, scale=1.0):
+    ctx = ob.PlanContext(meta=RawMeta(width=x.shape[2], height=x.shape[1]),
+                         scale=scale)
+    spec = ImageSpec(width=x.shape[2], height=x.shape[1],
+                     colorspace=Colorspace.WORK_RGB)
+    plan = op.plan(ctx, spec, p)
+    c = op.coeffs(ctx, plan, p)
+    return np.asarray(op.apply(x, c, plan, ctx))
+
+
+def test_toneequal_neutral_is_identity():
+    from ansel_tpu.ops.toneequal import ToneEqualParams, ToneEqualizer
+
+    rng = np.random.default_rng(0)
+    x = np.exp2(rng.uniform(-8, 0, (3, 64, 128))).astype(np.float32)
+    out = _run(ToneEqualizer(), ToneEqualParams(), x)
+    # the 9-slider -> 8-RBF least-squares fit has inherent ~2% ripple
+    # (the reference's pseudo_solve has the same residual)
+    assert np.allclose(out, x, rtol=3e-2), np.abs(out / x - 1).max()
+
+
+def test_toneequal_lifts_shadows_only():
+    from ansel_tpu.ops.toneequal import ToneEqualParams, ToneEqualizer
+
+    x = np.full((3, 64, 128), 2.0**-7, np.float32)   # deep shadows
+    y = np.full((3, 64, 128), 2.0**-1, np.float32)   # near whites
+    p = ToneEqualParams(noise=1.0, ultra_deep_blacks=1.0, deep_blacks=1.0,
+                        details=0)
+    op = ToneEqualizer()
+    out_shadow = _run(op, p, x)
+    out_bright = _run(op, p, y)
+    assert out_shadow.mean() / x.mean() > 1.5      # shadows lifted ~+1EV
+    assert abs(out_bright.mean() / y.mean() - 1.0) < 0.1  # whites untouched
+
+
+def test_toneequal_solve_factors_interpolates_gains():
+    from ansel_tpu.ops.toneequal import (CENTERS_PARAMS, ToneEqualParams,
+                                         solve_factors)
+
+    p = ToneEqualParams(shadows=1.0)
+    f = solve_factors(p)
+    denom = 2.0 * p.smoothing**2
+    from ansel_tpu.ops.toneequal import CENTERS_OPS
+
+    # the reconstructed gain at the -4EV node must be close to 2^1
+    w = np.exp(-((-4.0 - CENTERS_OPS) ** 2) / denom)
+    # least-squares smooths a single raised slider; reference does the same
+    assert 1.5 < (w * f).sum() < 2.1
+
+
+def test_diffuse_zero_speeds_identity():
+    from ansel_tpu.ops.diffuse import Diffuse, DiffuseParams
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.05, 0.8, (3, 64, 128)).astype(np.float32)
+    out = _run(Diffuse(), DiffuseParams(iterations=1), x)
+    # zero speeds and sharpness -> reconstruction is identity (max vs 0 aside)
+    assert np.allclose(out, x, atol=1e-5), np.abs(out - x).max()
+
+
+def test_diffuse_sharpen_increases_contrast():
+    from ansel_tpu.ops.diffuse import Diffuse, DiffuseParams
+
+    yy, xx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 128),
+                         indexing="ij")
+    base = 0.3 + 0.2 * (xx > 0.5)
+    x = np.broadcast_to(base, (3, 64, 128)).astype(np.float32)
+    p = DiffuseParams(iterations=2, sharpness=0.5, radius=4)
+    out = _run(Diffuse(), p, x)
+    assert out.std() > x.std() * 1.02
+
+
+def test_diffuse_blur_diffuses():
+    from ansel_tpu.ops.diffuse import Diffuse, DiffuseParams
+
+    rng = np.random.default_rng(2)
+    x = (0.4 + 0.2 * rng.standard_normal((3, 64, 128))).astype(np.float32)
+    x = np.clip(x, 0.01, 1.0)
+    p = DiffuseParams(iterations=4, first=0.2, second=0.2, third=0.2,
+                      fourth=0.2, radius=8)
+    out = _run(Diffuse(), p, x)
+    assert out.std() < x.std() * 0.9

@@ -55,8 +55,14 @@ def test_pipeline_recovers_scene_chromaticity(synth_small):
         srgb_encode(jnp.clip(jnp.einsum("dc,chw->dhw", jnp.asarray(M, jnp.float32),
                                         jnp.asarray(scene)), 0.0, 1.0))
     )
-    sel = (scene.max(axis=0) < 0.45)  # away from highlight clipping
-    sel[: meta.height // 8 + 8, : meta.width // 8 + 8] = False
+    # exclude pixels clipped in CAMERA space: the sensor saturates per
+    # camera channel (after WB) at the highlights threshold, which is real
+    # pipeline behavior, not error
+    from ansel_tpu.io.synthetic import DEFAULT_CAM_TO_XYZ
+
+    cam_from_work = np.linalg.inv(cm.normalized_cam_to_work(DEFAULT_CAM_TO_XYZ))
+    cam = np.einsum("dc,chw->dhw", cam_from_work, scene)
+    sel = (cam.max(axis=0) < 0.95) & (cam.min(axis=0) > 0.005)
     border = 8
     sel[:border] = sel[-border:] = False
     sel[:, :border] = sel[:, -border:] = False
