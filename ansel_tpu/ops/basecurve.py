@@ -1,0 +1,68 @@
+"""basecurve — camera-JPEG-style display transform.
+
+Reference: `/root/reference/src/iop/basecurve.c` (params v6,
+basecurve.c:110-124): one RGB curve over [0,1] (unbounded above) applied
+through a preserve-colors norm or per channel; optional exposure fusion
+(multi-exposure enfuse-style blend) is a later milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..color import matrices as cm
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+from ..pixel import curves
+from .base import Op, OpPlan, PlanContext, register
+from .rgbcurve import rgb_norm
+
+MAXNODES = 20
+
+
+@params(op="basecurve", version=6)
+@dataclasses.dataclass
+class BaseCurveParams:
+    basecurve: tuple = cfield(
+        f"{3 * MAXNODES * 2}f",
+        tuple([0.0, 0.0, 1.0, 1.0] + [0.0] * (MAXNODES * 2 - 4)) * 3,
+    )
+    basecurve_nodes: tuple = cfield("3i", (2, 0, 0))
+    basecurve_type: tuple = cfield("3i", (2, 2, 2))
+    exposure_fusion: int = cfield("i", 0)
+    exposure_stops: float = cfield("f", 1.0)
+    exposure_bias: float = cfield("f", 1.0)
+    preserve_colors: int = cfield("i", 1)
+
+LUT_MAX = 16.0  # scene-referred input can exceed 1
+
+
+@register
+class BaseCurve(Op):
+    name = "basecurve"
+    input_colorspace = Colorspace.WORK_RGB
+
+    def plan(self, ctx: PlanContext, spec_in, p) -> OpPlan:
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=p.preserve_colors)
+
+    def coeffs(self, ctx, plan, p: BaseCurveParams):
+        n = max(2, min(p.basecurve_nodes[0], MAXNODES))
+        xs = [p.basecurve[2 * i] for i in range(n)]
+        ys = [p.basecurve[2 * i + 1] for i in range(n)]
+        lut = curves.sample_curve(xs, ys, p.basecurve_type[0],
+                                  lut_max=LUT_MAX)
+        slope = (lut[-1] - lut[-2]) / (LUT_MAX / (curves.LUT_SIZE - 1))
+        return {"lut": lut, "slope": np.float32(slope),
+                "y_weights": np.float32(cm.WORK_Y)}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        preserve = plan.static
+        if preserve != 0:
+            n = jnp.maximum(rgb_norm(x, preserve, c["y_weights"]), 1e-9)
+            mapped = curves.apply_lut(n, c["lut"], LUT_MAX, c["slope"])
+            return x * (mapped / n)[None]
+        return curves.apply_lut(x, c["lut"], LUT_MAX, c["slope"])

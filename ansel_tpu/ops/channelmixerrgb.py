@@ -83,9 +83,20 @@ class ChannelMixerRGB(Op):
 
     def plan(self, ctx: PlanContext, spec_in, p: ChannelMixerRGBParams) -> OpPlan:
         apply_grey = any(g != 0.0 for g in p.grey[:3])
+        # static structure flags: skip whole stages at trace time when the
+        # params are neutral (the common default case)
+        has_mix = (tuple(p.red[:3]), tuple(p.green[:3]), tuple(p.blue[:3])) \
+            != ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)) \
+            or p.normalize_R or p.normalize_G or p.normalize_B
+        has_lumachroma = (any(v != 0.0 for v in p.saturation[:3])
+                          or any(v != 0.0 for v in p.lightness[:3])
+                          or p.normalize_sat or p.normalize_light)
+        gamut_pow1 = (p.gamut == 1.0)
+        gamut_off = (p.gamut == 0.0)
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=(p.adaptation, p.version, bool(p.clip),
-                              apply_grey))
+                              apply_grey, bool(has_mix),
+                              bool(has_lumachroma), gamut_pow1, gamut_off))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: ChannelMixerRGBParams):
         norm_R = sum(p.red[:3]) if p.normalize_R else 1.0
@@ -145,7 +156,8 @@ class ChannelMixerRGB(Op):
         }
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        kind, version, clip, apply_grey = plan.static
+        (kind, version, clip, apply_grey, has_mix, has_lumachroma,
+         gamut_pow1, gamut_off) = plan.static
         if clip:
             x = jnp.maximum(x, 0.0)
 
@@ -175,7 +187,12 @@ class ChannelMixerRGB(Op):
             xyz = apply_matrix(mixed, c["xyz_from_work"])
 
         # gamut compression in xyY/uv space (gamut_mapping)
-        xyz = self._gamut(xyz, c, clip)
+        if not gamut_off:
+            xyz = self._gamut(xyz, c, clip, gamut_pow1)
+
+        if not has_lumachroma and not apply_grey:
+            rgb = apply_matrix(xyz, c["work_from_xyz"])
+            return jnp.maximum(rgb, 0.0) if clip else rgb
 
         # back to cone space (or RGB) for saturation/lightness
         if kind in (ADAPT_LINEAR_BRADFORD, ADAPT_FULL_BRADFORD, ADAPT_CAT16):
@@ -187,7 +204,7 @@ class ChannelMixerRGB(Op):
         if clip:
             base = jnp.maximum(base, 0.0)
 
-        out = self._luma_chroma(base, c, version)
+        out = self._luma_chroma(base, c, version) if has_lumachroma else base
         if clip:
             out = jnp.maximum(out, 0.0)
 
@@ -208,7 +225,7 @@ class ChannelMixerRGB(Op):
         rgb = apply_matrix(xyz, c["work_from_xyz"])
         return jnp.maximum(rgb, 0.0) if clip else rgb
 
-    def _gamut(self, xyz, c, clip):
+    def _gamut(self, xyz, c, clip, gamut_pow1=False):
         s = xyz[0] + xyz[1] + xyz[2]
         Y = xyz[1]
         valid = (s > 0) & (Y > 0)
@@ -221,8 +238,11 @@ class ChannelMixerRGB(Op):
         uw, vw = c["uv_white"][0], c["uv_white"][1]
         du, dv = uw - u, vw - v
         delta = Y * (du * du + dv * dv)
-        corr = jnp.where(c["gamut"] == 0.0, 0.0,
-                         jnp.maximum(delta, 1e-12) ** c["gamut"])
+        if gamut_pow1:
+            corr = delta  # exponent 1: skip the pow (default gamut=1)
+        else:
+            corr = jnp.where(c["gamut"] == 0.0, 0.0,
+                             jnp.maximum(delta, 1e-12) ** c["gamut"])
         tu = corr * du + u
         tv = corr * dv + v
         u = jnp.where(u > uw, jnp.maximum(tu, uw), jnp.minimum(tu, uw))

@@ -91,11 +91,15 @@ class DenoiseProfile(Op):
         # scale; full export = all bands that fit the image)
         max_scale = min(5, BANDS)
         color_mode = p.wavelet_color_mode if p.use_new_vst else MODE_RGB
+        nlm = p.mode in (MODE_NLMEANS, MODE_NLMEANS_AUTO)
+        P = max(0, int(-(-p.radius * min(ctx.scale, 2.0) // 1)))
+        K = max(1, int(p.nbhood))
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
-                      static=(max_scale, color_mode, bool(p.use_new_vst)))
+                      static=(max_scale, color_mode, bool(p.use_new_vst),
+                              nlm, P, K))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DenoiseProfileParams):
-        max_scale, color_mode, _ = plan.static
+        max_scale, color_mode = plan.static[0], plan.static[1]
         in_scale = ctx.scale
         wbc = ctx.wb_coeffs
         wb_mean = sum(wbc[:3]) / 3.0
@@ -158,6 +162,7 @@ class DenoiseProfile(Op):
                 base[2] *= 4.0 * fuv * fuv
             adjt[sc] = base
 
+        P = plan.static[4]
         return {
             "wb": wb_s.astype(np.float32),
             "p": pexp.astype(np.float32),
@@ -167,15 +172,36 @@ class DenoiseProfile(Op):
             "toY": toY.astype(np.float32),
             "toRGB": toRGB.astype(np.float32),
             "adjt": adjt.astype(np.float32),
+            # nlmeans variant (process_nlmeans: norm = .045/(2P+1)^2)
+            "nlm_norm": np.float32(0.045 / (2 * P + 1) ** 2),
+            "central_pixel_weight": np.float32(p.central_pixel_weight),
+            "scattering": np.float32(p.scattering),
         }
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        max_scale, color_mode, use_new_vst = plan.static
+        max_scale, color_mode, use_new_vst, nlm, P, K = plan.static
         wb = c["wb"].reshape(3, 1, 1)
         pexp = c["p"].reshape(3, 1, 1)
         a, b = c["a"], c["b"]
         expon = -pexp / 2.0 + 1.0
         sqrt_a = jnp.sqrt(a)
+
+        if nlm:
+            # NLM mode runs on the RGB VST (process_nlmeans semantics)
+            buf = 2.0 * jnp.maximum(x / wb + b, 0.0) ** expon \
+                / ((-pexp + 2.0) * sqrt_a)
+            from ..pixel.nlmeans import nlmeans as nlm_core
+
+            out = nlm_core(buf, P, K, c["nlm_norm"], [1.0, 1.0, 1.0],
+                           center_weight=float(np.asarray(
+                               c["central_pixel_weight"])),
+                           scattering=float(np.asarray(c["scattering"])),
+                           scale=ctx.scale)
+            denom = 4.0 / (sqrt_a * (2.0 - pexp))
+            xx = jnp.maximum(out, 0.0)
+            delta = xx * xx + c["bias"]
+            z1 = (xx + jnp.sqrt(jnp.maximum(delta, 0.0))) / denom
+            return wb * (z1 ** (1.0 / (1.0 - pexp / 2.0)) - b)
 
         if color_mode == MODE_RGB:
             # precondition_v2

@@ -99,16 +99,13 @@ def _isotropy_mode(a: float) -> int:
 
 
 def _shifts9(x, mult: int):
-    """Dilated 3x3 neighbourhood as 9 shifted views, index 3*ii+jj."""
-    out = []
-    for ii in (-1, 0, 1):
-        for jj in (-1, 0, 1):
-            if ii == 0 and jj == 0:
-                out.append(x)
-            else:
-                out.append(jnp.roll(x, (-ii * mult, -jj * mult),
-                                    axis=(-2, -1)))
-    return out
+    """Dilated 3x3 neighbourhood as 9 fusible views (pad-once + static
+    slices; jnp.roll would materialize every view — see pixel/shifts.py)."""
+    from ..pixel.shifts import PaddedView
+
+    pv = PaddedView(x, mult)
+    return [pv.at(ii * mult, jj * mult)
+            for ii in (-1, 0, 1) for jj in (-1, 0, 1)]
 
 
 def _direction(gx, gy):
@@ -225,12 +222,14 @@ class Diffuse(Op):
         return jnp.maximum(acc + LF, 0.0)
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        import jax
+
         scales, iterations, modes, has_mask = plan.static
-        out = x
-        for _ in range(iterations):
+
+        def one_iteration(img, _):
             # decompose
             HF = []
-            cur = out
+            cur = img
             for s in range(scales):
                 low = _sep_blur(cur, s)
                 HF.append(cur - low)
@@ -239,7 +238,16 @@ class Diffuse(Op):
             buf = cur
             for s in range(scales - 1, -1, -1):
                 buf = self._pde_step(HF[s], buf, c, s, modes)
-            out = buf
+            return buf, None
+
+        if iterations == 1:
+            out, _ = one_iteration(x, None)
+        else:
+            # scan keeps only one iteration's wavelet buffers live — the
+            # HBM-residency answer to the reference's tiling engine for
+            # the 45MP heavy-iterative config
+            out, _ = jax.lax.scan(one_iteration, x, None,
+                                  length=iterations)
         if has_mask:
             # inpainting-threshold mode: blend processed only where any
             # channel exceeds the threshold (reference builds a hard mask)

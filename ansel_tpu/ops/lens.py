@@ -1,0 +1,130 @@
+"""lens — optical corrections: distortion warp, TCA, vignetting.
+
+Reference: `/root/reference/src/iop/lens.cc` (lensfun bridge): the reference
+resolves per-lens correction models from the lensfun database at commit
+time, then applies (a) a radial distortion warp, (b) per-channel TCA scale
+warps, (c) radial vignetting gain.  The lensfun database is not shipped
+here, so the op exposes the same correction *models* (ptlens a/b/c, poly3
+k1, poly5, plus linear TCA and pa-model vignetting) with explicit
+coefficients; the XMP params carry the lens identity which a future
+database stage can resolve to coefficients.
+
+TPU form: the inverse-warp coordinates are computed in-graph and sampled
+with bilinear interpolation (gather); a Pallas block-gather version is the
+scheduled optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+from .base import Op, OpPlan, PlanContext, register
+
+DIST_NONE = 0
+DIST_POLY3 = 1
+DIST_PTLENS = 2
+
+# modify flags (lensfun LF_MODIFY_*)
+MODIFY_TCA = 1
+MODIFY_VIGNETTING = 2
+MODIFY_DISTORTION = 8
+MODIFY_ALL = MODIFY_TCA | MODIFY_VIGNETTING | MODIFY_DISTORTION
+
+
+@params(op="lens", version=1)
+@dataclasses.dataclass
+class LensParams:
+    # identity (reference stores camera/lens strings + shot metadata); the
+    # correction model coefficients are explicit here
+    modify_flags: int = cfield("i", MODIFY_ALL)
+    inverse: int = cfield("i", 0)
+    scale: float = cfield("f", 1.0)
+    crop: float = cfield("f", 1.0)
+    focal: float = cfield("f", 50.0)
+    aperture: float = cfield("f", 2.8)
+    distance: float = cfield("f", 1000.0)
+    distortion_model: int = cfield("i", DIST_PTLENS)
+    dist_a: float = cfield("f", 0.0)
+    dist_b: float = cfield("f", 0.0)
+    dist_c: float = cfield("f", 0.0)
+    tca_r: float = cfield("f", 1.0)
+    tca_b: float = cfield("f", 1.0)
+    vig_k1: float = cfield("f", 0.0)
+    vig_k2: float = cfield("f", 0.0)
+    vig_k3: float = cfield("f", 0.0)
+    camera: str = cfield("s:52", "")
+    lens: str = cfield("s:52", "")
+
+
+def _sample_bilinear(plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    h, w = plane.shape
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 2).astype(jnp.int32)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    p00 = plane[y0, x0]
+    p01 = plane[y0, x0 + 1]
+    p10 = plane[y0 + 1, x0]
+    p11 = plane[y0 + 1, x0 + 1]
+    return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
+            + p10 * fy * (1 - fx) + p11 * fy * fx)
+
+
+@register
+class Lens(Op):
+    name = "lens"
+    input_colorspace = None  # camera RGB (order 13, after demosaic)
+
+    def plan(self, ctx: PlanContext, spec_in, p: LensParams) -> OpPlan:
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(p.distortion_model, p.modify_flags))
+
+    def coeffs(self, ctx, plan, p: LensParams):
+        return {"a": p.dist_a, "b": p.dist_b, "c": p.dist_c,
+                "scale": max(p.scale, 1e-3),
+                "tca_r": p.tca_r, "tca_b": p.tca_b,
+                "vig": [p.vig_k1, p.vig_k2, p.vig_k3]}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        model, flags = plan.static
+        spec = plan.spec_in
+        h, w = spec.pad_h, spec.pad_w
+        cy, cx = (spec.height - 1) / 2.0, (spec.width - 1) / 2.0
+        rnorm = jnp.sqrt(jnp.asarray(cx * cx + cy * cy, x.dtype))
+        yy = (jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0) - cy)
+        xx = (jax.lax.broadcasted_iota(jnp.float32, (1, w), 1) - cx)
+        yyn = jnp.broadcast_to(yy / rnorm, (h, w))
+        xxn = jnp.broadcast_to(xx / rnorm, (h, w))
+        r = jnp.sqrt(yyn**2 + xxn**2)
+        safe_r = jnp.maximum(r, 1e-9)
+
+        # distortion: destination r -> source r multiplier
+        if (flags & MODIFY_DISTORTION) and model != DIST_NONE:
+            if model == DIST_POLY3:
+                mult = 1.0 - c["a"] + c["a"] * r * r
+            else:  # ptlens: ru = rd*(a*rd^3 + b*rd^2 + c*rd + 1-a-b-c)
+                mult = (c["a"] * r**3 + c["b"] * r**2 + c["c"] * r
+                        + (1.0 - c["a"] - c["b"] - c["c"]))
+        else:
+            mult = jnp.ones_like(r)
+        mult = mult / c["scale"]
+
+        out = []
+        for ch, tca in ((0, c["tca_r"]), (1, 1.0), (2, c["tca_b"])):
+            m = mult * (tca if (flags & MODIFY_TCA) else 1.0)
+            src_y = yyn * m * rnorm + cy
+            src_x = xxn * m * rnorm + cx
+            out.append(_sample_bilinear(x[ch], src_y, src_x))
+        res = jnp.stack(out)
+
+        if flags & MODIFY_VIGNETTING:
+            k1, k2, k3 = c["vig"]
+            r2 = r * r
+            gain = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+            res = res / jnp.maximum(gain, 1e-3)[None]
+        return res

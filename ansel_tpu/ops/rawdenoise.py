@@ -1,0 +1,97 @@
+"""rawdenoise — wavelet denoise on the raw mosaic.
+
+Reference: `/root/reference/src/iop/rawdenoise.c` (params v2,
+rawdenoise.c:92-97): each of the four CFA phase planes is sqrt()-VST'd,
+decomposed with the 3-tap hat à-trous ([1,2,1]/4 separable, spacing 2^lev;
+src/pixel/dwt.c:441-538), each band soft-thresholded with
+noise_all[band] * force_all^4 * force_chan^4 * 256 * threshold
+(compute_channel_noise rawdenoise.c:199-232), then squared back.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+from .base import Op, OpPlan, PlanContext, register
+
+BANDS = 5
+CH_ALL, CH_R, CH_G, CH_B = range(4)
+NOISE_ALL = (0.8002, 0.2735, 0.1202, 0.0585, 0.0291, 0.0152, 0.0080, 0.0044)
+
+
+@params(op="rawdenoise", version=2)
+@dataclasses.dataclass
+class RawDenoiseParams:
+    threshold: float = cfield("f", 0.01)
+    x: tuple = cfield(f"{4 * BANDS}f", tuple(
+        (k / (BANDS - 1.0)) for _ in range(4) for k in range(BANDS)))
+    y: tuple = cfield(f"{4 * BANDS}f", (0.5,) * (4 * BANDS))
+
+
+def _hat_blur(x: jnp.ndarray, lev: int) -> jnp.ndarray:
+    """separable dilated [1,2,1]/4 (the dwt.c hat transform)."""
+    d = 1 << lev
+    k = jnp.asarray([0.25, 0.5, 0.25], x.dtype)
+    y = (k[0] * jnp.roll(x, d, axis=-2) + k[1] * x
+         + k[2] * jnp.roll(x, -d, axis=-2))
+    return (k[0] * jnp.roll(y, d, axis=-1) + k[1] * y
+            + k[2] * jnp.roll(y, -d, axis=-1))
+
+
+def dwt_denoise(img: jnp.ndarray, noise) -> jnp.ndarray:
+    """hat-wavelet soft-threshold denoise of one plane (dwt.c:516-538)."""
+    accum = jnp.zeros_like(img)
+    cur = img
+    for lev in range(len(noise)):
+        smooth = _hat_blur(cur, lev)
+        diff = cur - smooth
+        t = noise[lev]
+        accum = accum + jnp.maximum(diff - t, 0.0) + jnp.minimum(diff + t, 0.0)
+        cur = smooth
+    return cur + accum
+
+
+def _channel_noise(p: RawDenoiseParams, color: int) -> np.ndarray:
+    ch = {0: CH_R, 2: CH_B}.get(color, CH_G)
+    out = np.zeros(BANDS, np.float32)
+    for i in range(BANDS):
+        f_ch = p.y[ch * BANDS + (BANDS - i - 1)]
+        f_all = p.y[CH_ALL * BANDS + (BANDS - i - 1)]
+        out[i] = (NOISE_ALL[i] * (f_all**4) * (f_ch**4) * 256.0
+                  * p.threshold)
+    return out
+
+
+@register
+class RawDenoise(Op):
+    name = "rawdenoise"
+    input_colorspace = Colorspace.RAW
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: RawDenoiseParams):
+        cfa = plan.spec_in.cfa
+        noise = np.zeros((2, 2, BANDS), np.float32)
+        for y in range(2):
+            for x in range(2):
+                noise[y, x] = _channel_noise(p, cfa.color_at(y, x))
+        return {"noise": noise}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        h, w = x.shape
+        # split into the 4 CFA phase planes, VST, denoise, restore
+        planes = x.reshape(h // 2, 2, w // 2, 2).transpose(1, 3, 0, 2)
+        out_planes = []
+        for py in range(2):
+            row = []
+            for px in range(2):
+                plane = jnp.sqrt(jnp.maximum(planes[py, px], 0.0))
+                den = dwt_denoise(plane, c["noise"][py, px])
+                row.append(den * den)
+            out_planes.append(row)
+        stacked = jnp.stack([jnp.stack(r) for r in out_planes])
+        return stacked.transpose(2, 0, 3, 1).reshape(h, w)

@@ -1,0 +1,312 @@
+"""Per-op mask + blend stage — the reference's blending engine.
+
+Reference: `/root/reference/src/develop/blend.{c,h}` (params v11,
+blend.h:199-238; mode enum blend.h:63-110), per-colorspace pixel loops in
+`src/develop/blends/blendif_{lab,rgb_hsl,rgb_jzczhz}.c`:
+
+  * parametric ("blendif") masks: per-channel trapezoid factors with
+    precomputed slopes (dt_develop_blendif_process_parameters,
+    blend.c:202-236; _blendif_compute_factor, blendif_rgb_jzczhz.c:42-72),
+    boost factors in EV, per-channel polarity bits (blendif >> 16)
+  * mask post-processing: Gaussian blur, guided-filter feathering,
+    opacity-normalized contrast/brightness tone curve
+    (blend.c:614-642), combine inversion
+  * ~30 blend modes applied with per-pixel local opacity
+
+Drawn (vector) masks and raster side-band masks are scheduled next;
+mask_mode SHAPE/RASTER currently contribute a uniform 1.0 shape mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..color import matrices as cm
+from ..color import spaces as sp
+from ..color import transforms as tr
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+
+# blend colorspace ids (blend.h:54-61)
+CS_NONE, CS_RAW, CS_LAB, CS_RGB_DISPLAY, CS_RGB_SCENE = range(5)
+
+# mask modes (blend.h:112-120)
+MASK_DISABLED = 0
+MASK_ENABLED = 1
+MASK_SHAPE = 2
+MASK_PARAMETRIC = 4
+MASK_RASTER = 8
+
+COMBINE_INV = 0x01
+COMBINE_INCL = 0x02
+COMBINE_MASKS_POS = 0x04
+
+BLENDIF_SIZE = 16
+BLEND_REVERSE = 0x80000000
+BLEND_MODE_MASK = 0xFF
+
+# modes (blend.h:63-110)
+(B_DISABLED, B_NORMAL_OB, B_LIGHTEN, B_DARKEN, B_MULTIPLY, B_AVERAGE, B_ADD,
+ B_SUBTRACT, B_DIFFERENCE, B_SCREEN, B_OVERLAY, B_SOFTLIGHT, B_HARDLIGHT,
+ B_VIVIDLIGHT, B_LINEARLIGHT, B_PINLIGHT, B_LIGHTNESS, B_CHROMATICITY,
+ B_HUE, B_COLOR) = range(0x14)
+B_COLORADJUST = 0x16
+B_DIFFERENCE2 = 0x17
+B_NORMAL2 = 0x18
+B_BOUNDED = 0x19
+B_LAB_LIGHTNESS = 0x1A
+B_LAB_COLOR = 0x1B
+B_LAB_L = 0x1E
+B_LAB_A = 0x1F
+B_LAB_B = 0x20
+B_RGB_R = 0x21
+B_RGB_G = 0x22
+B_RGB_B = 0x23
+B_SUBTRACT_INVERSE = 0x25
+B_DIVIDE = 0x26
+B_DIVIDE_INVERSE = 0x27
+B_GEOMETRIC_MEAN = 0x28
+B_HARMONIC_MEAN = 0x29
+
+
+@params(op="_blend", version=11)
+@dataclasses.dataclass
+class BlendParams:
+    """dt_develop_blend_params_t v11 (blend.h:199-238)."""
+
+    mask_mode: int = cfield("I", MASK_DISABLED)
+    blend_cst: int = cfield("i", CS_NONE)
+    blend_mode: int = cfield("I", B_NORMAL2)
+    blend_parameter: float = cfield("f", 0.0)
+    opacity: float = cfield("f", 100.0)
+    mask_combine: int = cfield("I", 0)
+    mask_id: int = cfield("I", 0)
+    blendif: int = cfield("I", 0)
+    feathering_radius: float = cfield("f", 0.0)
+    feathering_guide: int = cfield("I", 1)
+    blur_radius: float = cfield("f", 0.0)
+    contrast: float = cfield("f", 0.0)
+    brightness: float = cfield("f", 0.0)
+    details: float = cfield("f", 0.0)
+    reserved: tuple = cfield("3I", (0, 0, 0))
+    blendif_parameters: tuple = cfield(f"{4 * BLENDIF_SIZE}f",
+                                       (0.0,) * (4 * BLENDIF_SIZE))
+    blendif_boost_factors: tuple = cfield(f"{BLENDIF_SIZE}f",
+                                          (0.0,) * BLENDIF_SIZE)
+    raster_mask_source: str = cfield("s:20", "")
+    raster_mask_instance: int = cfield("i", 0)
+    raster_mask_id: int = cfield("i", 0)
+    raster_mask_invert: int = cfield("i", 0)
+
+
+def decode_blend_params(raw: bytes):
+    if raw is None:
+        return None
+    try:
+        return BlendParams.codec.decode(bytes(raw))
+    except Exception:
+        return None
+
+
+def blend_is_active(bp: BlendParams) -> bool:
+    return bp is not None and bp.mask_mode != MASK_DISABLED
+
+
+def prepare_parameters(bp: BlendParams) -> np.ndarray:
+    """-> (16, 6) trapezoid params with precomputed slopes
+    (dt_develop_blendif_process_parameters, blend.c:202-236)."""
+    out = np.zeros((BLENDIF_SIZE, 6), np.float32)
+    for i in range(BLENDIF_SIZE):
+        if not (bp.blendif & (1 << i)):
+            continue
+        offset = 0.0
+        if bp.blend_cst == CS_LAB and i in (1, 2, 5, 6):
+            offset = 0.5
+        boost = 2.0 ** bp.blendif_boost_factors[i]
+        p = [(bp.blendif_parameters[i * 4 + k] - offset) * boost
+             for k in range(4)]
+        s_up = 1.0 / max(0.001, p[1] - p[0])
+        s_dn = 1.0 / max(0.001, p[3] - p[2])
+        if (bp.blendif_parameters[i * 4] <= 0.0
+                and bp.blendif_parameters[i * 4 + 1] <= 0.0):
+            p[0], p[1] = -np.inf, -np.inf
+        if (bp.blendif_parameters[i * 4 + 2] >= 1.0
+                and bp.blendif_parameters[i * 4 + 3] >= 1.0):
+            p[2], p[3] = np.inf, np.inf
+        out[i] = (*p, s_up, s_dn)
+    return out
+
+
+def _factor(value, prm, invert):
+    p0, p1, p2, p3, s_up, s_dn = (prm[k] for k in range(6))
+    f = jnp.where(
+        value <= p0, 0.0,
+        jnp.where(value < p1, (value - p0) * s_up,
+                  jnp.where(value <= p2, 1.0,
+                            jnp.where(value < p3, 1.0 - (value - p2) * s_dn,
+                                      0.0))))
+    return 1.0 - f if invert else f
+
+
+def _scene_channels(rgb, y_weights):
+    """channel values for CS_RGB_SCENE (blendif_rgb_jzczhz.c)."""
+    w = jnp.asarray(y_weights, rgb.dtype).reshape(3, 1, 1)
+    gray = jnp.sum(rgb * w, axis=0)
+    xyz = tr.apply_matrix(jnp.maximum(rgb, 0.0), cm.XYZ_FROM_WORK)
+    jab = sp.xyz_to_jzazbz(xyz)
+    Jz = jab[0]
+    Cz = jnp.sqrt(jab[1] ** 2 + jab[2] ** 2)
+    hz = jnp.arctan2(jab[2], jab[1]) / (2.0 * math.pi) + 0.5
+    return {0: gray, 1: rgb[0], 2: rgb[1], 3: rgb[2],
+            8: Jz, 9: Cz, 10: hz}
+
+
+def _lab_channels(lab):
+    L = lab[0] / 100.0
+    a = lab[1] / 256.0
+    b = lab[2] / 256.0
+    C = jnp.sqrt(lab[1] ** 2 + lab[2] ** 2) / (128.0 * math.sqrt(2.0))
+    h = jnp.arctan2(lab[2], lab[1]) / (2.0 * math.pi) + 0.5
+    return {0: L, 1: a, 2: b, 8: C, 9: h}
+
+
+def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights):
+    """parametric mask in [0,1] incl. opacity and post-processing."""
+    opacity = min(max(bp.opacity / 100.0, 0.0), 1.0)
+    mask = jnp.ones_like(a[0])
+    if bp.mask_mode & MASK_PARAMETRIC:
+        chans_in = (_lab_channels(a) if cst == CS_LAB
+                    else _scene_channels(a, y_weights))
+        chans_out = (_lab_channels(b) if cst == CS_LAB
+                     else _scene_channels(b, y_weights))
+        out_offset = 4
+        for i, val in chans_in.items():
+            if bp.blendif & (1 << i):
+                mask = mask * _factor(val, prm[i],
+                                      bool(bp.blendif & (1 << (16 + i))))
+        for i, val in chans_out.items():
+            j = i + out_offset
+            if bp.blendif & (1 << j):
+                mask = mask * _factor(val, prm[j],
+                                      bool(bp.blendif & (1 << (16 + j))))
+    if bp.mask_combine & COMBINE_INV:
+        mask = 1.0 - mask
+    mask = mask * opacity
+
+    # post: feathering (guided filter on the blend input's luma) then blur
+    if bp.feathering_radius > 0.1:
+        from ..pixel.guided import guided_filter
+
+        w = jnp.asarray(y_weights, a.dtype).reshape(3, 1, 1)
+        guide = jnp.sum((a if cst != CS_LAB else a / 100.0) * w, axis=0)
+        r = max(1, int(bp.feathering_radius))
+        mask = jnp.clip(guided_filter(guide, mask, r, 1e-4), 0.0, 1.0)
+    if bp.blur_radius > 0.1:
+        from ..pixel.blur import gaussian_blur
+
+        mask = gaussian_blur(mask, bp.blur_radius)
+    if abs(bp.contrast) >= 0.01 or abs(bp.brightness) >= 0.01:
+        # opacity-normalized sigmoid tone curve (blend.c:614-642)
+        e = math.exp(3.0 * bp.contrast)
+        x = mask / max(opacity, 1e-6)
+        x = 2.0 * x - 1.0
+        br = bp.brightness
+        if br > 0.0:
+            x = jnp.minimum((x + br) / (1.0 - br), 1.0)
+        elif br < 0.0:
+            x = jnp.maximum((x + br) / (1.0 + br), -1.0)
+        mask = jnp.clip(
+            (x * e / (1.0 + (e - 1.0) * jnp.abs(x))) / 2.0 + 0.5, 0.0, 1.0
+        ) * opacity
+    return mask
+
+
+def _mode_fn(mode: int, p: float, cst: int):
+    """b-over-a blend value (before local-opacity lerp)."""
+    pw = 2.0 ** p
+
+    def lab_pack(L, ab_src):
+        return lambda a, b: jnp.stack([L(a, b), ab_src(a, b)[0],
+                                       ab_src(a, b)[1]])
+
+    table = {
+        B_NORMAL2: lambda a, b: b * pw,
+        B_NORMAL_OB: lambda a, b: b * pw,
+        B_DISABLED: lambda a, b: b * pw,
+        B_BOUNDED: lambda a, b: jnp.clip(b * pw, 0.0, 1.0),
+        B_LIGHTEN: lambda a, b: jnp.maximum(a, b * pw),
+        B_DARKEN: lambda a, b: jnp.minimum(a, b * pw),
+        B_MULTIPLY: lambda a, b: a * b * pw,
+        B_AVERAGE: lambda a, b: (a + b) / 2.0,
+        B_ADD: lambda a, b: a + pw * b,
+        B_SUBTRACT: lambda a, b: jnp.maximum(a - pw * b, 0.0),
+        B_SUBTRACT_INVERSE: lambda a, b: jnp.maximum(b - pw * a, 0.0),
+        B_DIFFERENCE: lambda a, b: jnp.abs(a - b),
+        B_DIFFERENCE2: lambda a, b: jnp.abs(a - b),
+        B_SCREEN: lambda a, b: 1.0 - (1.0 - a) * (1.0 - b * pw),
+        B_DIVIDE: lambda a, b: a / jnp.maximum(pw * b, 1e-6),
+        B_DIVIDE_INVERSE: lambda a, b: b / jnp.maximum(pw * a, 1e-6),
+        B_GEOMETRIC_MEAN: lambda a, b: jnp.sqrt(jnp.maximum(a * b, 0.0)),
+        B_HARMONIC_MEAN: lambda a, b: 2.0 * a * b
+        / jnp.maximum(a + b, 1e-6),
+        B_OVERLAY: lambda a, b: jnp.where(
+            a > 0.5, 1.0 - 2.0 * (1.0 - a) * (1.0 - b), 2.0 * a * b),
+        B_HARDLIGHT: lambda a, b: jnp.where(
+            b > 0.5, 1.0 - 2.0 * (1.0 - a) * (1.0 - b), 2.0 * a * b),
+        B_SOFTLIGHT: lambda a, b: jnp.where(
+            b > 0.5, 1.0 - (1.0 - a) * (1.0 - (b - 0.5)),
+            a * (b + 0.5)),
+        B_LINEARLIGHT: lambda a, b: a + 2.0 * b - 1.0,
+        B_VIVIDLIGHT: lambda a, b: jnp.where(
+            b > 0.5,
+            a / jnp.maximum(2.0 * (1.0 - b), 1e-6),
+            1.0 - (1.0 - a) / jnp.maximum(2.0 * b, 1e-6)),
+        B_PINLIGHT: lambda a, b: jnp.where(
+            b > 0.5, jnp.maximum(a, 2.0 * (b - 0.5)),
+            jnp.minimum(a, 2.0 * b)),
+    }
+    return table.get(mode)
+
+
+def apply_blend(a, b, bp: BlendParams, prm, cst: int, y_weights):
+    """a = module input, b = module output, both (3, H, W) in the blend
+    colorspace -> blended result."""
+    mask = compute_mask(a, b, bp, prm, cst, y_weights)[None]
+    mode = bp.blend_mode & BLEND_MODE_MASK
+    if bp.blend_mode & BLEND_REVERSE:
+        a, b = b, a
+    p = bp.blend_parameter
+
+    # channel-replace modes
+    if mode in (B_RGB_R, B_RGB_G, B_RGB_B, B_LAB_L, B_LAB_A, B_LAB_B):
+        ch = {B_RGB_R: 0, B_RGB_G: 1, B_RGB_B: 2,
+              B_LAB_L: 0, B_LAB_A: 1, B_LAB_B: 2}[mode]
+        blended = a.at[ch].set(b[ch] * (2.0**p))
+        return a * (1.0 - mask) + blended * mask
+    if mode in (B_LIGHTNESS, B_LAB_LIGHTNESS):
+        if cst == CS_LAB:
+            blended = jnp.stack([b[0], a[1], a[2]])
+        else:
+            w = jnp.asarray(y_weights, a.dtype).reshape(3, 1, 1)
+            la = jnp.sum(a * w, axis=0, keepdims=True)
+            lb = jnp.sum(b * w, axis=0, keepdims=True)
+            blended = a * lb / jnp.maximum(la, 1e-6)
+        return a * (1.0 - mask) + blended * mask
+    if mode in (B_CHROMATICITY, B_LAB_COLOR):
+        if cst == CS_LAB:
+            blended = jnp.stack([a[0], b[1], b[2]])
+        else:
+            w = jnp.asarray(y_weights, a.dtype).reshape(3, 1, 1)
+            la = jnp.sum(a * w, axis=0, keepdims=True)
+            lb = jnp.sum(b * w, axis=0, keepdims=True)
+            blended = b * la / jnp.maximum(lb, 1e-6)
+        return a * (1.0 - mask) + blended * mask
+
+    fn = _mode_fn(mode, p, cst)
+    if fn is None:
+        fn = _mode_fn(B_NORMAL2, p, cst)
+    return a * (1.0 - mask) + fn(a, b) * mask

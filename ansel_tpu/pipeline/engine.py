@@ -80,6 +80,8 @@ class PlannedOp:
     op: ops_base.Op
     plan: ops_base.OpPlan
     params: Any
+    blend: Any = None          # BlendParams when active
+    blend_static: Any = None   # (cst, blend_mode, mask_mode, combine, blendif)
 
 
 class _ConvertOp(ops_base.Op):
@@ -160,7 +162,23 @@ class Pipeline:
                     self.unsupported.append(f"{item.op} (colorspace skip)")
                     continue
             plan = op.plan(self.ctx, spec, p)
-            self.stages.append(PlannedOp(item.op, op, plan, p))
+            stage = PlannedOp(item.op, op, plan, p)
+            # blending (reference dt_develop_blend_process): only for
+            # 3-channel, geometry-preserving stages
+            if item.blend_params is not None:
+                from . import blend as blend_mod
+
+                bp = (item.blend_params
+                      if isinstance(item.blend_params, blend_mod.BlendParams)
+                      else blend_mod.decode_blend_params(item.blend_params))
+                if (blend_mod.blend_is_active(bp)
+                        and plan.spec_in.array_shape == plan.spec_out.array_shape
+                        and plan.spec_out.colorspace is not Colorspace.RAW):
+                    stage.blend = bp
+                    # the full blend blob keys the compile cache: mask
+                    # trapezoids/opacity are baked as constants in the trace
+                    stage.blend_static = bp.codec.encode(bp)
+            self.stages.append(stage)
             spec = plan.spec_out
         self.spec_out = spec
 
@@ -169,7 +187,8 @@ class Pipeline:
         sig = [self.spec_in.array_shape]
         for s in self.stages:
             sig.append((s.name, s.plan.spec_in.array_shape,
-                        s.plan.spec_out.array_shape, s.plan.static))
+                        s.plan.spec_out.array_shape, s.plan.static,
+                        s.blend_static))
         return tuple(sig)
 
     def coeffs(self) -> List[Any]:
@@ -187,8 +206,21 @@ class Pipeline:
         ctx = self.ctx
 
         def run(x, coeffs):
+            from . import blend as blend_mod
+            from ..color import matrices as cmats
+
             for s, c in zip(stages, coeffs):
-                x = s.op.apply(x, c, s.plan, ctx)
+                if s.blend is not None:
+                    a_in = x
+                    y = s.op.apply(x, c, s.plan, ctx)
+                    cst = (blend_mod.CS_LAB
+                           if s.plan.spec_out.colorspace is Colorspace.LAB
+                           else blend_mod.CS_RGB_SCENE)
+                    prm = blend_mod.prepare_parameters(s.blend)
+                    x = blend_mod.apply_blend(a_in, y, s.blend, prm, cst,
+                                              cmats.WORK_Y)
+                else:
+                    x = s.op.apply(x, c, s.plan, ctx)
             return x
 
         return run

@@ -37,9 +37,13 @@ def box_blur(x: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def gaussian_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
-    """Separable FIR Gaussian, kernel size static from sigma."""
+    """Separable FIR Gaussian for moderate sigma; iterated cumsum box blur
+    beyond (radius-independent cost — the TPU stand-in for the reference's
+    IIR Gaussian, src/pixel/gaussian.c)."""
     if sigma <= 0:
         return x
+    if sigma > 8.0:
+        return fast_gaussian(x, sigma)
     r = max(1, int(math.ceil(truncate * sigma)))
     t = np.arange(-r, r + 1, dtype=np.float32)
     k = np.exp(-0.5 * (t / sigma) ** 2)

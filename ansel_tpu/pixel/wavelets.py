@@ -71,15 +71,17 @@ def eaw_dn_decompose(x: jnp.ndarray, scale: int, inv_sigma2):
 
     x: (3, H, W).  -> (coarse, detail, sum_sq[3])
     """
+    from .shifts import PaddedView
+
     d = 1 << scale
     k = jnp.asarray(B3, x.dtype)
     num = jnp.zeros_like(x)
     den = jnp.zeros_like(x[0])
     inv_sigma2 = jnp.asarray(inv_sigma2, x.dtype)
+    pv = PaddedView(x, 2 * d)
     for iy in range(5):
         for ix in range(5):
-            dy, dx = (iy - 2) * d, (ix - 2) * d
-            sh = jnp.roll(x, (-dy, -dx), axis=(-2, -1))
+            sh = pv.at((iy - 2) * d, (ix - 2) * d)
             dist2 = jnp.sum((sh - x) ** 2, axis=0)
             wp = jnp.exp2(-jnp.maximum(0.0, dist2 * inv_sigma2 * 0.02 - 9.0))
             w = (k[iy] * k[ix]) * wp
@@ -105,15 +107,17 @@ def eaw_decompose_scale(x: jnp.ndarray, scale: int, sharpen):
     (reference src/pixel/eaw.c eaw_decompose): 25-tap B3 blur with
     per-channel photometric weights w = exp(-diff^2 * sharpen).
     -> (coarse, detail)."""
+    from .shifts import PaddedView
+
     d = 1 << scale
     k = jnp.asarray(B3, x.dtype)
     num = jnp.zeros_like(x)
     den = jnp.zeros_like(x)
     sharpen = jnp.asarray(sharpen, x.dtype)
+    pv = PaddedView(x, 2 * d)
     for iy in range(5):
         for ix in range(5):
-            dy, dx = (iy - 2) * d, (ix - 2) * d
-            sh = jnp.roll(x, (-dy, -dx), axis=(-2, -1))
+            sh = pv.at((iy - 2) * d, (ix - 2) * d)
             wgt = (k[iy] * k[ix]) * jnp.exp(-((sh - x) ** 2) * sharpen)
             num = num + wgt * sh
             den = den + wgt

@@ -16,6 +16,29 @@ import time
 
 import numpy as np
 
+# BASELINE.json configs (1 = headline, always reported by the bare run)
+CONFIGS = {
+    1: dict(h=4000, w=6016, history=[
+        ("exposure", {"exposure": 0.5}),
+        ("channelmixerrgb", {}),
+        ("filmicrgb", {}),
+    ], label="24MP default pipe"),
+    2: dict(h=4000, w=6016, history=[
+        ("denoiseprofile", {"a": (4e-4,) * 3, "b": (1e-5,) * 3,
+                            "strength": 2.0}),
+        ("exposure", {"exposure": 0.5}),
+        ("filmicrgb", {}),
+    ], label="24MP high-ISO denoise stack"),
+    3: dict(h=5504, w=8256, history=[
+        ("diffuse", {"iterations": 4, "first": 0.2, "second": 0.2,
+                     "third": 0.2, "fourth": 0.2, "radius": 8}),
+        ("toneequal", {"shadows": 0.5}),
+        ("bilat", {"detail": 0.3}),
+        ("exposure", {"exposure": 0.5}),
+        ("filmicrgb", {}),
+    ], label="45MP heavy-iterative stack"),
+}
+
 
 def main():
     import jax
@@ -24,13 +47,15 @@ def main():
     from ansel_tpu.io.synthetic import synth_raw
     from ansel_tpu.ops import base as ops_base
 
-    H, W = 4000, 6016  # ~24MP, lane-aligned width
+    cfg_id = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--config="):
+            cfg_id = int(a.split("=")[1])
+    cfg = CONFIGS[cfg_id]
+    H, W = cfg["h"], cfg["w"]
     raw, meta, _ = synth_raw(h=H, w=W, kind="gradients")
 
-    history = [
-        HistoryItem("exposure", {"exposure": 0.5}),
-        HistoryItem("filmicrgb", {}),
-    ]
+    history = [HistoryItem(op, prm) for op, prm in cfg["history"]]
     pipe = compile_pipeline(meta, history, scale=1.0)
 
     spec = pipe.pipe.spec_in
@@ -59,7 +84,8 @@ def main():
     mp = (H * W) / 1e6
     images_per_sec = 1.0 / t_compute
     result = {
-        "metric": "24MP raw->sRGB full-pipe exports/sec/chip",
+        "metric": "24MP raw->sRGB full-pipe exports/sec/chip"
+        if cfg_id == 1 else f"config {cfg_id}: {cfg['label']} exports/sec",
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / 0.2, 2),

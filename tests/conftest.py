@@ -4,14 +4,15 @@ dryrun_multichip contract)."""
 
 import os
 
-# force-override: the sandbox exports JAX_PLATFORMS=axon globally, but the
-# test suite must be hermetic on a virtual 8-device CPU mesh
+# force-override: the sandbox's sitecustomize registers the axon TPU plugin
+# and pins JAX_PLATFORMS before any env/conftest code runs, so plain env
+# vars are ignored — override through jax.config instead (must happen
+# before the first backend use)
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

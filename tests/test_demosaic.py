@@ -83,17 +83,48 @@ def test_rcd_scaler_invariance():
     assert np.allclose(b, 4.0 * a, rtol=1e-4, atol=1e-5)
 
 
-def test_xtrans_fallback_runs():
-    from ansel_tpu.kernels.markesteijn import xtrans_demosaic
+# canonical X-Trans 6x6 pattern
+XTRANS = (1, 0, 2, 1, 2, 0,
+          2, 1, 1, 0, 1, 1,
+          0, 1, 1, 2, 1, 1,
+          1, 2, 0, 1, 0, 2,
+          0, 1, 1, 2, 1, 1,
+          2, 1, 1, 0, 1, 1)
 
-    # canonical X-Trans 6x6 pattern
-    pattern = (1, 0, 2, 1, 2, 0,
-               2, 1, 1, 0, 1, 1,
-               0, 1, 1, 2, 1, 1,
-               1, 2, 0, 1, 0, 2,
-               0, 1, 1, 2, 1, 1,
-               2, 1, 1, 0, 1, 1)
+
+def _xtrans_mosaic(img):
+    _, h, w = img.shape
+    out = np.empty((h, w), np.float32)
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = img[XTRANS[(y % 6) * 6 + (x % 6)], y, x]
+    return out
+
+
+def test_markesteijn_constant_exact():
+    from ansel_tpu.kernels.markesteijn import xtrans_markesteijn
+
+    img = np.full((3, 96, 132), 0.5, np.float32)
+    out = np.asarray(xtrans_markesteijn(_xtrans_mosaic(img), XTRANS))
+    assert np.allclose(out[:, 12:-12, 12:-12], 0.5, atol=1e-5)
+
+
+def test_markesteijn_smooth_gradient():
+    from scipy.ndimage import gaussian_filter
+
+    from ansel_tpu.kernels.markesteijn import xtrans_markesteijn
+
+    rng = np.random.default_rng(1)
+    img = gaussian_filter(rng.uniform(0.1, 0.9, (3, 96, 132)),
+                          sigma=(0, 3, 3)).astype(np.float32)
+    out = np.asarray(xtrans_markesteijn(_xtrans_mosaic(img), XTRANS))
+    err = np.abs(out[:, 12:-12, 12:-12] - img[:, 12:-12, 12:-12])
+    assert err.mean() < 0.005 and err.max() < 0.06, (err.mean(), err.max())
+
+
+def test_xtrans_vng_lite_runs():
+    from ansel_tpu.kernels.markesteijn import xtrans_vng_lite
+
     img = np.full((3, 36, 132), 0.5, np.float32)
-    mosaic = img[0]
-    out = np.asarray(xtrans_demosaic(mosaic, pattern))
+    out = np.asarray(xtrans_vng_lite(img[0], XTRANS))
     assert np.allclose(out[:, 6:-6, 6:-6], 0.5, atol=1e-5)
