@@ -46,7 +46,7 @@ def lms_to_yrg(lms: jnp.ndarray) -> jnp.ndarray:
     a = lms[0] + lms[1] + lms[2]
     inv_a = jnp.where(a == 0.0, 0.0, 1.0 / a)
     norm = lms * inv_a[None]
-    rgb = apply_matrix(norm, LMS_TO_GRADING)
+    rgb = apply_matrix(norm, LMS_TO_GRADING.tolist())
     return jnp.stack([Y, rgb[0], rgb[1]])
 
 
@@ -54,18 +54,18 @@ def yrg_to_lms(yrg: jnp.ndarray) -> jnp.ndarray:
     r, g = yrg[1], yrg[2]
     b = 1.0 - r - g
     rgb = jnp.stack([r, g, b])
-    lms = apply_matrix(rgb, GRADING_TO_LMS)
+    lms = apply_matrix(rgb, GRADING_TO_LMS.tolist())
     denom = 0.68990272 * lms[0] + 0.34832189 * lms[1]
     a = jnp.where(denom == 0.0, 0.0, yrg[0] / denom)
     return lms * a[None]
 
 
 def lms_to_grading(lms: jnp.ndarray) -> jnp.ndarray:
-    return apply_matrix(lms, LMS_TO_GRADING)
+    return apply_matrix(lms, LMS_TO_GRADING.tolist())
 
 
 def grading_to_lms(rgb: jnp.ndarray) -> jnp.ndarray:
-    return apply_matrix(rgb, GRADING_TO_LMS)
+    return apply_matrix(rgb, GRADING_TO_LMS.tolist())
 
 
 def ych_to_grading_np(Y: float, C: float, h_rad: float) -> np.ndarray:

@@ -15,8 +15,21 @@ import numpy as np
 
 
 def apply_matrix(img: jnp.ndarray, M) -> jnp.ndarray:
-    """(3,H,W) x (3,3) channel mix. einsum keeps W on lanes; XLA lowers this
-    to 9 fused multiply-adds on the VPU."""
+    """(3,H,W) x (3,3) channel mix.
+
+    Given a Python nested list/tuple, unrolls to 9 scalar multiply-adds —
+    required inside Pallas kernels (captured array constants are rejected)
+    and equally fusible under plain XLA.  Given an array, uses einsum.
+    """
+    if isinstance(M, (list, tuple)):
+        rows = []
+        for r in range(3):
+            acc = None
+            for c in range(3):
+                term = float(M[r][c]) * img[c]
+                acc = term if acc is None else acc + term
+            rows.append(acc)
+        return jnp.stack(rows)
     M = jnp.asarray(M, dtype=img.dtype)
     return jnp.einsum("dc,chw->dhw", M, img, precision=jax.lax.Precision.HIGHEST)
 

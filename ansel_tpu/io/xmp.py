@@ -187,7 +187,10 @@ def write_xmp(path: str, doc: XMPDocument) -> None:
         li = etree.SubElement(seq, _q("rdf", "li"))
         li.set(_q("darktable", "operation"), item.op)
         li.set(_q("darktable", "enabled"), "1" if item.enabled else "0")
-        li.set(_q("darktable", "modversion"), str(item.version or 1))
+        version = item.version
+        if version is None:
+            version = getattr(item.params, "op_version", None) or 1
+        li.set(_q("darktable", "modversion"), str(version))
         li.set(_q("darktable", "multi_priority"), str(item.multi_priority))
         if item.iop_order is not None:
             li.set(_q("darktable", "iop_order"), repr(float(item.iop_order)))

@@ -346,10 +346,11 @@ def xtrans_vng_lite(x: jnp.ndarray, pattern6) -> jnp.ndarray:
           [2, 4, 6, 4, 2], [1, 2, 3, 2, 1]]
 
     def conv(p):
-        kk = jnp.asarray(k5, x.dtype)
-        return jax.lax.conv_general_dilated(
-            p[None, None], kk[None, None], (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        # k5 = outer([1,2,3,2,1], [1,2,3,2,1]) — separable shifted adds
+        # (single-channel TPU convs im2col-pad to 128 lanes)
+        from ..pixel.shifts import sep_filter
+
+        return sep_filter(p, [1.0, 2.0, 3.0, 2.0, 1.0])
 
     g = jnp.where(masks[1] > 0, x,
                   conv(x * masks[1]) / jnp.maximum(conv(masks[1]), 1e-6))

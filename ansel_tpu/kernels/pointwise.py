@@ -1,0 +1,79 @@
+"""Generic Pallas pointwise-pipeline kernel.
+
+XLA leaves long per-pixel color pipelines (filmic AgX, color balance…)
+as dozens of unfused HBM passes — 70ms where ~2ms of traffic is needed.
+This wrapper runs an arbitrary per-pixel function over (C, H, W) planes in
+one fused pass: each grid step owns a VMEM tile and the whole math chain
+runs register/VMEM-resident.
+
+The per-pixel function receives (block, consts) where `block` is the
+(C, th, tw) tile and `consts` is a flat float32 vector of traced scalars
+(packed by the caller; SMEM-resident).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def cdiv(a, b):
+    return -(-a // b)
+
+
+def pallas_pointwise(fn: Callable, x: jnp.ndarray, consts,
+                     tile_h: int = 256, tile_w: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Run `fn(block, consts_vec) -> block` tiled over x (C, H, W)."""
+    C, H, W = x.shape
+    consts = jnp.asarray(consts, jnp.float32).reshape(-1)
+    th = min(tile_h, H)
+    tw = min(tile_w, W)
+    grid = (cdiv(H, th), cdiv(W, tw))
+
+    def kernel(consts_ref, x_ref, o_ref):
+        o_ref[:] = fn(x_ref[:], consts_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, th, tw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, th, tw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, H, W), x.dtype),
+        interpret=interpret,
+    )(consts, x)
+
+
+class ConstPack:
+    """Helper to pack/unpack named traced scalars into the consts vector."""
+
+    def __init__(self):
+        self.names = []
+
+    def pack(self, values: dict, order: Sequence[str]):
+        self.names = list(order)
+        parts = []
+        for n in self.names:
+            v = jnp.asarray(values[n], jnp.float32).reshape(-1)
+            parts.append(v)
+        self.sizes = [int(p.shape[0]) for p in parts]
+        self.offsets = np.cumsum([0] + self.sizes[:-1]).tolist()
+        return jnp.concatenate(parts)
+
+    def get(self, consts_ref, name: str):
+        i = self.names.index(name)
+        off, n = self.offsets[i], self.sizes[i]
+        if n == 1:
+            return consts_ref[off]
+        return jnp.stack([consts_ref[off + k] for k in range(n)])

@@ -1,0 +1,85 @@
+"""colorzones — per-hue L/C/h curves in LCh.
+
+Reference: `/root/reference/src/iop/colorzones.c` (params v5,
+colorzones.c:131-141): three curves (lightness, chroma/saturation, hue
+shift) indexed by the selection channel (hue by default); node y = 0.5 is
+neutral.  Smooth mode; strength mixes the effect.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+from ..core.params import cfield, params
+from ..core.types import Colorspace
+from ..pixel import curves
+from .base import Op, OpPlan, PlanContext, register
+
+MAXNODES = 20
+SELECT_L, SELECT_C, SELECT_H = 0, 1, 2
+
+
+@params(op="colorzones", version=5)
+@dataclasses.dataclass
+class ColorZonesParams:
+    channel: int = cfield("i", SELECT_H)
+    curve: tuple = cfield(
+        f"{3 * MAXNODES * 2}f",
+        tuple(v for k in range(MAXNODES)
+              for v in (k / (MAXNODES - 1.0), 0.5)) * 3,
+    )
+    curve_num_nodes: tuple = cfield("3i", (2, 2, 2))
+    curve_type: tuple = cfield("3i", (2, 2, 2))
+    strength: float = cfield("f", 0.0)
+    mode: int = cfield("i", 0)
+    splines_version: int = cfield("i", 1)
+
+
+@register
+class ColorZones(Op):
+    name = "colorzones"
+    input_colorspace = Colorspace.LAB
+
+    def plan(self, ctx: PlanContext, spec_in, p) -> OpPlan:
+        return OpPlan(spec_in=spec_in, spec_out=spec_in, static=p.channel)
+
+    def coeffs(self, ctx, plan, p: ColorZonesParams):
+        luts = []
+        for ch in range(3):
+            n = max(2, min(p.curve_num_nodes[ch], MAXNODES))
+            base = ch * MAXNODES * 2
+            xs = [p.curve[base + 2 * i] for i in range(n)]
+            ys = [p.curve[base + 2 * i + 1] for i in range(n)]
+            # hue-indexed curves are periodic: wrap the end nodes
+            luts.append(curves.sample_curve(xs, ys, p.curve_type[ch],
+                                            lut_max=1.0))
+        import numpy as np
+
+        return {"luts": np.stack(luts),
+                "mix": np.float32(1.0 + p.strength / 100.0)}
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        select = plan.static
+        L, a, b = x[0], x[1], x[2]
+        C = jnp.sqrt(a * a + b * b)
+        h = jnp.arctan2(b, a) / (2.0 * math.pi) + 0.5
+        if select == SELECT_L:
+            t = jnp.clip(L / 100.0, 0.0, 1.0)
+        elif select == SELECT_C:
+            t = jnp.clip(C / (128.0 * math.sqrt(2.0)), 0.0, 1.0)
+        else:
+            t = h
+        sel_L = curves.apply_lut(t, c["luts"][0], 1.0)
+        sel_C = curves.apply_lut(t, c["luts"][1], 1.0)
+        sel_h = curves.apply_lut(t, c["luts"][2], 1.0)
+        mix = c["mix"]
+        # y=0.5 neutral; lightness +-50L, chroma x4 range, hue +-30deg
+        L2 = L + 100.0 * (sel_L - 0.5) * 2.0 * mix * 0.5
+        C2 = C * jnp.maximum(2.0 ** (4.0 * (sel_C - 0.5) * mix), 0.0)
+        h2 = h + (sel_h - 0.5) * (60.0 / 360.0) * mix
+        ang = (h2 - 0.5) * 2.0 * math.pi
+        return jnp.stack([jnp.clip(L2, 0.0, 100.0),
+                          C2 * jnp.cos(ang), C2 * jnp.sin(ang)])

@@ -62,16 +62,21 @@ class DemosaicParams:
 
 
 def _conv2(x: jnp.ndarray, k) -> jnp.ndarray:
-    """Small 2-D convolution on one plane, SAME padding, via XLA conv —
-    tiles straight onto the TPU convolution path."""
-    import jax
+    """Small 2-D stencil on one plane as fused shifted adds (single-channel
+    TPU convs im2col-pad to 128 lanes — see pixel/shifts.py)."""
+    from ..pixel.shifts import PaddedView
 
-    k = jnp.asarray(k, x.dtype)
-    return jax.lax.conv_general_dilated(
-        x[None, None], k[None, None],
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    kk = [[float(v) for v in row] for row in k]
+    r = (len(kk) - 1) // 2
+    pv = PaddedView(x, r)
+    out = None
+    for iy, row in enumerate(kk):
+        for ix, t in enumerate(row):
+            if t == 0.0:
+                continue
+            c = t * pv.at(iy - r, ix - r)
+            out = c if out is None else out + c
+    return out
 
 
 def bilinear_demosaic(x: jnp.ndarray, cfa: CFAPattern) -> jnp.ndarray:

@@ -439,14 +439,14 @@ class FilmicRGB(Op):
     def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: FilmicParams) -> OpPlan:
         version = p.version
         preserve = p.preserve_color
-        # AgX (V6+) ignores preserve_color and always norm-maps with max RGB
-        # (reference dispatch filmicrgb.c:2785-2790 + filmic_agx); until the
-        # Ych/AgX inset-outset pass lands, V4..V10 run the exact V4 norm
-        # tone mapping (norm_tone_mapping_v4, filmicrgb.c:2085-2110)
         if version >= CSCI_AGX_FIRST:
+            # AgX ignores preserve_color (dispatch filmicrgb.c:2785-2790)
+            version_class = CSCI_AGX_FIRST
             preserve = METHOD_MAX_RGB
-        version_class = min(version, CSCI_V4)
-        static = (version_class, preserve, p.shadows, p.highlights)
+        else:
+            version_class = min(version, CSCI_V4)
+        static = (version_class, preserve, p.shadows, p.highlights,
+                  p.version)
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=static)
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: FilmicParams):
@@ -485,10 +485,16 @@ class FilmicRGB(Op):
             "norm_max": np.float32(
                 grey_source * 2.0 ** p.white_point_source
             ),
+            "display_black": np.float32(s.y[0] ** p.output_power),
+            "display_white": np.float32(s.y[4] ** p.output_power),
+            # AgX hue recovery mix (commit_params filmicrgb.c:4020-4024)
+            "beta_hue": np.float32(
+                0.5 * (min(max(p.saturation / 100.0, -1.0), 1.0) + 1.0)
+            ),
         }
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        version, preserve, _, _ = plan.static
+        version, preserve, _, _, raw_version = plan.static
         s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
                    M5=None, types=plan.static[2:4])
         gs, bs, dr = c["grey_source"], c["black_source"], c["dynamic_range"]
@@ -496,6 +502,9 @@ class FilmicRGB(Op):
         def curve(v):
             mapped = _spline_eval(v, s, c)
             return jnp.clip(mapped, c["y0"], c["y4"]) ** c["output_power"]
+
+        if version == CSCI_AGX_FIRST:
+            return self._apply_agx(x, c, s, raw_version)
 
         if version >= CSCI_V4:
             if preserve == METHOD_NONE:
@@ -546,3 +555,74 @@ class FilmicRGB(Op):
         max_pix = jnp.max(out, axis=0, keepdims=True)
         pen_ratios = jnp.maximum(ratios + (1.0 - max_pix), 0.0)
         return jnp.where(max_pix > 1.0, pen_ratios * nout[None], out)
+
+    # consts packed into the Pallas pointwise kernel's SMEM vector
+    _AGX_CONSTS = ("M1", "M2", "M3", "M4", "M5", "lat_min", "lat_max",
+                   "grey_source", "black_source", "dynamic_range",
+                   "output_power", "y4", "display_black", "display_white",
+                   "beta_hue")
+
+    def _agx_pixel(self, x, c, s: Spline, inset, outset, input_m, output_m):
+        """Per-pixel AgX math on a (3, h, w) block (filmic_agx,
+        filmicrgb.c:2436-2520)."""
+        from . import filmic_agx as agx
+        from ..color import matrices as cm
+        from ..color.transforms import apply_matrix
+
+        gs, bs, dr = c["grey_source"], c["black_source"], c["dynamic_range"]
+        xx = jnp.clip(jnp.nan_to_num(x), -1e6, 1e6)
+        compressed = agx.compress_negatives(xx, [float(v) for v in cm.WORK_Y])
+        Y0, c0, cos0, sin0 = agx.rgb_to_ych(compressed, input_m)
+
+        rendering = apply_matrix(compressed, inset)
+        # RGB_tone_mapping_v4 (filmicrgb.c:2113-2128)
+        mapped = _log_tonemapping(rendering, gs, bs, dr)
+        sp_v = _spline_eval(mapped, s, c)
+        rendering = jnp.clip(sp_v, 0.0, c["y4"]) ** c["output_power"]
+        out_rgb = apply_matrix(rendering, outset)
+
+        Yf, cf, cosf, sinf = agx.rgb_to_ych(out_rgb, input_m)
+        chroma_final = jnp.minimum(c0, cf)
+        beta = c["beta_hue"]
+        r_mix = beta * c0 * cos0 + (1.0 - beta) * chroma_final * cosf
+        g_mix = beta * c0 * sin0 + (1.0 - beta) * chroma_final * sinf
+        norm_mix = jnp.sqrt(r_mix**2 + g_mix**2)
+        ref_cos = jnp.where(norm_mix > 1e-9,
+                            r_mix / jnp.maximum(norm_mix, 1e-20), cos0)
+        ref_sin = jnp.where(norm_mix > 1e-9,
+                            g_mix / jnp.maximum(norm_mix, 1e-20), sin0)
+        Y_final = jnp.clip(Yf, agx.CIE_Y_2006 * c["display_black"],
+                           agx.CIE_Y_2006 * c["display_white"])
+        return agx.gamut_map(Y_final, chroma_final, ref_cos, ref_sin,
+                             input_m, output_m, c["display_black"],
+                             c["display_white"])
+
+    def _apply_agx(self, x, c, s: Spline, raw_version: int):
+        """AgX dispatch: Pallas pointwise-pipeline kernel on TPU (XLA
+        leaves the ~40-stage per-pixel chain as dozens of HBM passes),
+        plain fused-JAX elsewhere."""
+        import jax
+
+        from . import filmic_agx as agx
+        from ..kernels.pointwise import ConstPack, pallas_pointwise
+
+        inset, outset = agx.prepare_bracket(raw_version)
+        input_m, output_m = agx.agx_matrices()
+        # Python-list matrices: Pallas rejects captured array constants
+        inset, outset = inset.tolist(), outset.tolist()
+        input_m, output_m = input_m.tolist(), output_m.tolist()
+
+        if jax.default_backend() != "tpu":
+            return self._agx_pixel(x, c, s, inset, outset, input_m,
+                                   output_m)
+
+        pack = ConstPack()
+        consts = pack.pack(c, self._AGX_CONSTS)
+
+        def block_fn(block, consts_ref):
+            cd = {n: pack.get(consts_ref, n) for n in self._AGX_CONSTS}
+            return self._agx_pixel(block, cd, s, inset, outset, input_m,
+                                   output_m)
+
+        # tile sized so the deep AgX chain fits the 16M scoped-VMEM limit
+        return pallas_pointwise(block_fn, x, consts, tile_h=128, tile_w=512)

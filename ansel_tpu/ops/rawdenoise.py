@@ -35,13 +35,10 @@ class RawDenoiseParams:
 
 
 def _hat_blur(x: jnp.ndarray, lev: int) -> jnp.ndarray:
-    """separable dilated [1,2,1]/4 (the dwt.c hat transform)."""
-    d = 1 << lev
-    k = jnp.asarray([0.25, 0.5, 0.25], x.dtype)
-    y = (k[0] * jnp.roll(x, d, axis=-2) + k[1] * x
-         + k[2] * jnp.roll(x, -d, axis=-2))
-    return (k[0] * jnp.roll(y, d, axis=-1) + k[1] * y
-            + k[2] * jnp.roll(y, -d, axis=-1))
+    """separable dilated [1,2,1]/4 (the dwt.c hat transform), fused."""
+    from ..pixel.shifts import sep_filter
+
+    return sep_filter(x, [0.25, 0.5, 0.25], dilation=1 << lev)
 
 
 def dwt_denoise(img: jnp.ndarray, noise) -> jnp.ndarray:

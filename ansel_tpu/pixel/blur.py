@@ -48,18 +48,9 @@ def gaussian_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.nd
     t = np.arange(-r, r + 1, dtype=np.float32)
     k = np.exp(-0.5 * (t / sigma) ** 2)
     k /= k.sum()
-    k = jnp.asarray(k, x.dtype)
-    lead = x.shape[:-2]
-    h, w = x.shape[-2:]
-    xx = x.reshape((-1, 1, h, w))
-    xx = jnp.pad(xx, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xx, k.reshape(1, 1, 2 * r + 1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    y = jax.lax.conv_general_dilated(
-        y, k.reshape(1, 1, 1, 2 * r + 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return y.reshape(lead + (h, w))
+    from .shifts import sep_filter
+
+    return sep_filter(x, [float(v) for v in k])
 
 
 def fast_gaussian(x: jnp.ndarray, sigma: float) -> jnp.ndarray:

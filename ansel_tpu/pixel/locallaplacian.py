@@ -22,15 +22,9 @@ _K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def _blur5(x):
-    k = jnp.asarray(_K5, x.dtype)
-    xp = jnp.pad(x[None, None], ((0, 0), (0, 0), (2, 2), (2, 2)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, k.reshape(1, 1, 5, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    y = jax.lax.conv_general_dilated(
-        y, k.reshape(1, 1, 1, 5), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return y[0, 0]
+    from .shifts import sep_filter
+
+    return sep_filter(x, _K5)
 
 
 def _reduce(x):
@@ -67,36 +61,41 @@ def local_laplacian(L: jnp.ndarray, sigma: float, shadows: float,
     h, w = L.shape
     n_levels = max(2, min(10, int(math.log2(max(min(h, w), 4))) - 1))
 
-    # Gaussian pyramid of the input
+    # Gaussian pyramid of the input (shared weights source)
     gpyr = [L]
     for _ in range(n_levels - 1):
         gpyr.append(_reduce(gpyr[-1]))
 
-    gammas = [(k + 0.5) / NUM_GAMMA for k in range(NUM_GAMMA)]
-    # remapped pyramids
-    remap_pyrs = []
-    for g in gammas:
+    step = 1.0 / NUM_GAMMA
+    # hat weights per level, precomputed from the input pyramid
+    idxs = [jnp.clip((g - 0.5 * step) / step, 0.0, NUM_GAMMA - 1.0)
+            for g in gpyr[:-1]]
+
+    def gamma_body(carry, g):
+        """One gamma's remap pyramid + its weighted laplacian contribution
+        accumulated per level.  lax.scan keeps only ONE gamma pyramid live
+        at a time — 6 materialized pyramids OOM'd the 45MP config."""
+        accs, k = carry
         r = curve(L, g, sigma, shadows, highlights, clarity)
         pyr = [r]
         for _ in range(n_levels - 1):
             pyr.append(_reduce(pyr[-1]))
-        remap_pyrs.append(pyr)
+        new_accs = []
+        for lvl in range(n_levels - 1):
+            lap = pyr[lvl] - _expand(pyr[lvl + 1], pyr[lvl].shape)
+            wk = jnp.maximum(0.0, 1.0 - jnp.abs(idxs[lvl] - k))
+            new_accs.append(accs[lvl] + wk * lap)
+        return (tuple(new_accs), k + 1.0), None
 
-    # collapse: start from the input's coarsest gaussian level
+    init_accs = tuple(jnp.zeros_like(gpyr[lvl])
+                      for lvl in range(n_levels - 1))
+    gammas = jnp.asarray([(k + 0.5) / NUM_GAMMA for k in range(NUM_GAMMA)],
+                         L.dtype)
+    (accs, _), _ = jax.lax.scan(gamma_body, (init_accs, jnp.asarray(0.0, L.dtype)),
+                                gammas)
+
+    # collapse: coarsest gaussian + accumulated per-level laplacians
     out = gpyr[-1]
     for lvl in range(n_levels - 2, -1, -1):
-        shape = gpyr[lvl].shape
-        out = _expand(out, shape)
-        # laplacian of each gamma buffer at this level
-        laps = [p[lvl] - _expand(p[lvl + 1], shape) for p in remap_pyrs]
-        v = gpyr[lvl]
-        # piecewise-linear interpolation between bracketing gammas
-        step = 1.0 / NUM_GAMMA
-        idx = jnp.clip((v - 0.5 * step) / step, 0.0, NUM_GAMMA - 1.0)
-        # hat-weight linear interpolation, fully fused (no gathers)
-        acc = jnp.zeros_like(v)
-        for k in range(NUM_GAMMA):
-            wk = jnp.maximum(0.0, 1.0 - jnp.abs(idx - k))
-            acc = acc + wk * laps[k]
-        out = out + acc
+        out = _expand(out, gpyr[lvl].shape) + accs[lvl]
     return out

@@ -28,3 +28,29 @@ class PaddedView:
         m = self.margin
         return self.p[..., m + dy : m + dy + self.h,
                       m + dx : m + dx + self.w]
+
+
+def sep_filter(x: jnp.ndarray, taps, dilation: int = 1,
+               mode: str = "edge") -> jnp.ndarray:
+    """Separable odd-length FIR as shifted adds.
+
+    XLA's TPU conv lowering im2col-pads single-channel planes to 128 lanes
+    (a 5-tap blur of a 45MP plane allocates 23 GB); expressing the filter as
+    slice+multiply-add chains keeps it one fused elementwise pass.
+    """
+    taps = list(taps)
+    r = (len(taps) - 1) // 2
+    m = r * dilation
+    # vertical pass
+    pv = PaddedView(x, m, mode)
+    y = None
+    for i, t in enumerate(taps):
+        contrib = t * pv.at((i - r) * dilation, 0)
+        y = contrib if y is None else y + contrib
+    # horizontal pass
+    ph = PaddedView(y, m, mode)
+    out = None
+    for i, t in enumerate(taps):
+        contrib = t * ph.at(0, (i - r) * dilation)
+        out = contrib if out is None else out + contrib
+    return out

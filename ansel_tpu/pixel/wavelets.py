@@ -21,26 +21,12 @@ B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
 def _sep_blur(x: jnp.ndarray, scale: int, kernel=B3) -> jnp.ndarray:
-    """Separable dilated 5-tap blur on (..., H, W) with hole size 2^scale.
-    Edge handling: symmetric-ish via edge padding before the conv."""
-    k = jnp.asarray(kernel, x.dtype)
-    d = 1 << scale
-    pad = 2 * d
-    lead = x.shape[:-2]
-    h, w = x.shape[-2:]
-    xx = x.reshape((-1, 1) + (h, w))
-    xx = jnp.pad(xx, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
-    kv = k.reshape(1, 1, 5, 1)
-    kh = k.reshape(1, 1, 1, 5)
-    y = jax.lax.conv_general_dilated(
-        xx, kv, (1, 1), "VALID", rhs_dilation=(d, 1),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    y = jax.lax.conv_general_dilated(
-        y, kh, (1, 1), "VALID", rhs_dilation=(1, d),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return y.reshape(lead + (h, w))
+    """Separable dilated 5-tap blur on (..., H, W) with hole size 2^scale,
+    as fused shifted adds (single-channel TPU convs im2col-pad to 128 lanes
+    — see pixel/shifts.py)."""
+    from .shifts import sep_filter
+
+    return sep_filter(x, kernel, dilation=1 << scale)
 
 
 def atrous_decompose(x: jnp.ndarray, scales: int) -> Tuple[List[jnp.ndarray], jnp.ndarray]:

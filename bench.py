@@ -33,7 +33,7 @@ CONFIGS = {
         ("diffuse", {"iterations": 4, "first": 0.2, "second": 0.2,
                      "third": 0.2, "fourth": 0.2, "radius": 8}),
         ("toneequal", {"shadows": 0.5}),
-        ("bilat", {"detail": 0.3}),
+        ("bilat", {"sigma_r": 100.0, "sigma_s": 100.0, "detail": 0.3}),
         ("exposure", {"exposure": 0.5}),
         ("filmicrgb", {}),
     ], label="45MP heavy-iterative stack"),
