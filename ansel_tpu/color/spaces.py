@@ -103,10 +103,10 @@ def xyz_to_jzazbz(xyz: jnp.ndarray) -> jnp.ndarray:
     X, Y, Z = xyz[0], xyz[1], xyz[2]
     Xp = _JZ_B * X - (_JZ_B - 1.0) * Z
     Yp = _JZ_G * Y - (_JZ_G - 1.0) * X
-    lms = apply_matrix(jnp.stack([Xp, Yp, Z]), _JZ_M)
+    lms = apply_matrix(jnp.stack([Xp, Yp, Z]), _JZ_M.tolist())
     y = jnp.maximum(lms / 10000.0, 0.0) ** _JZ_N
     pq = ((_JZ_C1 + _JZ_C2 * y) / (1.0 + _JZ_C3 * y)) ** _JZ_P
-    iab = apply_matrix(pq, _JZ_A)
+    iab = apply_matrix(pq, _JZ_A.tolist())
     Jz = jnp.maximum(((1.0 + _JZ_D) * iab[0]) / (1.0 + _JZ_D * iab[0])
                      - _JZ_D0, 0.0)
     return jnp.stack([Jz, iab[1], iab[2]])
@@ -116,11 +116,11 @@ def jzazbz_to_xyz(jab: jnp.ndarray) -> jnp.ndarray:
     Iz = jab[0] + _JZ_D0
     Iz = jnp.maximum(Iz / (1.0 + _JZ_D - _JZ_D * Iz), 0.0)
     iab = jnp.stack([Iz, jab[1], jab[2]])
-    pq = apply_matrix(iab, JZ_AI)
+    pq = apply_matrix(iab, JZ_AI.tolist())
     y = jnp.maximum(pq, 0.0) ** (1.0 / _JZ_P)
     lms = 10000.0 * jnp.maximum(
         (_JZ_C1 - y) / (_JZ_C3 * y - _JZ_C2), 0.0) ** (1.0 / _JZ_N)
-    xyzp = apply_matrix(lms, _JZ_MI)
+    xyzp = apply_matrix(lms, _JZ_MI.tolist())
     X = (xyzp[0] + (_JZ_B - 1.0) * xyzp[2]) / _JZ_B
     Y = (xyzp[1] + (_JZ_G - 1.0) * X) / _JZ_G
     return jnp.stack([X, Y, xyzp[2]])

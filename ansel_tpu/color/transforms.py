@@ -26,7 +26,10 @@ def apply_matrix(img: jnp.ndarray, M) -> jnp.ndarray:
         for r in range(3):
             acc = None
             for c in range(3):
-                term = float(M[r][c]) * img[c]
+                m = M[r][c]
+                if isinstance(m, (int, float)):
+                    m = float(m)  # keep weak-typed: no upcast, no capture
+                term = m * img[c]
                 acc = term if acc is None else acc + term
             rows.append(acc)
         return jnp.stack(rows)

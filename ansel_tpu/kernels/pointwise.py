@@ -55,6 +55,26 @@ def pallas_pointwise(fn: Callable, x: jnp.ndarray, consts,
     )(consts, x)
 
 
+def atan_pos(y, x):
+    """atan2(y, x) restricted to the first quadrant (y, x >= 0), Pallas-safe
+    (TPU lowering has no atan/atan2): minimax odd polynomial on [0, 1] plus
+    the atan(t) = pi/2 - atan(1/t) fold.  |err| < 2e-7 rad."""
+    import math
+
+    big = jnp.maximum(jnp.maximum(x, y), 1e-20)
+    small = jnp.minimum(x, y)
+    z = small / big
+    s = z * z
+    u = jnp.float32(0.00282363896258175373077393)
+    for k in (-0.0159569028764963150024414, 0.0425049886107444763183594,
+              -0.0748900920152664184570312, 0.106347933411598205566406,
+              -0.142027363181114196777344, 0.199926957488059997558594,
+              -0.333331018686294555664062):
+        u = u * s + jnp.float32(k)
+    theta = u * s * z + z
+    return jnp.where(y > x, math.pi / 2.0 - theta, theta)
+
+
 class ConstPack:
     """Helper to pack/unpack named traced scalars into the consts vector."""
 

@@ -155,33 +155,59 @@ class ChannelMixerRGB(Op):
             "uv_white": np.float32([4.0 * xw / den, 9.0 * yw / den]),
         }
 
+    # consts packed into the Pallas SMEM vector, in order (64 floats)
+    _CONST_ORDER = ("MIX", "saturation", "lightness", "grey", "illum_lms",
+                    "white_lms", "cone", "cone_inv", "xyz_from_work",
+                    "work_from_xyz", "gamut", "p_exp", "uv_white")
+    _MAT_KEYS = ("MIX", "cone", "cone_inv", "xyz_from_work", "work_from_xyz")
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from ..kernels.pointwise import ConstPack, pallas_pointwise
+
+            pack = ConstPack()
+            consts = pack.pack(c, self._CONST_ORDER)
+
+            def block_fn(block, consts_ref):
+                cd = {n: pack.get(consts_ref, n) for n in self._CONST_ORDER}
+                for k in self._MAT_KEYS:
+                    v = cd[k]
+                    cd[k] = [[v[3 * r + i] for i in range(3)]
+                             for r in range(3)]
+                return self._pixel(block, cd, plan.static)
+
+            return pallas_pointwise(block_fn, x, consts,
+                                    tile_h=256, tile_w=512)
+        return self._pixel(x, c, plan.static)
+
+    def _pixel(self, x, c, static):
         (kind, version, clip, apply_grey, has_mix, has_lumachroma,
-         gamut_pow1, gamut_off) = plan.static
+         gamut_pow1, gamut_off) = static
         if clip:
             x = jnp.maximum(x, 0.0)
 
         xyz = apply_matrix(x, c["xyz_from_work"])
         Y = jnp.maximum(xyz[1], NORM_MIN)[None]
 
+        il, wl = c["illum_lms"], c["white_lms"]
         if kind in (ADAPT_LINEAR_BRADFORD, ADAPT_FULL_BRADFORD, ADAPT_CAT16):
             lms = apply_matrix(xyz, c["cone"]) / Y
-            t = lms / jnp.asarray(c["illum_lms"]).reshape(3, 1, 1)
+            t = [lms[i] / il[i] for i in range(3)]
             if kind == ADAPT_FULL_BRADFORD:
                 # nonlinear S-cone response (bradford_adapt_D50, p exponent
                 # applied to the lms/illuminant ratio before the white mult)
-                s = t[2]
-                t = t.at[2].set(jnp.where(s > 0, s ** c["p_exp"], s))
-            adapted = t * jnp.asarray(c["white_lms"]).reshape(3, 1, 1)
+                t[2] = jnp.where(t[2] > 0, t[2] ** c["p_exp"], t[2])
+            adapted = jnp.stack([t[i] * wl[i] for i in range(3)])
             mixed = apply_matrix(adapted * Y, c["MIX"])
             xyz = apply_matrix(mixed, c["cone_inv"])
         elif kind == ADAPT_XYZ:
-            ratio = (
-                cm.xy_to_XYZ(*cm.WP_D65).astype(np.float32)
-                / np.maximum(np.asarray(c["illum_lms"]), 1e-9)
-            )
-            xyz = apply_matrix((xyz / Y) * jnp.asarray(ratio).reshape(3, 1, 1)
-                               * Y, c["MIX"])
+            w = cm.xy_to_XYZ(*cm.WP_D65)
+            scaled = jnp.stack([xyz[i] * (float(w[i])
+                                          / jnp.maximum(il[i], 1e-9))
+                                for i in range(3)])
+            xyz = apply_matrix(scaled, c["MIX"])
         else:  # ADAPT_RGB: mix happens in pipeline RGB
             mixed = apply_matrix(x, c["MIX"])
             xyz = apply_matrix(mixed, c["xyz_from_work"])
@@ -209,9 +235,9 @@ class ChannelMixerRGB(Op):
             out = jnp.maximum(out, 0.0)
 
         if apply_grey:
-            g = jnp.maximum(
-                jnp.tensordot(jnp.asarray(c["grey"]), out, axes=(0, 0)), 0.0
-            )
+            gr = c["grey"]
+            g = jnp.maximum(gr[0] * out[0] + gr[1] * out[1] + gr[2] * out[2],
+                            0.0)
             return jnp.stack([g, g, g])
 
         if kind in (ADAPT_LINEAR_BRADFORD, ADAPT_FULL_BRADFORD, ADAPT_CAT16):
@@ -262,12 +288,11 @@ class ChannelMixerRGB(Op):
         return jnp.where(valid[None], out, jnp.zeros_like(out))
 
     def _luma_chroma(self, inp, c, version):
-        norm = jnp.sqrt(jnp.sum(inp**2, axis=0))
-        avg = jnp.maximum(jnp.mean(inp, axis=0), NORM_MIN)
+        norm = jnp.sqrt(inp[0] ** 2 + inp[1] ** 2 + inp[2] ** 2)
+        avg = jnp.maximum((inp[0] + inp[1] + inp[2]) / 3.0, NORM_MIN)
         valid = (norm > 0) & (avg > 0)
-        lightness = jnp.asarray(c["lightness"]).reshape(3, 1, 1)
-        saturation = jnp.asarray(c["saturation"]).reshape(3, 1, 1)
-        mix = jnp.sum(inp * lightness, axis=0)
+        li, sa = c["lightness"], c["saturation"]
+        mix = li[0] * inp[0] + li[1] * inp[1] + li[2] * inp[2]
         if version == V3:
             norm_r = norm / jnp.sqrt(3.0)
         else:
@@ -275,9 +300,9 @@ class ChannelMixerRGB(Op):
         safe_norm = jnp.where(valid, norm_r, 1.0)
         ratios = inp / safe_norm[None]
         if version == V1:
-            coeff = jnp.sum((1.0 - ratios) ** 2 * saturation, axis=0)
+            coeff = sum((1.0 - ratios[i]) ** 2 * sa[i] for i in range(3))
         else:
-            coeff = jnp.sum(ratios * saturation, axis=0) / 3.0
+            coeff = sum(ratios[i] * sa[i] for i in range(3)) / 3.0
         min_ratio = jnp.minimum(ratios, 0.0)
         adj = jnp.maximum((1.0 - ratios) * coeff[None] + ratios, min_ratio)
         if version == V3:

@@ -101,11 +101,11 @@ class ColorBalanceRGB(Op):
                            / (shadows_weight**2 + highlights_weight**2))
 
         work_to_lms = sp.XYZ_D65_TO_LMS2006 @ cm.XYZ_FROM_WORK
-        lms_to_work = cm.WORK_FROM_XYZ @ sp.LMS2006_TO_XYZ_D65
 
         return {
             "in_mat": np.float32(work_to_lms),
-            "out_mat": np.float32(lms_to_work),
+            # the JzAzBz stage hands back XYZ D65, not LMS
+            "out_mat": np.float32(cm.WORK_FROM_XYZ),
             "global": np.float32(global_v),
             "shadows": np.float32(shadows_v),
             "highlights": np.float32(highlights_v),
@@ -145,7 +145,38 @@ class ColorBalanceRGB(Op):
             * bc**2 * 8.0
         return (alpha, gamma, beta), (ac, 1.0 - gamma, bc)
 
+    # consts packed into the Pallas SMEM vector, in order (51 floats)
+    _CONST_ORDER = ("in_mat", "out_mat", "global", "shadows", "highlights",
+                    "midtones", "midtones_Y", "white_fulcrum", "grey_fulcrum",
+                    "contrast", "shadows_weight", "highlights_weight",
+                    "midtones_weight", "mask_grey_fulcrum", "chroma_global",
+                    "chroma", "saturation_global", "saturation",
+                    "brilliance_global", "brilliance", "vibrance", "hue_cos",
+                    "hue_sin")
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from ..kernels.pointwise import ConstPack, pallas_pointwise
+
+            pack = ConstPack()
+            consts = pack.pack(c, self._CONST_ORDER)
+
+            def block_fn(block, consts_ref):
+                cd = {n: pack.get(consts_ref, n) for n in self._CONST_ORDER}
+                for k in ("in_mat", "out_mat"):
+                    v = cd[k]
+                    cd[k] = [[v[3 * r + i] for i in range(3)]
+                             for r in range(3)]
+                return self._pixel(block, cd)
+
+            # deep chain: small tile to stay under the scoped-VMEM limit
+            return pallas_pointwise(block_fn, x, consts,
+                                    tile_h=128, tile_w=512)
+        return self._pixel(x, c)
+
+    def _pixel(self, x, c):
         rgb = jnp.maximum(x, 0.0)
         lms = apply_matrix(rgb, c["in_mat"])
         yrg = sp.lms_to_yrg(lms)
@@ -190,23 +221,22 @@ class ColorBalanceRGB(Op):
 
         # 4-way grading in grading RGB
         grading = sp.lms_to_grading(sp.yrg_to_lms(yrg))
-        grading = grading + jnp.asarray(c["global"]).reshape(3, 1, 1)
-        shadows = jnp.asarray(c["shadows"]).reshape(3, 1, 1)
-        highlights = jnp.asarray(c["highlights"]).reshape(3, 1, 1)
-        slopes = cp_h[None] * (cp_s[None] + op_s[None] * shadows) \
-            + op_h[None] * highlights
-        grading = grading * slopes
+        gl, sh, hl, mt = (c["global"], c["shadows"], c["highlights"],
+                          c["midtones"])
         wf = c["white_fulcrum"]
-        midtones = jnp.asarray(c["midtones"]).reshape(3, 1, 1)
-        grading = jnp.sign(grading) * (jnp.abs(grading) / wf) ** midtones * wf
+        chans = []
+        for i in range(3):
+            g = grading[i] + gl[i]
+            g = g * (cp_h * (cp_s + op_s * sh[i]) + op_h * hl[i])
+            chans.append(jnp.sign(g) * (jnp.abs(g) / wf) ** mt[i] * wf)
+        grading = jnp.stack(chans)
 
         yrg = sp.lms_to_yrg(sp.grading_to_lms(grading))
         Y2 = jnp.maximum(yrg[0] / wf, 0.0) ** c["midtones_Y"] * wf
         Y2 = c["grey_fulcrum"] * jnp.maximum(
             Y2 / c["grey_fulcrum"], 0.0) ** c["contrast"]
         yrg = jnp.stack([Y2, yrg[1], yrg[2]])
-        xyz = apply_matrix(sp.yrg_to_lms(yrg),
-                           np.float32(sp.LMS2006_TO_XYZ_D65))
+        xyz = apply_matrix(sp.yrg_to_lms(yrg), sp.LMS2006_TO_XYZ_D65.tolist())
 
         # saturation / brilliance in JzAzBz
         jab = sp.xyz_to_jzazbz(jnp.maximum(xyz, 0.0))
@@ -215,9 +245,13 @@ class ColorBalanceRGB(Op):
         inv_cz = jnp.where(Cz > 0.0, 1.0 / jnp.maximum(Cz, 1e-20), 0.0)
         cos_H = jab[1] * inv_cz
         sin_H = jab[2] * inv_cz
-        T = jnp.arctan2(Cz, Jz)
-        sin_T = jnp.sin(T)
-        cos_T = jnp.cos(T)
+        # first quadrant (Jz, Cz >= 0); Pallas TPU has no atan/atan2 lowering
+        from ..kernels.pointwise import atan_pos
+        T = atan_pos(Cz, Jz)
+        hyp = jnp.sqrt(Jz * Jz + Cz * Cz)
+        inv_h = jnp.where(hyp > 0.0, 1.0 / jnp.maximum(hyp, 1e-20), 0.0)
+        sin_T = Cz * inv_h
+        cos_T = jnp.where(hyp > 0.0, Jz * inv_h, 1.0)
         sat = c["saturation"]
         bri = c["brilliance"]
         boost_b = 1.0 + c["brilliance_global"] + op_s * bri[0] \
@@ -236,7 +270,7 @@ class ColorBalanceRGB(Op):
         dd = -0.56
         Iz = Jz2 + d0
         Iz = jnp.maximum(Iz / (1.0 + dd - dd * Iz), 0.0)
-        AI = sp.JZ_AI
+        AI = sp.JZ_AI.tolist()
         max_C = Cz2
         for row in range(3):
             denom = AI[row][1] * cos_H + AI[row][2] * sin_H

@@ -180,3 +180,29 @@ def test_lab_op_inserts_conversions():
     assert names[i + 1] == "_convert"  # back to work RGB for filmic
     assert pipe.stages[i - 1].plan.static == (Colorspace.WORK_RGB,
                                               Colorspace.LAB)
+
+
+def test_colorbalancergb_identity_when_neutral():
+    # regression: out_mat must be XYZ->work (the JzAzBz stage hands back
+    # XYZ, not LMS); with the LMS->work matrix the default params mangled
+    # saturated colors (hue flips on e.g. [1.2, 1.2, 0.05])
+    from ansel_tpu.ops.colorbalancergb import (ColorBalanceRGB,
+                                               ColorBalanceRGBParams)
+
+    g = np.linspace(0.05, 1.2, 8, dtype=np.float32)
+    R, G, B = np.meshgrid(g, g, g, indexing="ij")
+    x = np.stack([R, G, B]).reshape(3, 64, 8)
+    out, _ = _run(ColorBalanceRGB(), ColorBalanceRGBParams(), x,
+                  spec=ImageSpec(height=64, width=8, channels=3,
+                                 colorspace=Colorspace.WORK_RGB))
+    assert np.abs(out - x).max() < 5e-3, np.abs(out - x).max()
+
+
+def test_colorbalancergb_shadow_lift_raises_shadows():
+    from ansel_tpu.ops.colorbalancergb import (ColorBalanceRGB,
+                                               ColorBalanceRGBParams)
+
+    x = np.full((3, 64, 128), 0.05, np.float32)
+    p = ColorBalanceRGBParams(shadows_Y=0.3)
+    out, _ = _run(ColorBalanceRGB(), p, x)
+    assert out.mean() > x.mean() * 1.1
