@@ -52,6 +52,9 @@ class OpPlan:
     spec_out: ImageSpec
     static: Any = None  # op-specific static config (must be hashable)
     enabled: bool = True
+    # host-side payload (e.g. a LUT table) — NOT part of the compile
+    # signature; anything cache-relevant must also be reflected in `static`
+    aux: Any = None
 
 
 class Op:
