@@ -47,6 +47,8 @@ class XMPDocument:
     iop_order_list: Optional[str] = None
     rating: Optional[int] = None
     tags: List[str] = dataclasses.field(default_factory=list)
+    # drawn-mask forms keyed by mask id (darktable:masks_history)
+    masks: dict = dataclasses.field(default_factory=dict)
 
 
 def _strip_xpacket(data: bytes) -> bytes:
@@ -114,6 +116,26 @@ def _parse_description(desc, doc: XMPDocument) -> None:
     v = attr_or_child("Rating", ns="xmp")
     if v is not None:
         doc.rating = int(v)
+
+    # --- drawn masks (darktable:masks_history, exif.cc:3628-3662) -----------
+    for li in _seq_items(desc, "masks_history") or []:
+        try:
+            from ..pipeline.masks import Form, decode_points
+
+            mid = int(_li_get(li, "mask_id") or 0)
+            mtype = int(_li_get(li, "mask_type") or 0)
+            ptext = _li_get(li, "mask_points")
+            nb = int(_li_get(li, "mask_nb") or 0)
+            if not mid or not mtype or not ptext:
+                continue
+            blob = xmp_decode(ptext)
+            doc.masks[mid] = Form(
+                id=mid, type=mtype,
+                name=_li_get(li, "mask_name") or "",
+                version=int(_li_get(li, "mask_version") or 6),
+                nodes=decode_points(mtype, blob, nb))
+        except (ValueError, KeyError):
+            continue
 
     # --- modern format: darktable:history Seq of structured li --------------
     items = _seq_items(desc, "history")
@@ -202,6 +224,20 @@ def write_xmp(path: str, doc: XMPDocument) -> None:
         if item.blend_params is not None:
             li.set(_q("darktable", "blendop_params"),
                    xmp_encode(bytes(item.blend_params)))
+    if doc.masks:
+        mh = etree.SubElement(desc, _q("darktable", "masks_history"))
+        mseq = etree.SubElement(mh, _q("rdf", "Seq"))
+        for num, form in enumerate(doc.masks.values()):
+            li = etree.SubElement(mseq, _q("rdf", "li"))
+            li.set(_q("darktable", "mask_num"), str(num))
+            li.set(_q("darktable", "mask_id"), str(form.id))
+            li.set(_q("darktable", "mask_type"), str(form.type))
+            li.set(_q("darktable", "mask_name"), form.name or "mask")
+            li.set(_q("darktable", "mask_version"), str(form.version))
+            li.set(_q("darktable", "mask_points"),
+                   xmp_encode(form.points_blob()))
+            li.set(_q("darktable", "mask_nb"), str(len(form.nodes)))
+            li.set(_q("darktable", "mask_src"), "")
     data = etree.tostring(root, pretty_print=True, xml_declaration=False,
                           encoding="utf-8")
     with open(path, "wb") as f:

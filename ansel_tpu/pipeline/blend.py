@@ -174,11 +174,31 @@ def _lab_channels(lab):
     return {0: L, 1: a, 2: b, 8: C, 9: h}
 
 
-def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights):
-    """parametric mask in [0,1] incl. opacity and post-processing."""
+def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights,
+                 drawn=None):
+    """drawn + parametric mask in [0,1] incl. opacity and post-processing.
+    Combine semantics follow blendif_rgb_hsl.c:236-340: the drawn mask is
+    the base, the parametric factors form `temp`, and INCL/INV pick the
+    composition."""
     opacity = min(max(bp.opacity / 100.0, 0.0), 1.0)
-    mask = jnp.ones_like(a[0])
-    if bp.mask_mode & MASK_PARAMETRIC:
+    incl = bool(bp.mask_combine & COMBINE_INCL)
+    inv = bool(bp.mask_combine & COMBINE_INV)
+
+    # base (drawn) mask (blend.c:_develop_blend_init_drawn_mask)
+    if bp.mask_mode & MASK_SHAPE:
+        if drawn is not None:
+            base = drawn
+            if bp.mask_combine & COMBINE_MASKS_POS:
+                base = 1.0 - base
+        else:
+            base = jnp.full_like(
+                a[0], 0.0 if bp.mask_combine & COMBINE_MASKS_POS else 1.0)
+    else:
+        base = jnp.full_like(a[0], 0.0 if incl else 1.0)
+
+    parametric = bool(bp.mask_mode & MASK_PARAMETRIC)
+    temp = jnp.ones_like(a[0])
+    if parametric:
         chans_in = (_lab_channels(a) if cst == CS_LAB
                     else _scene_channels(a, y_weights))
         chans_out = (_lab_channels(b) if cst == CS_LAB
@@ -186,15 +206,24 @@ def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights):
         out_offset = 4
         for i, val in chans_in.items():
             if bp.blendif & (1 << i):
-                mask = mask * _factor(val, prm[i],
-                                      bool(bp.blendif & (1 << (16 + i))))
+                temp = temp * _factor(
+                    val, prm[i],
+                    bool(bp.blendif & (1 << (16 + i))) ^ incl)
         for i, val in chans_out.items():
             j = i + out_offset
             if bp.blendif & (1 << j):
-                mask = mask * _factor(val, prm[j],
-                                      bool(bp.blendif & (1 << (16 + j))))
-    if bp.mask_combine & COMBINE_INV:
-        mask = 1.0 - mask
+                temp = temp * _factor(
+                    val, prm[j],
+                    bool(bp.blendif & (1 << (16 + j))) ^ incl)
+
+    if parametric:
+        if incl:
+            mask = ((1.0 - base) * temp if inv
+                    else 1.0 - (1.0 - base) * temp)
+        else:
+            mask = (1.0 - base * temp) if inv else base * temp
+    else:
+        mask = (1.0 - base) if inv else base
     mask = mask * opacity
 
     # post: feathering (guided filter on the blend input's luma) then blur
@@ -272,10 +301,11 @@ def _mode_fn(mode: int, p: float, cst: int):
     return table.get(mode)
 
 
-def apply_blend(a, b, bp: BlendParams, prm, cst: int, y_weights):
+def apply_blend(a, b, bp: BlendParams, prm, cst: int, y_weights,
+                drawn=None):
     """a = module input, b = module output, both (3, H, W) in the blend
     colorspace -> blended result."""
-    mask = compute_mask(a, b, bp, prm, cst, y_weights)[None]
+    mask = compute_mask(a, b, bp, prm, cst, y_weights, drawn=drawn)[None]
     mode = bp.blend_mode & BLEND_MODE_MASK
     if bp.blend_mode & BLEND_REVERSE:
         a, b = b, a

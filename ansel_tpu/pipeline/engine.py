@@ -82,6 +82,7 @@ class PlannedOp:
     params: Any
     blend: Any = None          # BlendParams when active
     blend_static: Any = None   # (cst, blend_mode, mask_mode, combine, blendif)
+    blend_form: Any = None     # masks.Form when the blend uses a drawn mask
 
 
 class _ConvertOp(ops_base.Op):
@@ -125,11 +126,12 @@ class Pipeline:
     """A planned (but not yet compiled) pipe for one (image, history)."""
 
     def __init__(self, meta: RawMeta, history: List[HistoryItem],
-                 scale: float = 1.0):
+                 scale: float = 1.0, forms=None):
         self.meta = meta
         self.ctx = PlanContext(meta=meta, scale=scale)
         self.stages: List[PlannedOp] = []
         self.unsupported: List[str] = []
+        self.forms = forms or {}  # drawn-mask forms {id: masks.Form}
 
         spec = ImageSpec(
             width=meta.width, height=meta.height, colorspace=Colorspace.RAW,
@@ -177,7 +179,14 @@ class Pipeline:
                     stage.blend = bp
                     # the full blend blob keys the compile cache: mask
                     # trapezoids/opacity are baked as constants in the trace
-                    stage.blend_static = bp.codec.encode(bp)
+                    blend_sig = bp.codec.encode(bp)
+                    if bp.mask_mode & blend_mod.MASK_SHAPE:
+                        from . import masks as masks_mod
+
+                        stage.blend_form = self.forms.get(bp.mask_id)
+                        blend_sig = (blend_sig, masks_mod.form_signature(
+                            stage.blend_form, self.forms))
+                    stage.blend_static = blend_sig
             self.stages.append(stage)
             spec = plan.spec_out
         self.spec_out = spec
@@ -205,6 +214,8 @@ class Pipeline:
         stages = self.stages
         ctx = self.ctx
 
+        forms = self.forms
+
         def run(x, coeffs):
             from . import blend as blend_mod
             from ..color import matrices as cmats
@@ -217,8 +228,17 @@ class Pipeline:
                            if s.plan.spec_out.colorspace is Colorspace.LAB
                            else blend_mod.CS_RGB_SCENE)
                     prm = blend_mod.prepare_parameters(s.blend)
+                    drawn = None
+                    if s.blend_form is not None:
+                        from . import masks as masks_mod
+
+                        spec = s.plan.spec_out
+                        drawn = masks_mod.rasterize(
+                            s.blend_form, forms,
+                            spec.array_shape[-2], spec.array_shape[-1],
+                            norm_h=spec.height, norm_w=spec.width)
                     x = blend_mod.apply_blend(a_in, y, s.blend, prm, cst,
-                                              cmats.WORK_Y)
+                                              cmats.WORK_Y, drawn=drawn)
                 else:
                     x = s.op.apply(x, c, s.plan, ctx)
             return x
@@ -260,5 +280,5 @@ class CompiledPipe:
 
 
 def compile_pipeline(meta: RawMeta, history: List[HistoryItem],
-                     scale: float = 1.0) -> CompiledPipe:
-    return CompiledPipe(Pipeline(meta, history, scale))
+                     scale: float = 1.0, forms=None) -> CompiledPipe:
+    return CompiledPipe(Pipeline(meta, history, scale, forms=forms))

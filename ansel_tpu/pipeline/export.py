@@ -51,10 +51,15 @@ def export_image(
     """raw mosaic + history (explicit or from sidecar) -> display RGB;
     optionally write the encoded file.  Returns (3, H, W) float32."""
     settings = settings or ExportSettings()
+    forms = None
     if history is None:
-        history = parse_xmp(xmp_path).history if xmp_path else []
+        if xmp_path:
+            doc = parse_xmp(xmp_path)
+            history, forms = doc.history, doc.masks
+        else:
+            history = []
     scale = compute_export_scale(meta, settings)
-    pipe = CompiledPipe(Pipeline(meta, history, scale=scale))
+    pipe = CompiledPipe(Pipeline(meta, history, scale=scale, forms=forms))
     out = pipe.output_array(raw)
     if output_path:
         encode.write_image(output_path, out, quality=settings.quality)
