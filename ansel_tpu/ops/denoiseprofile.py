@@ -137,9 +137,18 @@ class DenoiseProfile(Op):
         toRGB = toRGB * s
         wb_s = wb * s
 
-        # noise profile: a/b < 0 means "no profile" -> generic fallback
-        a1 = p.a[1] if p.a[1] > 0 else 0.5e-4
-        b1 = p.b[1]
+        # noise profile: a/b < 0 means "auto" -> look up the camera in the
+        # noiseprofiles.json database (iso-interpolated), else a generic
+        # fallback (noiseprofiles.c:dt_noiseprofile_get_matching)
+        a1, b1 = p.a[1], p.b[1]
+        if a1 <= 0:
+            from ..io.noiseprofiles import find as np_find
+
+            hit = np_find(ctx.meta.maker, ctx.meta.model, ctx.meta.iso)
+            if hit is not None:
+                a1, b1 = hit[0][1], hit[1][1]
+            else:
+                a1 = 0.5e-4
 
         forces = np.stack([_band_forces(p.x, p.y, ch) for ch in range(N_CH)])
         # per-scale adjustment factors (variance_stabilizing_xform)
