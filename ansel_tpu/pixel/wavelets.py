@@ -57,6 +57,15 @@ def eaw_dn_decompose(x: jnp.ndarray, scale: int, inv_sigma2):
 
     x: (3, H, W).  -> (coarse, detail, sum_sq[3])
     """
+    import jax as _jax
+
+    from ..kernels.eaw_pallas import MAX_SCALE, eaw_dn_coarse_pallas
+
+    if _jax.default_backend() == "tpu" and scale <= MAX_SCALE:
+        coarse = eaw_dn_coarse_pallas(x, scale, inv_sigma2)
+        detail = x - coarse
+        return coarse, detail, jnp.sum(detail**2, axis=(1, 2))
+
     from .shifts import PaddedView
 
     d = 1 << scale
