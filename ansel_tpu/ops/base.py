@@ -87,6 +87,27 @@ class Op:
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         return x
 
+    def pointwise_spec(self, plan: OpPlan, ctx: PlanContext):
+        """Fusion hook: return a PointwiseSpec when this op's apply is a
+        pure per-pixel function on a (3, H, W) block that is Pallas-safe
+        (no captured arrays, no reshape-broadcasts).  The engine chains
+        consecutive pointwise stages into ONE Pallas kernel on TPU — one
+        HBM round-trip for the whole color chain instead of one per op.
+        Return None (default) to opt out."""
+        return None
+
+
+@dataclasses.dataclass(frozen=True)
+class PointwiseSpec:
+    """consts: coeff-dict keys to pack into the kernel's SMEM vector;
+    mats: subset of consts delivered as 3x3 nested scalar lists;
+    fn(block, cd) -> block, where cd maps each const name to its packed
+    value (scalar / stacked vector / nested matrix list)."""
+
+    consts: tuple
+    fn: Any
+    mats: tuple = ()
+
 
 _OPS: Dict[str, Op] = {}
 

@@ -182,6 +182,13 @@ class ChannelMixerRGB(Op):
                                     tile_h=256, tile_w=512)
         return self._pixel(x, c, plan.static)
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=self._CONST_ORDER, mats=self._MAT_KEYS,
+            fn=lambda b, cd: self._pixel(b, cd, plan.static))
+
     def _pixel(self, x, c, static):
         (kind, version, clip, apply_grey, has_mix, has_lumachroma,
          gamut_pow1, gamut_off) = static

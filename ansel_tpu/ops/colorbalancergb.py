@@ -176,6 +176,13 @@ class ColorBalanceRGB(Op):
                                     tile_h=128, tile_w=512)
         return self._pixel(x, c)
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=self._CONST_ORDER, mats=("in_mat", "out_mat"),
+            fn=lambda b, cd: self._pixel(b, cd))
+
     def _pixel(self, x, c):
         rgb = jnp.maximum(x, 0.0)
         lms = apply_matrix(rgb, c["in_mat"])

@@ -84,3 +84,9 @@ class Colorin(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         return apply_matrix(x, c["M"])
+
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("M",), mats=("M",),
+                             fn=lambda b, cd: apply_matrix(b, cd["M"]))

@@ -73,3 +73,17 @@ class Colorout(Op):
         if trc == "linear":
             return y
         return gamma_encode(y, trc[1])
+
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+        _, trc = plan.static
+
+        def fn(b, cd):
+            y = jnp.clip(apply_matrix(b, cd["M"]), 0.0, 1.0)
+            if trc == "srgb":
+                return srgb_encode(y)
+            if trc == "linear":
+                return y
+            return gamma_encode(y, trc[1])
+
+        return PointwiseSpec(consts=("M",), mats=("M",), fn=fn)

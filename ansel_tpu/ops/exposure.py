@@ -72,3 +72,10 @@ class Exposure(Op):
         return (x - jnp.asarray(c["black"], x.dtype)) * jnp.asarray(
             c["scale"], x.dtype
         )
+
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("black", "scale"),
+            fn=lambda b, cd: (b - cd["black"]) * cd["scale"])

@@ -597,6 +597,26 @@ class FilmicRGB(Op):
                              input_m, output_m, c["display_black"],
                              c["display_white"])
 
+    def pointwise_spec(self, plan, ctx):
+        """Engine fusion hook — only the AgX route is Pallas-safe today
+        (the spline v1-v3 paths use reshape-broadcast y_weights)."""
+        version, _, _, _, raw_version = plan.static
+        if version != CSCI_AGX_FIRST:
+            return None
+        from . import filmic_agx as agx
+        from .base import PointwiseSpec
+
+        inset, outset = agx.prepare_bracket(raw_version)
+        input_m, output_m = agx.agx_matrices()
+        inset, outset = inset.tolist(), outset.tolist()
+        input_m, output_m = input_m.tolist(), output_m.tolist()
+        s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
+                   M5=None, types=plan.static[2:4])
+        return PointwiseSpec(
+            consts=self._AGX_CONSTS,
+            fn=lambda b, cd: self._agx_pixel(b, cd, s, inset, outset,
+                                             input_m, output_m))
+
     def _apply_agx(self, x, c, s: Spline, raw_version: int):
         """AgX dispatch: Pallas pointwise-pipeline kernel on TPU (XLA
         leaves the ~40-stage per-pixel chain as dozens of HBM passes),

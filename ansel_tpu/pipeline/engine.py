@@ -216,11 +216,69 @@ class Pipeline:
 
         forms = self.forms
 
+        def fusable(s):
+            """geometry-preserving 3-channel pointwise stage, no blend."""
+            return (s.blend is None
+                    and s.plan.spec_in.array_shape == s.plan.spec_out.array_shape
+                    and len(s.plan.spec_in.array_shape) == 3)
+
+        def run_fused(x, group):
+            """Chain consecutive pointwise stages into ONE Pallas kernel:
+            one HBM round-trip for the whole color chain (the reference
+            pays one read+write per module — pixelpipe_hb.c node loop)."""
+            from ..kernels.pointwise import ConstPack, pallas_pointwise
+
+            values, order, mat_keys = {}, [], set()
+            for k, (s, spec_pw, c) in enumerate(group):
+                for name in spec_pw.consts:
+                    key = f"{k}.{name}"
+                    values[key] = c[name]
+                    order.append(key)
+                    if name in spec_pw.mats:
+                        mat_keys.add(key)
+            pack = ConstPack()
+            vec = pack.pack(values, order)
+
+            def block_fn(block, consts_ref):
+                for k, (s, spec_pw, _c) in enumerate(group):
+                    cd = {}
+                    for name in spec_pw.consts:
+                        key = f"{k}.{name}"
+                        v = pack.get(consts_ref, key)
+                        if key in mat_keys:
+                            v = [[v[3 * r + i] for i in range(3)]
+                                 for r in range(3)]
+                        cd[name] = v
+                    block = spec_pw.fn(block, cd)
+                return block
+
+            # deep chains: small tile to stay under the scoped-VMEM limit
+            return pallas_pointwise(block_fn, x, vec, tile_h=64, tile_w=512)
+
         def run(x, coeffs):
+            import jax as _jax
+
             from . import blend as blend_mod
             from ..color import matrices as cmats
 
-            for s, c in zip(stages, coeffs):
+            fuse = _jax.default_backend() == "tpu" and not _DISABLE_FUSION
+            i = 0
+            while i < len(stages):
+                s, c = stages[i], coeffs[i]
+                spec_pw = (s.op.pointwise_spec(s.plan, ctx)
+                           if fuse and fusable(s) else None)
+                if spec_pw is not None:
+                    group = [(s, spec_pw, c)]
+                    j = i + 1
+                    while j < len(stages) and fusable(stages[j]):
+                        sp = stages[j].op.pointwise_spec(stages[j].plan, ctx)
+                        if sp is None:
+                            break
+                        group.append((stages[j], sp, coeffs[j]))
+                        j += 1
+                    x = run_fused(x, group)
+                    i = j
+                    continue
                 if s.blend is not None:
                     a_in = x
                     y = s.op.apply(x, c, s.plan, ctx)
@@ -241,12 +299,16 @@ class Pipeline:
                                               cmats.WORK_Y, drawn=drawn)
                 else:
                     x = s.op.apply(x, c, s.plan, ctx)
+                i += 1
             return x
 
         return run
 
 
 _COMPILE_CACHE: Dict[Tuple, Any] = {}
+
+# debugging escape hatch: force the per-op path even on TPU
+_DISABLE_FUSION = False
 
 
 class CompiledPipe:
