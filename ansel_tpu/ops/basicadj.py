@@ -82,7 +82,15 @@ class BasicAdj(Op):
         R = hlrange / (val * hlcomp)
         return jnp.log1p(Y) * R
 
-    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("black", "scale", "hlcomp", "hlrange", "gamma",
+                    "contrast", "grey", "saturation", "vibrance", "y"),
+            fn=lambda b, cd: self.apply(b, cd, plan, None))
+
+    def apply(self, x, c, plan: OpPlan, ctx):
         plain_contrast, preserve, has_gamma, has_satvib, has_hl = plan.static
         out = (x - c["black"]) * c["scale"]
 

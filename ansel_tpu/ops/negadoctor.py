@@ -59,6 +59,14 @@ class Negadoctor(Op):
             "soft_clip_comp": jnp.float32(1.0 - p.soft_clip),
         }
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("Dmin", "wb_high", "offset", "black", "exposure",
+                    "gamma", "soft_clip", "soft_clip_comp"),
+            fn=lambda b, cd: self._pixel(b, cd))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         import jax
 

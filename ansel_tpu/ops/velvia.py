@@ -32,7 +32,13 @@ class Velvia(Op):
     def coeffs(self, ctx, plan, p):
         return {"strength": p.strength / 100.0, "bias": p.bias}
 
-    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("strength", "bias"),
+                             fn=lambda b, cd: self.apply(b, cd, plan, None))
+
+    def apply(self, x, c, plan: OpPlan, ctx):
         strength = jnp.asarray(c["strength"], x.dtype)
         bias = jnp.asarray(c["bias"], x.dtype)
         pmax = jnp.max(x, axis=0)
