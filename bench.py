@@ -37,7 +37,28 @@ CONFIGS = {
         ("exposure", {"exposure": 0.5}),
         ("filmicrgb", {}),
     ], label="45MP heavy-iterative stack"),
+    # BASELINE config 4: X-Trans Markesteijn + lens (incl. TCA) pipe
+    4: dict(h=4000, w=6000, xtrans=True, history=[
+        ("lens", {"tca_r": 1.0005, "tca_b": 0.9995, "dist_a": -0.02}),
+        ("exposure", {"exposure": 0.5}),
+        ("filmicrgb", {}),
+    ], label="24MP X-Trans Markesteijn+lens+TCA"),
+    # BASELINE config 5: batch export throughput (vmap batch on this
+    # chip; the v5e-8 dp-mesh path is exercised by dryrun_multichip)
+    5: dict(h=4000, w=6016, batch=4, history=[
+        ("exposure", {"exposure": 0.5}),
+        ("channelmixerrgb", {}),
+        ("filmicrgb", {}),
+    ], label="batch export (4-image stream, per-chip rate)"),
 }
+
+# Fuji X-Trans III 6x6 pattern (color indices)
+XTRANS6 = (1, 0, 2, 1, 2, 0,
+           1, 2, 0, 1, 0, 2,
+           0, 1, 1, 2, 1, 1,
+           1, 2, 0, 1, 0, 2,
+           0, 1, 1, 2, 1, 1,
+           2, 1, 1, 0, 1, 1)
 
 
 def main():
@@ -53,36 +74,65 @@ def main():
             cfg_id = int(a.split("=")[1])
     cfg = CONFIGS[cfg_id]
     H, W = cfg["h"], cfg["w"]
-    raw, meta, _ = synth_raw(h=H, w=W, kind="gradients")
+    raw, meta, scene = synth_raw(h=H, w=W, kind="gradients")
+    if cfg.get("xtrans"):
+        import dataclasses
+
+        import numpy as _np
+
+        meta = dataclasses.replace(meta, xtrans=XTRANS6)
+        # remosaic the synthetic scene through the 6x6 pattern
+        idx = _np.asarray(XTRANS6).reshape(6, 6)
+        sel = idx[_np.arange(H)[:, None] % 6, _np.arange(W)[None, :] % 6]
+        lin = _np.take_along_axis(_np.asarray(scene), sel[None], axis=0)[0]
+        wb = _np.asarray(meta.wb_coeffs)[:3][sel]
+        raw = (lin / _np.maximum(wb, 1e-6) * (meta.white_point
+               - meta.black_levels[0]) + meta.black_levels[0]).astype(
+                   _np.float32)
 
     history = [HistoryItem(op, prm) for op, prm in cfg["history"]]
     pipe = compile_pipeline(meta, history, scale=1.0)
 
     spec = pipe.pipe.spec_in
     raw_padded = ops_base.pad_to(raw, spec)
+    batch = int(cfg.get("batch", 0))
 
     # warmup / compile (+ hard sync: a small readback, because
     # block_until_ready over the axon relay does not actually block)
-    dev_raw = jax.device_put(raw_padded)
-    coeffs = jax.device_put(pipe._coeffs)
-    fn = pipe._fn
-    y = fn(dev_raw, coeffs)
-    np.asarray(y[0, 0, :8])
+    if batch:
+        import jax.numpy as jnp
+
+        base_fn, base_coeffs = pipe._fn, pipe._coeffs
+        # lax.map (not vmap): Pallas ANY-space refs can't take a batch dim;
+        # images stream through the compiled pipe back-to-back on-device
+        fn = jax.jit(lambda xs, cs: jax.lax.map(
+            lambda xx: base_fn(xx, cs), xs))
+        dev_raw = jax.device_put(
+            np.broadcast_to(raw_padded, (batch,) + raw_padded.shape).copy())
+        coeffs = jax.device_put(base_coeffs)
+        y = fn(dev_raw, coeffs)
+        np.asarray(y[0, 0, 0, :8])
+    else:
+        dev_raw = jax.device_put(raw_padded)
+        coeffs = jax.device_put(pipe._coeffs)
+        fn = pipe._fn
+        y = fn(dev_raw, coeffs)
+        np.asarray(y[0, 0, :8])
 
     # Pipeline throughput, device-resident input (the reference benchmark
     # times the pixelpipe, not disk/codec IO — ansel-bench:250-320).  The
     # sandbox's host<->device tunnel runs at ~1 MB/s, so bulk transfers
     # would measure the tunnel, not the framework; a 32-byte readback
     # forces synchronization honestly.
-    n = 12
+    n = 12 if not batch else 6
     t0 = time.perf_counter()
     for i in range(n):
         y = fn(dev_raw, coeffs)
-    np.asarray(y[0, 0, :8])
+    np.asarray(y[0, 0, 0, :8] if batch else y[0, 0, :8])
     t_compute = (time.perf_counter() - t0) / n
 
-    mp = (H * W) / 1e6
-    images_per_sec = 1.0 / t_compute
+    mp = (H * W) / 1e6 * max(batch, 1)
+    images_per_sec = max(batch, 1) / t_compute
     result = {
         "metric": "24MP raw->sRGB full-pipe exports/sec/chip"
         if cfg_id == 1 else f"config {cfg_id}: {cfg['label']} exports/sec",
