@@ -1,9 +1,9 @@
 """ansel-tpu CLI — headless export (the `ansel-cli` analog,
 reference src/apps/ansel-cli/main.c).
 
-Raw input formats (native camera decode is a scheduled native-code
-milestone): .npz bundles produced by `ansel_tpu.io.rawfile` (mosaic +
-metadata), or `synth:WxH` synthetic test raws.
+Raw input formats: .dng/.tif (native C++ decoder, native/rawdec —
+uncompressed packed 10-16 bit + lossless-JPEG strips), .npz bundles
+produced by `ansel_tpu.io.rawfile`, or `synth:WxH` synthetic test raws.
 
 Usage:
   python -m ansel_tpu.cli <raw.npz|synth:6000x4000> [xmp sidecar] <out.jpg>
@@ -38,6 +38,10 @@ def main(argv=None):
     if args.input.startswith("synth:"):
         w, h = (int(v) for v in args.input[6:].split("x"))
         raw, meta, _ = synth_raw(h=h, w=w)
+    elif args.input.lower().endswith((".dng", ".tif", ".tiff")):
+        from .io.dng import load_dng
+
+        raw, meta = load_dng(args.input)
     else:
         raw, meta = load_raw(args.input)
     if args.verbose:

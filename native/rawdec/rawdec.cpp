@@ -1,0 +1,447 @@
+// rawdec — native DNG/TIFF raw decoder (C ABI, loaded via ctypes).
+//
+// The reference delegates camera decode to rawspeed/LibRaw (C++); this is
+// the TPU framework's native-runtime equivalent, scoped to the DNG
+// container: TIFF IFD walk, uncompressed packed 10/12/14/16-bit mosaics,
+// and lossless JPEG 1992 (ITU-T T.81 process 14, SOF3) strips/tiles as
+// used by DNG compression=7.  Behavioral reference for the tag semantics:
+// /root/reference/src/imageio/imageio_dng.c (writer) and the DNG 1.4 spec.
+//
+// Build: g++ -O2 -shared -fPIC rawdec.cpp -o librawdec.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Reader {
+  const uint8_t *p;
+  size_t n;
+  bool le;
+  uint16_t u16(size_t off) const {
+    if (off + 2 > n) return 0;
+    return le ? (uint16_t)(p[off] | p[off + 1] << 8)
+              : (uint16_t)(p[off] << 8 | p[off + 1]);
+  }
+  uint32_t u32(size_t off) const {
+    if (off + 4 > n) return 0;
+    return le ? ((uint32_t)p[off] | (uint32_t)p[off + 1] << 8 |
+                 (uint32_t)p[off + 2] << 16 | (uint32_t)p[off + 3] << 24)
+              : ((uint32_t)p[off] << 24 | (uint32_t)p[off + 1] << 16 |
+                 (uint32_t)p[off + 2] << 8 | (uint32_t)p[off + 3]);
+  }
+};
+
+struct Entry {
+  uint16_t tag, type;
+  uint32_t count;
+  size_t value_off;  // absolute offset of the value data
+};
+
+constexpr int kTypeSize[] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+
+struct IFD {
+  std::vector<Entry> entries;
+  const Entry *find(uint16_t tag) const {
+    for (auto &e : entries)
+      if (e.tag == tag) return &e;
+    return nullptr;
+  }
+};
+
+bool parse_ifd(const Reader &r, size_t off, IFD *out, size_t *next) {
+  if (off + 2 > r.n) return false;
+  uint16_t cnt = r.u16(off);
+  if (cnt > 4096) return false;
+  size_t pos = off + 2;
+  for (uint16_t i = 0; i < cnt; i++, pos += 12) {
+    if (pos + 12 > r.n) return false;
+    Entry e;
+    e.tag = r.u16(pos);
+    e.type = r.u16(pos + 2);
+    e.count = r.u32(pos + 4);
+    int ts = (e.type < 13) ? kTypeSize[e.type] : 0;
+    size_t bytes = (size_t)ts * e.count;
+    e.value_off = (bytes <= 4) ? pos + 8 : r.u32(pos + 8);
+    out->entries.push_back(e);
+  }
+  *next = r.u32(pos);
+  return true;
+}
+
+uint32_t entry_uint(const Reader &r, const Entry &e, uint32_t idx = 0) {
+  size_t off = e.value_off;
+  switch (e.type) {
+    case 1: return off + idx < r.n ? r.p[off + idx] : 0;      // BYTE
+    case 3: return r.u16(off + 2 * idx);                       // SHORT
+    case 4: return r.u32(off + 4 * idx);                       // LONG
+    default: return 0;
+  }
+}
+
+double entry_rational(const Reader &r, const Entry &e, uint32_t idx) {
+  if (e.type == 5) {  // RATIONAL
+    uint32_t num = r.u32(e.value_off + 8 * idx);
+    uint32_t den = r.u32(e.value_off + 8 * idx + 4);
+    return den ? (double)num / den : 0.0;
+  }
+  if (e.type == 10) {  // SRATIONAL
+    int32_t num = (int32_t)r.u32(e.value_off + 8 * idx);
+    int32_t den = (int32_t)r.u32(e.value_off + 8 * idx + 4);
+    return den ? (double)num / den : 0.0;
+  }
+  if (e.type == 3) return entry_uint(r, e, idx);
+  if (e.type == 4) return entry_uint(r, e, idx);
+  return 0.0;
+}
+
+// ---------------------------------------------------------------------------
+// Lossless JPEG 1992 (SOF3) decoder — DNG compression 7.
+
+struct Huff {
+  // canonical Huffman per T.81: maxcode/mincode/valptr tables
+  int32_t mincode[17], maxcode[17];
+  int valptr[17];
+  uint8_t values[256];
+  bool ok = false;
+};
+
+struct BitReader {
+  const uint8_t *p;
+  size_t n, pos = 0;
+  uint32_t bits = 0;
+  int nbits = 0;
+  bool bad = false;
+  int get(int want) {
+    while (nbits < want) {
+      if (pos >= n) { bad = true; return 0; }
+      uint8_t b = p[pos++];
+      if (b == 0xFF) {
+        if (pos < n && p[pos] == 0x00) pos++;  // stuffed byte
+        else { bad = true; return 0; }          // marker inside scan
+      }
+      bits = (bits << 8) | b;
+      nbits += 8;
+    }
+    int v = (bits >> (nbits - want)) & ((1u << want) - 1);
+    nbits -= want;
+    return v;
+  }
+};
+
+int huff_decode(BitReader &br, const Huff &h) {
+  int code = br.get(1);
+  int len = 1;
+  while (len <= 16 && (h.maxcode[len] < 0 || code > h.maxcode[len])) {
+    code = (code << 1) | br.get(1);
+    len++;
+  }
+  if (len > 16 || br.bad) { br.bad = true; return 0; }
+  return h.values[h.valptr[len] + code - h.mincode[len]];
+}
+
+int extend(int v, int ssss) {
+  // T.81 F.2.2.1: map magnitude bits to signed difference
+  if (ssss == 0) return 0;
+  if (ssss == 16) return -32768;
+  return (v < (1 << (ssss - 1))) ? v - (1 << ssss) + 1 : v;
+}
+
+// returns 0 on success
+int lj92_decode(const uint8_t *buf, size_t len, uint16_t *out,
+                size_t out_cap, int *o_w, int *o_h, int *o_comps) {
+  size_t pos = 0;
+  auto u16 = [&](size_t o) -> int {
+    return o + 2 <= len ? (buf[o] << 8 | buf[o + 1]) : -1;
+  };
+  if (u16(pos) != 0xFFD8) return 1;  // SOI
+  pos += 2;
+  Huff tables[4];
+  int w = 0, h = 0, comps = 0, precision = 0, predictor = 1, pt = 0;
+  int comp_dc[4] = {0, 0, 0, 0};
+  while (pos + 4 <= len) {
+    int marker = u16(pos);
+    int seglen = u16(pos + 2);
+    if (marker < 0xFF01 || seglen < 2) return 2;
+    size_t seg = pos + 4;
+    if (marker == 0xFFC3) {  // SOF3
+      precision = buf[seg];
+      h = u16(seg + 1);
+      w = u16(seg + 3);
+      comps = buf[seg + 5];
+      if (comps < 1 || comps > 4) return 3;
+      pos += 2 + seglen;
+    } else if (marker == 0xFFC4) {  // DHT
+      size_t t = seg;
+      while (t < seg + seglen - 2) {
+        int id = buf[t] & 0x0F;
+        if (id > 3) return 4;
+        Huff &hh = tables[id];
+        int counts[17] = {0};
+        int total = 0;
+        for (int i = 1; i <= 16; i++) {
+          counts[i] = buf[t + i];
+          total += counts[i];
+        }
+        if (total > 256) return 4;
+        for (int i = 0; i < total; i++) hh.values[i] = buf[t + 17 + i];
+        int code = 0, k = 0;
+        for (int i = 1; i <= 16; i++) {
+          hh.valptr[i] = k;
+          hh.mincode[i] = code;
+          code += counts[i];
+          k += counts[i];
+          hh.maxcode[i] = counts[i] ? code - 1 : -1;
+          code <<= 1;
+        }
+        hh.ok = true;
+        t += 17 + total;
+      }
+      pos += 2 + seglen;
+    } else if (marker == 0xFFDA) {  // SOS
+      int ns = buf[seg];
+      int tsel[4] = {0, 0, 0, 0};
+      for (int i = 0; i < ns; i++) tsel[i] = buf[seg + 2 + 2 * i] >> 4;
+      // SOS tail: Ss = predictor, Se, Ah/Al (low nibble = point transform)
+      predictor = buf[seg + 1 + 2 * ns];
+      pt = buf[seg + 1 + 2 * ns + 2] & 0x0F;
+      size_t scan = seg + seglen - 2;
+      if (!w || !h || !comps) return 5;
+      if ((size_t)w * h * comps > out_cap) return 6;
+      BitReader br{buf + scan, len - scan};
+      const int defaultdc = 1 << (precision - pt - 1);
+      std::vector<int32_t> prev((size_t)w * comps), cur((size_t)w * comps);
+      (void)comp_dc;
+      for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+          for (int c = 0; c < comps; c++) {
+            const Huff &hh = tables[tsel[c]];
+            if (!hh.ok) return 7;
+            int ssss = huff_decode(br, hh);
+            int diff = extend(br.get(ssss), ssss);
+            if (br.bad) return 8;
+            int32_t pred;
+            if (y == 0 && x == 0) pred = defaultdc;
+            else if (x == 0) pred = prev[c];                       // above
+            else if (y == 0) pred = cur[(size_t)(x - 1) * comps + c];
+            else {
+              const int32_t a = cur[(size_t)(x - 1) * comps + c];  // left
+              const int32_t b = prev[(size_t)x * comps + c];       // above
+              const int32_t cc = prev[(size_t)(x - 1) * comps + c];
+              switch (predictor) {
+                case 1: pred = a; break;
+                case 2: pred = b; break;
+                case 3: pred = cc; break;
+                case 4: pred = a + b - cc; break;
+                case 5: pred = a + ((b - cc) >> 1); break;
+                case 6: pred = b + ((a - cc) >> 1); break;
+                case 7: pred = (a + b) >> 1; break;
+                default: pred = a; break;
+              }
+            }
+            const int32_t v = (pred + diff) & 0xFFFF;
+            cur[(size_t)x * comps + c] = v;
+            out[((size_t)y * w + x) * comps + c] = (uint16_t)(v << pt);
+          }
+        }
+        std::swap(prev, cur);
+      }
+      *o_w = w;
+      *o_h = h;
+      *o_comps = comps;
+      return 0;
+    } else if (marker == 0xFFD9) {
+      return 9;
+    } else {
+      pos += 2 + seglen;
+    }
+  }
+  return 10;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct RawInfo {
+  uint32_t width, height, bits, compression;
+  uint32_t cfa[4];        // 2x2 pattern color indices (R=0,G=1,B=2)
+  double black, white;
+  double wb[3];           // AsShotNeutral (cam = wb * XYZ-ish)
+  double cam_to_xyz[9];   // inverse of ColorMatrix (D65-ish)
+  uint32_t n_strips;
+  uint32_t iso;
+};
+
+// Walk IFDs; pick the largest raw-looking IFD.  Returns 0 on success.
+// strip_offsets/strip_counts must hold >= 64 entries each.
+int rawdec_info(const uint8_t *buf, size_t len, RawInfo *info,
+                uint64_t *strip_offsets, uint64_t *strip_counts) {
+  if (len < 8) return 1;
+  Reader r{buf, len, buf[0] == 'I'};
+  if (!((buf[0] == 'I' && buf[1] == 'I') || (buf[0] == 'M' && buf[1] == 'M')))
+    return 1;
+  if (r.u16(2) != 42) return 1;
+
+  std::vector<IFD> ifds;
+  std::vector<size_t> todo{r.u32(4)};
+  while (!todo.empty() && ifds.size() < 32) {
+    size_t off = todo.back();
+    todo.pop_back();
+    if (!off || off >= len) continue;
+    IFD ifd;
+    size_t next = 0;
+    if (!parse_ifd(r, off, &ifd, &next)) continue;
+    if (next) todo.push_back(next);
+    if (const Entry *sub = ifd.find(0x014A))  // SubIFDs
+      for (uint32_t i = 0; i < sub->count && i < 8; i++)
+        todo.push_back(entry_uint(r, *sub, i));
+    ifds.push_back(std::move(ifd));
+  }
+  const IFD *best = nullptr;
+  uint64_t best_pix = 0;
+  for (auto &ifd : ifds) {
+    const Entry *we = ifd.find(0x0100), *he = ifd.find(0x0101);
+    if (!we || !he || !ifd.find(0x0111)) continue;
+    const Entry *spp = ifd.find(0x0115);
+    if (spp && entry_uint(r, *spp) != 1) continue;  // mosaic = 1 sample
+    uint64_t pix = (uint64_t)entry_uint(r, *we) * entry_uint(r, *he);
+    if (pix > best_pix) {
+      best_pix = pix;
+      best = &ifd;
+    }
+  }
+  if (!best) return 2;
+
+  memset(info, 0, sizeof(*info));
+  info->width = entry_uint(r, *best->find(0x0100));
+  info->height = entry_uint(r, *best->find(0x0101));
+  const Entry *bps = best->find(0x0102);
+  info->bits = bps ? entry_uint(r, *bps) : 16;
+  const Entry *cmp = best->find(0x0103);
+  info->compression = cmp ? entry_uint(r, *cmp) : 1;
+  info->white = (1u << info->bits) - 1;
+  info->wb[0] = info->wb[1] = info->wb[2] = 1.0;
+  info->cfa[0] = 0; info->cfa[1] = 1; info->cfa[2] = 1; info->cfa[3] = 2;
+
+  if (const Entry *e = best->find(0x828D)) {  // CFARepeatPatternDim
+    (void)e;
+  }
+  if (const Entry *e = best->find(0x828E))  // CFAPattern
+    for (int i = 0; i < 4 && i < (int)e->count; i++)
+      info->cfa[i] = entry_uint(r, *e, i);
+  if (const Entry *e = best->find(0xC61A))  // BlackLevel
+    info->black = entry_rational(r, *e, 0);
+  if (const Entry *e = best->find(0xC61D))  // WhiteLevel
+    info->white = entry_uint(r, *e);
+
+  // root-IFD color tags (DNG stores them on IFD0)
+  for (auto &ifd : ifds) {
+    if (const Entry *e = ifd.find(0xC628))  // AsShotNeutral
+      for (int i = 0; i < 3 && i < (int)e->count; i++)
+        info->wb[i] = entry_rational(r, *e, i);
+    if (const Entry *e = ifd.find(0xC622))  // ColorMatrix1 (XYZ->cam)
+      if (e->count >= 9 && info->cam_to_xyz[0] == 0.0) {
+        double m[9];
+        for (int i = 0; i < 9; i++) m[i] = entry_rational(r, *e, i);
+        // invert 3x3
+        double det = m[0] * (m[4] * m[8] - m[5] * m[7]) -
+                     m[1] * (m[3] * m[8] - m[5] * m[6]) +
+                     m[2] * (m[3] * m[7] - m[4] * m[6]);
+        if (det != 0.0) {
+          double inv[9] = {
+              (m[4] * m[8] - m[5] * m[7]) / det,
+              (m[2] * m[7] - m[1] * m[8]) / det,
+              (m[1] * m[5] - m[2] * m[4]) / det,
+              (m[5] * m[6] - m[3] * m[8]) / det,
+              (m[0] * m[8] - m[2] * m[6]) / det,
+              (m[2] * m[3] - m[0] * m[5]) / det,
+              (m[3] * m[7] - m[4] * m[6]) / det,
+              (m[1] * m[6] - m[0] * m[7]) / det,
+              (m[0] * m[4] - m[1] * m[3]) / det};
+          memcpy(info->cam_to_xyz, inv, sizeof(inv));
+        }
+      }
+    if (const Entry *e = ifd.find(0x8827))  // ISO
+      info->iso = entry_uint(r, *e);
+  }
+
+  const Entry *so = best->find(0x0111);
+  const Entry *sc = best->find(0x0117);
+  uint32_t n = so ? so->count : 0;
+  if (n > 64) n = 64;
+  info->n_strips = n;
+  for (uint32_t i = 0; i < n; i++) {
+    strip_offsets[i] = entry_uint(r, *so, i);
+    strip_counts[i] = sc ? entry_uint(r, *sc, i) : 0;
+  }
+  // rows per strip for decode()
+  return 0;
+}
+
+// Decode the raw mosaic into out (width*height uint16).  Returns 0 on ok.
+int rawdec_decode(const uint8_t *buf, size_t len, const RawInfo *info,
+                  const uint64_t *strip_offsets, const uint64_t *strip_counts,
+                  uint32_t rows_per_strip, uint16_t *out) {
+  const size_t W = info->width, H = info->height;
+  if (info->compression == 1) {
+    // packed big/little-endian 10/12/14/16-bit, strip by strip
+    size_t row = 0;
+    for (uint32_t s = 0; s < info->n_strips && row < H; s++) {
+      const uint8_t *p = buf + strip_offsets[s];
+      size_t avail = strip_counts[s];
+      if (strip_offsets[s] + avail > len) return 2;
+      size_t rows = rows_per_strip ? rows_per_strip : H;
+      if (row + rows > H) rows = H - row;
+      if (info->bits == 16) {
+        bool le = buf[0] == 'I';
+        if (avail < rows * W * 2) return 3;
+        for (size_t i = 0; i < rows * W; i++)
+          out[row * W + i] =
+              le ? (uint16_t)(p[2 * i] | p[2 * i + 1] << 8)
+                 : (uint16_t)(p[2 * i] << 8 | p[2 * i + 1]);
+      } else {
+        // MSB-first packed bitstream (TIFF FillOrder 1)
+        uint64_t acc = 0;
+        int nb = 0;
+        size_t pi = 0;
+        for (size_t i = 0; i < rows * W; i++) {
+          while (nb < (int)info->bits) {
+            if (pi >= avail) return 3;
+            acc = (acc << 8) | p[pi++];
+            nb += 8;
+          }
+          out[row * W + i] =
+              (uint16_t)((acc >> (nb - info->bits)) & ((1u << info->bits) - 1));
+          nb -= info->bits;
+        }
+      }
+      row += rows;
+    }
+    return 0;
+  }
+  if (info->compression == 7) {  // lossless JPEG strips
+    std::vector<uint16_t> tmp((size_t)W * H * 2);
+    size_t row = 0;
+    for (uint32_t s = 0; s < info->n_strips && row < H; s++) {
+      if (strip_offsets[s] + strip_counts[s] > len) return 2;
+      int w = 0, h = 0, comps = 0;
+      int rc = lj92_decode(buf + strip_offsets[s], strip_counts[s],
+                           tmp.data(), tmp.size(), &w, &h, &comps);
+      if (rc) return 100 + rc;
+      // LJ92 in DNG packs 2 mosaic columns per "component" commonly;
+      // w * comps must equal the mosaic strip width
+      if ((size_t)w * comps != W) return 4;
+      size_t rows = (size_t)h;
+      if (row + rows > H) rows = H - row;
+      for (size_t y = 0; y < rows; y++)
+        memcpy(out + (row + y) * W, tmp.data() + y * W, W * 2);
+      row += rows;
+    }
+    return 0;
+  }
+  return 1;  // unsupported compression
+}
+
+}  // extern "C"
