@@ -206,3 +206,26 @@ def test_colorbalancergb_shadow_lift_raises_shadows():
     p = ColorBalanceRGBParams(shadows_Y=0.3)
     out, _ = _run(ColorBalanceRGB(), p, x)
     assert out.mean() > x.mean() * 1.1
+
+
+def test_cacorrectrgb_aligns_fringed_edges():
+    import jax
+
+    from ansel_tpu.ops.cacorrectrgb import CACorrectRGB, CACorrectRGBParams
+
+    g = np.zeros((96, 128), np.float32)
+    g[:, 64:] = 1.0
+    r = np.zeros_like(g)
+    r[:, 62:] = 1.0  # red edge shifted left
+    b = np.zeros_like(g)
+    b[:, 66:] = 1.0  # blue edge shifted right
+    x = np.stack([r, g, b]) * 0.8 + 0.05
+    p = CACorrectRGBParams(strength=2.0)
+    out, _ = _run(CACorrectRGB(), p, x,
+                  spec=ImageSpec(height=96, width=128, channels=3,
+                                 colorspace=Colorspace.CAMERA_RGB))
+    row = out[:, 48, :]
+    edges = [int(np.argmax(row[c] > 0.45)) for c in range(3)]
+    assert edges == [64, 64, 64], edges  # all channels align to the guide
+    # flat areas untouched
+    assert np.abs(out[:, :, :40] - x[:, :, :40]).max() < 0.02
