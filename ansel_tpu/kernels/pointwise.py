@@ -29,8 +29,12 @@ def cdiv(a, b):
 
 def pallas_pointwise(fn: Callable, x: jnp.ndarray, consts,
                      tile_h: int = 256, tile_w: int = 512,
+                     with_pos: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
-    """Run `fn(block, consts_vec) -> block` tiled over x (C, H, W)."""
+    """Run `fn(block, consts_vec) -> block` tiled over x (C, H, W).
+    With `with_pos`, fn receives two extra (th, tw) float32 arguments —
+    the absolute pixel y/x coordinates of the tile — so position-dependent
+    ops (vignette, graduated filters) can join the fused chain."""
     C, H, W = x.shape
     consts = jnp.asarray(consts, jnp.float32).reshape(-1)
     th = min(tile_h, H)
@@ -38,7 +42,17 @@ def pallas_pointwise(fn: Callable, x: jnp.ndarray, consts,
     grid = (cdiv(H, th), cdiv(W, tw))
 
     def kernel(consts_ref, x_ref, o_ref):
-        o_ref[:] = fn(x_ref[:], consts_ref)
+        if with_pos:
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            # Mosaic iota must be integer; cast after
+            yy = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+                  + i * th).astype(jnp.float32)
+            xx = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+                  + j * tw).astype(jnp.float32)
+            o_ref[:] = fn(x_ref[:], consts_ref, yy, xx)
+        else:
+            o_ref[:] = fn(x_ref[:], consts_ref)
 
     return pl.pallas_call(
         kernel,

@@ -107,6 +107,8 @@ class PointwiseSpec:
     consts: tuple
     fn: Any
     mats: tuple = ()
+    # fn also takes (yy, xx) absolute pixel coords as trailing args
+    needs_pos: bool = False
 
 
 _OPS: Dict[str, Op] = {}

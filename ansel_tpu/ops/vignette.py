@@ -46,6 +46,20 @@ class Vignette(Op):
                 "cx": p.center_x, "cy": p.center_y,
                 "whratio": max(p.whratio, 1e-3), "shape": max(p.shape, 1e-3)}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+        iw, ih = plan.spec_in.width, plan.spec_in.height
+
+        def fn(b, cd, yy, xx):
+            xs = (xx - iw / 2.0) / (iw / 2.0) - cd["cx"]
+            ys = (yy - ih / 2.0) / (ih / 2.0) - cd["cy"]
+            return self._pixel(b, cd, xs, ys)
+
+        return PointwiseSpec(
+            consts=("scale", "falloff", "brightness", "saturation", "cx",
+                    "cy", "whratio", "shape"),
+            fn=fn, needs_pos=True)
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         spec = plan.spec_in
         h, w = spec.pad_h, spec.pad_w
@@ -54,10 +68,14 @@ class Vignette(Op):
               - iw / 2.0) / (iw / 2.0) - c["cx"]
         ys = (jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0)
               - ih / 2.0) / (ih / 2.0) - c["cy"]
+        xs, ys = jnp.broadcast_to(xs, (h, w)), jnp.broadcast_to(ys, (h, w))
+        return self._pixel(x, c, xs, ys)
+
+    def _pixel(self, x, c, xs, ys):
         # ellipse: whratio <1 widens x, >1 widens y (reference semantics)
         wh = c["whratio"]
         d = jnp.sqrt((xs / wh) ** 2 + ys**2)
-        d = d ** jnp.asarray(c["shape"], x.dtype)
+        d = jnp.maximum(d, 1e-9) ** c["shape"]
         inner = c["scale"]
         outer = inner + jnp.maximum(c["falloff"], 1e-4)
         t = jnp.clip((d - inner) / (outer - inner), 0.0, 1.0)
@@ -65,6 +83,6 @@ class Vignette(Op):
         t = t * t * (3.0 - 2.0 * t)
         gain = 1.0 + c["brightness"] * t
         out = x * gain[None]
-        mean = jnp.mean(out, axis=0, keepdims=True)
+        mean = (out[0] + out[1] + out[2]) / 3.0
         sat = 1.0 + c["saturation"] * t
-        return mean + (out - mean) * sat[None]
+        return mean[None] + (out - mean[None]) * sat[None]

@@ -238,8 +238,9 @@ class Pipeline:
                         mat_keys.add(key)
             pack = ConstPack()
             vec = pack.pack(values, order)
+            with_pos = any(sp.needs_pos for (_s, sp, _c) in group)
 
-            def block_fn(block, consts_ref):
+            def block_fn(block, consts_ref, yy=None, xx=None):
                 for k, (s, spec_pw, _c) in enumerate(group):
                     cd = {}
                     for name in spec_pw.consts:
@@ -249,11 +250,15 @@ class Pipeline:
                             v = [[v[3 * r + i] for i in range(3)]
                                  for r in range(3)]
                         cd[name] = v
-                    block = spec_pw.fn(block, cd)
+                    if spec_pw.needs_pos:
+                        block = spec_pw.fn(block, cd, yy, xx)
+                    else:
+                        block = spec_pw.fn(block, cd)
                 return block
 
             # deep chains: small tile to stay under the scoped-VMEM limit
-            return pallas_pointwise(block_fn, x, vec, tile_h=64, tile_w=512)
+            return pallas_pointwise(block_fn, x, vec, tile_h=64, tile_w=512,
+                                    with_pos=with_pos)
 
         def run(x, coeffs):
             import jax as _jax
