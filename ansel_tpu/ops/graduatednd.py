@@ -52,27 +52,42 @@ class GraduatedND(Op):
             "color": color, "color1": color1,
         }
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+        iw, ih = float(plan.spec_in.width), float(plan.spec_in.height)
+
+        def fn(b, cd, yy, xx):
+            return self._pixel(b, cd, xx, yy, iw, ih)
+
+        return PointwiseSpec(
+            consts=("density", "sinv", "cosv", "offset", "hardness",
+                    "color", "color1"),
+            fn=fn, needs_pos=True)
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         spec = plan.spec_in
         h, w = spec.pad_h, spec.pad_w
-        iw, ih = float(spec.width), float(spec.height)
+        xs = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.float32, (1, w), 1), (h, w))
+        ys = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0), (h, w))
+        return self._pixel(x, c, xs, ys,
+                           float(spec.width), float(spec.height))
+
+    def _pixel(self, x, c, xs, ys, iw, ih):
         hw, hh = iw / 2.0, ih / 2.0
         filter_radius = math.sqrt(hh * hh + hw * hw) / hh
-        dtype = x.dtype
-        sinv = jnp.asarray(c["sinv"], dtype)
-        cosv = jnp.asarray(c["cosv"], dtype)
         hardness = (1.0 / filter_radius
                     / (1.0 - (0.5 + c["hardness"] * 0.9 / 2.0)) * 0.5)
-        xs = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
-        ys = jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0)
-        length = (sinv * (-1.0 + xs / hw) - cosv * (-1.0 + ys / hh)
-                  - 1.0 + c["offset"]) * jnp.asarray(hardness, dtype)
-        dens = jnp.asarray(c["density"], dtype)
+        length = (c["sinv"] * (-1.0 + xs / hw) - c["cosv"] * (-1.0 + ys / hh)
+                  - 1.0 + c["offset"]) * hardness
+        dens = c["density"]
         # reference runs the mirrored formula for negative density
         t = jnp.where(dens > 0,
                       jnp.clip(0.5 + length, 0.0, 1.0),
                       jnp.clip(0.5 - length, 0.0, 1.0))
         density = jnp.exp2(jnp.abs(dens) * t)
-        color = jnp.asarray(c["color"], dtype).reshape(3, 1, 1)
-        color1 = jnp.asarray(c["color1"], dtype).reshape(3, 1, 1)
-        return jnp.maximum(0.0, x / (color + color1 * density[None]))
+        col, col1 = c["color"], c["color1"]
+        return jnp.stack([
+            jnp.maximum(0.0, x[i] / (col[i] + col1[i] * density))
+            for i in range(3)])
