@@ -103,6 +103,8 @@ class ConstPack:
             parts.append(v)
         self.sizes = [int(p.shape[0]) for p in parts]
         self.offsets = np.cumsum([0] + self.sizes[:-1]).tolist()
+        if not parts:  # const-free chain (e.g. colorspace converts only)
+            return jnp.zeros((1,), jnp.float32)
         return jnp.concatenate(parts)
 
     def get(self, consts_ref, name: str):

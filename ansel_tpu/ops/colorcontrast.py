@@ -39,11 +39,19 @@ class ColorContrast(Op):
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=bool(p.unbound))
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("slope", "offset"),
+                             fn=lambda b, cd: self._pixel(b, cd, plan.static))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        slope = jnp.asarray(c["slope"], x.dtype).reshape(3, 1, 1)
-        offset = jnp.asarray(c["offset"], x.dtype).reshape(3, 1, 1)
-        y = x * slope + offset
-        if not plan.static:
-            y = jnp.stack([y[0], jnp.clip(y[1], -128.0, 128.0),
-                           jnp.clip(y[2], -128.0, 128.0)])
-        return y
+        return self._pixel(x, c, plan.static)
+
+    def _pixel(self, x, c, unbound):
+        sl, of = c["slope"], c["offset"]
+        y = [x[i] * sl[i] + of[i] for i in range(3)]
+        if not unbound:
+            y = [y[0], jnp.clip(y[1], -128.0, 128.0),
+                 jnp.clip(y[2], -128.0, 128.0)]
+        return jnp.stack(y)

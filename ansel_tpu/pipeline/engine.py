@@ -114,6 +114,51 @@ class _ConvertOp(ops_base.Op):
             return tr.apply_matrix(xyz, cm.WORK_FROM_XYZ)
         raise ValueError(f"no conversion {src} -> {dst}")
 
+    def pointwise_spec(self, plan, ctx):
+        """Pallas-safe scalar form so Lab pointwise segments fuse too."""
+        from ..color import matrices as cm
+        from ..color.transforms import apply_matrix
+        from ..ops.base import PointwiseSpec
+
+        src, dst = plan.static
+        white = [float(v) for v in cm.xy_to_XYZ(*cm.WP_D65)]
+        eps, kappa = 216.0 / 24389.0, 24389.0 / 27.0
+
+        if (src, dst) == (Colorspace.WORK_RGB, Colorspace.LAB):
+            M = cm.XYZ_FROM_WORK.tolist()
+
+            def fn(b, cd):
+                xyz = apply_matrix(b, M)
+                f = []
+                for i in range(3):
+                    r = xyz[i] / white[i]
+                    f.append(jnp.where(
+                        r > eps, jnp.maximum(r, 1e-12) ** (1.0 / 3.0),
+                        (kappa * r + 16.0) / 116.0))
+                return jnp.stack([116.0 * f[1] - 16.0,
+                                  500.0 * (f[0] - f[1]),
+                                  200.0 * (f[1] - f[2])])
+
+            return PointwiseSpec(consts=(), fn=fn)
+
+        if (src, dst) == (Colorspace.LAB, Colorspace.WORK_RGB):
+            Mi = cm.WORK_FROM_XYZ.tolist()
+
+            def fn(b, cd):
+                fy = (b[0] + 16.0) / 116.0
+                fx = fy + b[1] / 500.0
+                fz = fy - b[2] / 200.0
+                out = []
+                for i, fc in enumerate((fx, fy, fz)):
+                    f3 = fc * fc * fc
+                    out.append(jnp.where(f3 > eps, f3,
+                                         (116.0 * fc - 16.0) / kappa)
+                               * white[i])
+                return apply_matrix(jnp.stack(out), Mi)
+
+            return PointwiseSpec(consts=(), fn=fn)
+        return None
+
 
 _CONVERT = _ConvertOp()
 _CONVERTIBLE = {
