@@ -303,7 +303,8 @@ class Pipeline:
 
             # deep chains: small tile to stay under the scoped-VMEM limit
             return pallas_pointwise(block_fn, x, vec, tile_h=64, tile_w=512,
-                                    with_pos=with_pos)
+                                    with_pos=with_pos,
+                                    interpret=_FORCE_FUSION_INTERPRET)
 
         def run(x, coeffs):
             import jax as _jax
@@ -311,7 +312,9 @@ class Pipeline:
             from . import blend as blend_mod
             from ..color import matrices as cmats
 
-            fuse = _jax.default_backend() == "tpu" and not _DISABLE_FUSION
+            fuse = ((_jax.default_backend() == "tpu"
+                     or _FORCE_FUSION_INTERPRET)
+                    and not _DISABLE_FUSION)
             i = 0
             while i < len(stages):
                 s, c = stages[i], coeffs[i]
@@ -359,6 +362,8 @@ _COMPILE_CACHE: Dict[Tuple, Any] = {}
 
 # debugging escape hatch: force the per-op path even on TPU
 _DISABLE_FUSION = False
+# test hook: run the fused Pallas path in interpret mode on CPU
+_FORCE_FUSION_INTERPRET = False
 
 
 class CompiledPipe:
