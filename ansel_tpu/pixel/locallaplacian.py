@@ -28,13 +28,21 @@ def _blur5(x):
 
 
 def _reduce(x):
-    return _blur5(x)[::2, ::2]
+    # two single-axis strided slices with a barrier: the fused
+    # [::2, ::2] lowers to a 15x-slower 2D strided copy on TPU
+    b = _blur5(x)
+    b = jax.lax.optimization_barrier(b[::2])
+    return b[:, ::2]
 
 
 def _expand(x, shape):
     h, w = shape
-    up = jnp.zeros((h, w), x.dtype)
-    up = up.at[::2, ::2].set(x[: (h + 1) // 2, : (w + 1) // 2])
+    x = x[: (h + 1) // 2, : (w + 1) // 2]
+    h2, w2 = x.shape
+    # zero-interleave via stack+reshape (a [::2, ::2] scatter is 5x slower)
+    up = jnp.stack([x, jnp.zeros_like(x)], axis=-1).reshape(h2, w2 * 2)
+    up = jnp.stack([up, jnp.zeros_like(up)], axis=-2).reshape(h2 * 2, w2 * 2)
+    up = up[:h, :w]
     return _blur5(up) * 4.0
 
 
