@@ -226,6 +226,18 @@ class Diffuse(Op):
 
         scales, iterations, modes, has_mask = plan.static
 
+        from ..kernels.diffuse_pallas import (MAX_SCALES,
+                                              diffuse_iteration_pallas)
+
+        if jax.default_backend() == "tpu" and scales <= MAX_SCALES:
+            out = x
+            for _ in range(iterations):
+                out = diffuse_iteration_pallas(out, c, scales, modes)
+            if has_mask:
+                mask = jnp.any(x > c["threshold"], axis=0, keepdims=True)
+                out = jnp.where(mask, out, x)
+            return out
+
         def one_iteration(img, _):
             # decompose
             HF = []
