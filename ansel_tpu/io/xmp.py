@@ -129,11 +129,19 @@ def _parse_description(desc, doc: XMPDocument) -> None:
             if not mid or not mtype or not ptext:
                 continue
             blob = xmp_decode(ptext)
+            src = (0.0, 0.0)
+            stext = _li_get(li, "mask_src")
+            if stext:
+                import struct as _struct
+
+                sblob = xmp_decode(stext)
+                if len(sblob) >= 8:
+                    src = _struct.unpack("<2f", sblob[:8])
             doc.masks[mid] = Form(
                 id=mid, type=mtype,
                 name=_li_get(li, "mask_name") or "",
                 version=int(_li_get(li, "mask_version") or 6),
-                nodes=decode_points(mtype, blob, nb))
+                nodes=decode_points(mtype, blob, nb), src=src)
         except (ValueError, KeyError):
             continue
 
@@ -237,7 +245,7 @@ def write_xmp(path: str, doc: XMPDocument) -> None:
             li.set(_q("darktable", "mask_points"),
                    xmp_encode(form.points_blob()))
             li.set(_q("darktable", "mask_nb"), str(len(form.nodes)))
-            li.set(_q("darktable", "mask_src"), "")
+            li.set(_q("darktable", "mask_src"), xmp_encode(form.src_blob()))
     data = etree.tostring(root, pretty_print=True, xml_declaration=False,
                           encoding="utf-8")
     with open(path, "wb") as f:

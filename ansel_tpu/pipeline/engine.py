@@ -177,6 +177,7 @@ class Pipeline:
         self.stages: List[PlannedOp] = []
         self.unsupported: List[str] = []
         self.forms = forms or {}  # drawn-mask forms {id: masks.Form}
+        self.ctx.notes["forms"] = self.forms  # ops (spots/retouch) read these
 
         spec = ImageSpec(
             width=meta.width, height=meta.height, colorspace=Colorspace.RAW,

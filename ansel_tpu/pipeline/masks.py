@@ -61,10 +61,16 @@ class Form:
     name: str = ""
     version: int = MASKS_VERSION
     nodes: List[tuple] = dataclasses.field(default_factory=list)
+    # clone-source position in normalized coords (dt_masks_form_t.source,
+    # serialized as the XMP mask_src blob)
+    src: tuple = (0.0, 0.0)
 
     def points_blob(self) -> bytes:
         fmt, _ = _NODE_CODECS[_base_type(self.type)]
         return b"".join(struct.pack(fmt, *n) for n in self.nodes)
+
+    def src_blob(self) -> bytes:
+        return struct.pack("<2f", *self.src)
 
 
 # struct formats per node type (masks.h:234-291)
