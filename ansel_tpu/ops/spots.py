@@ -6,8 +6,8 @@ form, composite the source-offset region into the destination under the
 form's mask.  The form's source position travels in the XMP mask_src
 blob (masks.Form.src).
 
-The heal algorithm (Poisson seamless clone, src/pixel/heal.c) is pending
-(docs/ROADMAP.md); both algo values currently use the clone path.
+clone_algo 1 = clone (direct composite), 2 = heal (the default:
+Poisson seamless clone via pixel/heal.py).
 """
 
 from __future__ import annotations
@@ -51,7 +51,9 @@ class Spots(Op):
             cx, cy = float(form.nodes[0][0]), float(form.nodes[0][1])
             dx = int(round((float(form.src[0]) - cx) * spec_in.width))
             dy = int(round((float(form.src[1]) - cy) * spec_in.height))
-            clones.append((mk.form_signature(form, forms), fid, dy, dx))
+            algo = p.clone_algo[list(p.clone_id).index(fid)]
+            clones.append((mk.form_signature(form, forms), fid, dy, dx,
+                           int(algo)))
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=tuple(clones))
 
@@ -64,12 +66,17 @@ class Spots(Op):
         H, W = x.shape[-2:]
         spec = plan.spec_in
         out = x
-        for (_sig, fid, dy, dx) in plan.static:
+        for (_sig, fid, dy, dx, algo) in plan.static:
             form = forms.get(fid)
             if form is None:
                 continue
             m = mk.rasterize(form, forms, H, W,
                              norm_h=spec.height, norm_w=spec.width)
             src = jnp.roll(out, (-dy, -dx), axis=(-2, -1))
-            out = out * (1.0 - m)[None] + src * m[None]
+            if algo == 2:  # heal (the default)
+                from ..pixel.heal import heal
+
+                out = heal(out, src, m)
+            else:  # clone
+                out = out * (1.0 - m)[None] + src * m[None]
         return out

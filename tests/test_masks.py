@@ -129,3 +129,24 @@ def test_drawn_mask_in_pipeline():
     # far corner (outside): unchanged
     corner = np.abs(out[:, 5, 5] - out_ref[:, 5, 5]).max()
     assert corner < 1e-4, corner
+
+
+def test_spots_heal_seamless():
+    """heal removes the source's DC offset but keeps its texture."""
+    import jax
+    import jax.numpy as jnp
+
+    from ansel_tpu.pixel.heal import heal
+
+    H, W = 96, 128
+    dst = np.full((3, H, W), 0.5, np.float32)
+    yy, xx = np.mgrid[:H, :W]
+    src = (np.full((3, H, W), 0.9)
+           + 0.05 * np.sin(xx / 3)[None]).astype(np.float32)
+    maskarr = (((yy - 48) ** 2 + (xx - 64) ** 2) < 20 ** 2).astype(np.float32)
+    out = np.asarray(jax.jit(heal)(jnp.asarray(dst), jnp.asarray(src),
+                                   jnp.asarray(maskarr)))
+    inside = maskarr > 0.5
+    assert abs(out[0][inside].mean() - 0.5) < 0.02   # DC matched to dest
+    assert out[0][inside].std() > 0.02               # texture survives
+    assert np.abs(out[0][~inside] - 0.5).max() < 1e-6
