@@ -50,6 +50,9 @@ def cfield(ctype: str, default: Any, **extra) -> dataclasses.Field:
 
 def _parse_ctype(ctype: str) -> Tuple[str, int, bool]:
     """-> (struct code for one element, count, is_string)."""
+    if ctype.startswith("raw:"):   # fixed-size opaque bytes (array-of-struct)
+        n = int(ctype[4:])
+        return f"{n}s", 1, "raw"
     if ctype.startswith("s:"):
         n = int(ctype[2:])
         return f"{n}s", 1, True
@@ -85,7 +88,10 @@ class _Codec:
         kwargs = {}
         i = 0
         for name, code, count, is_str in self.layout:
-            if is_str:
+            if is_str == "raw":
+                kwargs[name] = vals[i]
+                i += 1
+            elif is_str:
                 kwargs[name] = vals[i].split(b"\0", 1)[0].decode("utf-8", "replace")
                 i += 1
             elif count == 1:
@@ -100,7 +106,9 @@ class _Codec:
         vals: List[Any] = []
         for name, code, count, is_str in self.layout:
             v = getattr(obj, name)
-            if is_str:
+            if is_str == "raw":
+                vals.append(bytes(v))
+            elif is_str:
                 vals.append(str(v).encode("utf-8"))
             elif count == 1:
                 vals.append(int(v) if code in "bBhHiIlLqQ" else v)

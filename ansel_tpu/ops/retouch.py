@@ -1,0 +1,162 @@
+"""retouch — per-wavelet-scale clone / heal / blur / fill over drawn masks.
+
+Reference: `/root/reference/src/iop/retouch.c` — form records (:111-124:
+formid, wavelet scale, algorithm, blur/fill settings), params (:137-156:
+300 form slots + scale controls), process (:3500-3600: B3 à-trous
+decompose via dwt.c, rt_process_forms applies each form's tool on its
+assigned scale layer, resynthesize).  Algorithms (:103-109): clone=1,
+heal=2 (pixel/heal.py Poisson), blur=3, fill=4 (erase or color).
+
+scale 0 edits the full image; 1..n edit that detail layer;
+num_scales+1 edits the residual.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import jax.numpy as jnp
+
+from ..core.params import cfield, params
+from ..pixel.blur import gaussian_blur
+from ..pixel.wavelets import atrous_decompose, atrous_reconstruct
+from .base import Op, OpPlan, PlanContext, register
+
+NO_FORMS = 300
+ALGO_CLONE, ALGO_HEAL, ALGO_BLUR, ALGO_FILL = 1, 2, 3, 4
+FILL_ERASE, FILL_COLOR = 0, 1
+# formid, scale, algorithm, blur_type (4i), blur_radius (f),
+# fill_mode (i), fill_color (3f), fill_brightness (f), distort_mode (i)
+_FORM_FMT = "<4if i3ffi"
+_FORM_SIZE = struct.calcsize(_FORM_FMT)  # 44 bytes
+
+
+@params(op="retouch", version=2)
+@dataclasses.dataclass
+class RetouchParams:
+    rt_forms: bytes = cfield(f"raw:{NO_FORMS * _FORM_SIZE}",
+                             b"\0" * (NO_FORMS * _FORM_SIZE))
+    algorithm: int = cfield("i", ALGO_HEAL)
+    num_scales: int = cfield("i", 0)
+    curr_scale: int = cfield("i", 0)
+    merge_from_scale: int = cfield("i", 0)
+    preview_levels: tuple = cfield("3f", (-3.0, 0.0, 3.0))
+    blur_type: int = cfield("i", 0)
+    blur_radius: float = cfield("f", 10.0)
+    fill_mode: int = cfield("i", FILL_ERASE)
+    fill_color: tuple = cfield("3f", (0.0, 0.0, 0.0))
+    fill_brightness: float = cfield("f", 0.0)
+    max_heal_iter: int = cfield("i", 2000)
+
+
+def pack_form(formid: int, scale: int = 0, algorithm: int = ALGO_HEAL,
+              blur_type: int = 0, blur_radius: float = 10.0,
+              fill_mode: int = FILL_ERASE, fill_color=(0.0, 0.0, 0.0),
+              fill_brightness: float = 0.0) -> bytes:
+    """Helper to build one rt_forms record (scripts/tests)."""
+    return struct.pack(_FORM_FMT, formid, scale, algorithm, blur_type,
+                       blur_radius, fill_mode, *fill_color,
+                       fill_brightness, 2)
+
+
+def _decode_forms(blob: bytes):
+    out = []
+    for k in range(NO_FORMS):
+        rec = blob[k * _FORM_SIZE:(k + 1) * _FORM_SIZE]
+        if len(rec) < _FORM_SIZE:
+            break
+        vals = struct.unpack(_FORM_FMT, rec)
+        if vals[0]:
+            out.append(vals)
+    return out
+
+
+@register
+class Retouch(Op):
+    name = "retouch"
+    input_colorspace = None
+
+    def enabled_by_default(self, meta):
+        return False
+
+    def plan(self, ctx: PlanContext, spec_in, p: RetouchParams) -> OpPlan:
+        from ..pipeline import masks as mk
+
+        forms = ctx.notes.get("forms", {})
+        recs = []
+        blob = p.rt_forms if isinstance(p.rt_forms, bytes) else bytes(
+            p.rt_forms)
+        for vals in _decode_forms(blob):
+            (fid, scale, algo, btype, bradius, fmode, fr, fg, fb,
+             fbright, _dm) = vals
+            form = forms.get(fid)
+            if form is None or not form.nodes:
+                continue
+            cx, cy = float(form.nodes[0][0]), float(form.nodes[0][1])
+            dy = int(round((float(form.src[1]) - cy) * spec_in.height))
+            dx = int(round((float(form.src[0]) - cx) * spec_in.width))
+            recs.append((mk.form_signature(form, forms), fid, scale, algo,
+                         float(bradius) * ctx.scale, fmode,
+                         (fr + fbright, fg + fbright, fb + fbright),
+                         dy, dx))
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(max(int(p.num_scales), 0), tuple(recs)))
+
+    def _tool(self, layer, mask, rec, forms):
+        _sig, _fid, _scale, algo, bradius, fmode, fill, dy, dx = rec
+        if algo == ALGO_CLONE:
+            src = jnp.roll(layer, (-dy, -dx), axis=(-2, -1))
+            return layer * (1.0 - mask)[None] + src * mask[None]
+        if algo == ALGO_HEAL:
+            from ..pixel.heal import heal
+
+            src = jnp.roll(layer, (-dy, -dx), axis=(-2, -1))
+            return heal(layer, src, mask)
+        if algo == ALGO_BLUR:
+            blurred = gaussian_blur(layer, max(bradius, 0.5))
+            return layer * (1.0 - mask)[None] + blurred * mask[None]
+        # fill: erase -> 0 on detail layers / fill color
+        color = jnp.asarray(fill, layer.dtype).reshape(3, 1, 1)
+        target = jnp.zeros_like(layer) if fmode == FILL_ERASE \
+            else jnp.broadcast_to(color, layer.shape)
+        return layer * (1.0 - mask)[None] + target * mask[None]
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        from ..pipeline import masks as mk
+
+        num_scales, recs = plan.static
+        if not recs:
+            return x
+        forms = ctx.notes.get("forms", {})
+        H, W = x.shape[-2:]
+        spec = plan.spec_in
+
+        def mask_of(rec):
+            form = forms.get(rec[1])
+            return mk.rasterize(form, forms, H, W,
+                                norm_h=spec.height, norm_w=spec.width)
+
+        if num_scales <= 0:
+            out = x
+            for rec in recs:
+                if rec[2] == 0:
+                    out = self._tool(out, mask_of(rec), rec, forms)
+            return out
+
+        details, residual = atrous_decompose(x, num_scales)
+        out_layers = list(details)
+        for rec in recs:
+            scale = rec[2]
+            if scale == 0:
+                continue  # applied below on the reconstruction
+            if 1 <= scale <= num_scales:
+                out_layers[scale - 1] = self._tool(
+                    out_layers[scale - 1], mask_of(rec), rec, forms)
+            else:  # residual
+                residual = self._tool(residual, mask_of(rec), rec, forms)
+        out = atrous_reconstruct(out_layers, residual)
+        for rec in recs:
+            if rec[2] == 0:
+                out = self._tool(out, mask_of(rec), rec, forms)
+        return out
