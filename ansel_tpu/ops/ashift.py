@@ -100,6 +100,40 @@ class AshiftParams:
     cr: float = cfield("f", 1.0)
     ct: float = cfield("f", 0.0)
     cb: float = cfield("f", 1.0)
+    # GUI line-drawing memory (ashift.c:376-395: MAX_SAVED_LINES=50 drawn
+    # lines + count + structure quad) — serialized but unused by the warp
+    last_drawn_lines: tuple = cfield("200f", (0.0,) * 200)
+    last_drawn_lines_count: int = cfield("i", 0)
+    last_quad_lines: tuple = cfield("8f", (0.0,) * 8)
+
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # ashift.c:560-660 version ladder
+        if version == 1:  # {rotation, lensshift_v, lensshift_h, toggle}
+            r, sv, sh = struct.unpack("<3f", raw[:12])
+            return cls(rotation=r, lensshift_v=sv, lensshift_h=sh,
+                       mode=0, cropmode=0)
+        if version == 2:  # v1 + {f_length, crop_factor, orthocorr, aspect, mode}
+            v = struct.unpack("<7fii", raw[:36])
+            return cls(rotation=v[0], lensshift_v=v[1], lensshift_h=v[2],
+                       f_length=v[3], crop_factor=v[4], orthocorr=v[5],
+                       aspect=v[6], mode=v[7], cropmode=0)
+        if version == 3:  # v2 + {cropmode, cl, cr, ct, cb}
+            v = struct.unpack("<7fiii4f", raw[:56])
+            return cls(rotation=v[0], lensshift_v=v[1], lensshift_h=v[2],
+                       f_length=v[3], crop_factor=v[4], orthocorr=v[5],
+                       aspect=v[6], mode=v[7], cropmode=v[9],
+                       cl=v[10], cr=v[11], ct=v[12], cb=v[13])
+        if version == 4:  # adds shear, drops nothing; toggle still present
+            v = struct.unpack("<8f" + "ii" + "i4f", raw[:60])
+            return cls(rotation=v[0], lensshift_v=v[1], lensshift_h=v[2],
+                       shear=v[3], f_length=v[4], crop_factor=v[5],
+                       orthocorr=v[6], aspect=v[7], mode=v[8],
+                       cropmode=v[10], cl=v[11], cr=v[12], ct=v[13],
+                       cb=v[14])
+        return None
 
 
 @register

@@ -44,6 +44,15 @@ class AtrousParams:
                       tuple(v for row in _DEFAULT_Y for v in row))
     mix: float = cfield("f", 1.0)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        if version == 1:
+            # atrous.c legacy_params: v1 = {octaves, x, y} without mix
+            p = cls.codec.decode(raw + b"\0" * 4)
+            p.mix = 1.0
+            return p
+        return None
+
 
 def _curve_value(p: AtrousParams, ch: int, t: float) -> float:
     xs = list(p.x[ch * BANDS : (ch + 1) * BANDS])

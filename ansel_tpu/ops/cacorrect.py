@@ -40,6 +40,13 @@ class CACorrectParams:
     avoidshift: int = cfield("i", 0)
     iterations: int = cfield("i", 1)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        if version == 1:
+            # cacorrect.c:152-165: v1 payload ignored, v2 defaults
+            return cls(avoidshift=0, iterations=1)
+        return None
+
 
 def _halfres_planes(x, cfa: CFAPattern):
     """mosaic (H, W) -> half-res (R, G_at_R, B, G_at_B), each (H/2, W/2).

@@ -67,6 +67,23 @@ class ChannelMixerRGBParams:
     clip: int = cfield("i", 1)
     version: int = cfield("i", V3)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        if version in (1, 2):
+            # channelmixerrgb.c:323-384 — v1/v2 layout == v3 minus the
+            # trailing `version` field; swap saturation R<->B into natural
+            # order, tag as legacy saturation algorithm (V_1); v1 also
+            # forces normalize_grey (commit_params always normalized then)
+            p = cls.codec.decode(raw + b"\0" * 4)
+            sat = list(p.saturation)
+            sat[0], sat[2] = sat[2], sat[0]
+            p.saturation = tuple(sat)
+            p.version = V1
+            if version == 1:
+                p.normalize_grey = 1
+            return p
+        return None
+
 
 def _cone_matrix(kind: int) -> np.ndarray:
     if kind in (ADAPT_LINEAR_BRADFORD, ADAPT_FULL_BRADFORD):

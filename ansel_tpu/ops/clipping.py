@@ -1,0 +1,347 @@
+"""clipping — legacy crop / rotate / keystone module (pre-2023 sidecars).
+
+Reference: `/root/reference/src/iop/clipping.c` (params v5 clipping.c:104-130;
+commit_params :1062-1228; geometry planning modify_roi_out :725-909; inverse
+per-pixel map process/backtransform :468-478,990-1040; keystone quad matrix
+keystone_get_matrix :406-437, keystone_backtransform :440-451).
+
+TPU split: ALL geometry planning (rotation matrix, flip flags from cw/ch
+signs, auto-crop scale search, keystone quad homography solve, output
+window) runs host-side in float64 numpy at plan time — it only depends on
+params + buffer size.  The device graph is one inverse-map bilinear gather
+per channel, fused by XLA with its neighbours.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import cfield, params
+from .base import Op, OpPlan, PlanContext, register
+from .lens import _sample_bilinear
+
+FLAG_FLIP_H = 1
+FLAG_FLIP_V = 2
+
+
+@params(op="clipping", version=5)
+@dataclasses.dataclass
+class ClippingParams:
+    angle: float = cfield("f", 0.0)
+    cx: float = cfield("f", 0.0)
+    cy: float = cfield("f", 0.0)
+    cw: float = cfield("f", 1.0)   # negative = flip horizontal
+    ch: float = cfield("f", 1.0)   # negative = flip vertical
+    k_h: float = cfield("f", 0.0)
+    k_v: float = cfield("f", 0.0)
+    kxa: float = cfield("f", 0.2)
+    kya: float = cfield("f", 0.2)
+    kxb: float = cfield("f", 0.8)
+    kyb: float = cfield("f", 0.2)
+    kxc: float = cfield("f", 0.8)
+    kyc: float = cfield("f", 0.8)
+    kxd: float = cfield("f", 0.2)
+    kyd: float = cfield("f", 0.8)
+    k_type: int = cfield("i", -1)
+    k_sym: int = cfield("i", 0)
+    k_apply: int = cfield("i", 0)
+    crop_auto: int = cfield("i", 1)
+    ratio_n: int = cfield("i", -1)
+    ratio_d: int = cfield("i", -1)
+
+
+def _keystone_matrix(k_space, kxa, kxb, kxc, kxd, kya, kyb, kyc, kyd):
+    """clipping.c:406-437 — homography coefficients mapping the drawn quad
+    (relative to its A corner) onto the axis-aligned k_space rectangle."""
+    den1 = kxb * (kxc * kyd * kyd - kxd * kyc * kyd) + kyb * (
+        kxd * kxd * kyc - kxc * kxd * kyd)
+    a = -((kxb * (kyd * kyd - kyc * kyd) - kxc * kyd * kyd
+           + kyb * (kxc * kyd - kxd * kyd) + kxd * kyc * kyd) * k_space[2]) / den1
+    b = ((kxb * (kxd * kyd - kxd * kyc) - kxc * kxd * kyd + kxd * kxd * kyc
+          + (kxc * kxd - kxd * kxd) * kyb) * k_space[2]) / den1
+    den2 = kxb * kyb * (-kxc * kyd - kxd * kyc) + kxb * kxb * kyc * kyd \
+        + kxc * kxd * kyb * kyb
+    d = (kyb * (kxb * (kyd * k_space[3] - kyc * k_space[3])
+                - kxc * kyd * k_space[3] + kxd * kyc * k_space[3])
+         + kyb * kyb * (kxc * k_space[3] - kxd * k_space[3])) / den2
+    e = -(kxb * (kxd * kyc * k_space[3] - kxc * kyd * k_space[3])
+          + kxb * kxb * (kyd * k_space[3] - kyc * k_space[3])
+          + kxb * kyb * (kxc * k_space[3] - kxd * k_space[3])) / den2
+    den3 = kxb * kxb * (kxd * kyc * kyc * kyd - kxc * kyc * kyd * kyd) \
+        + kxb * kyb * (kxc * kxc * kyd * kyd - kxd * kxd * kyc * kyc) \
+        + kyb * kyb * (kxc * kxd * kxd * kyc - kxc * kxc * kxd * kyd)
+    g = -(kyb * (kxb * (2.0 * kxc * kyd * kyd - 2.0 * kxc * kyc * kyd)
+                 - kxc * kxc * kyd * kyd + 2.0 * kxc * kxd * kyc * kyd
+                 - kxd * kxd * kyc * kyc)
+          + kxb * kxb * (kyc * kyc * kyd - kyc * kyd * kyd)
+          + kyb * kyb * (-2.0 * kxc * kxd * kyd + kxc * kxc * kyd
+                         + kxd * kxd * kyc)) / den3
+    h = (kxb * (-kxc * kxc * kyd * kyd + 2.0 * kxc * kxd * kyc * kyd
+                - kxd * kxd * kyc * kyc)
+         + kxb * kxb * (kxc * kyd * kyd - 2.0 * kxd * kyc * kyd
+                        + kxd * kyc * kyc)
+         + kxb * (2.0 * kxd * kxd - 2.0 * kxc * kxd) * kyb * kyc
+         + (kxc * kxc * kxd - kxc * kxd * kxd) * kyb * kyb) / den3
+    return a, b, d, e, g, h
+
+
+def _transform(p, m, t_h, t_v):
+    """forward warp clipping.c:483-488 (rotate then keystone shears)."""
+    o0 = m[0] * p[0] + m[1] * p[1]
+    o1 = m[2] * p[0] + m[3] * p[1]
+    o1 = o1 * (1.0 + o0 * t_h)
+    o0 = o0 * (1.0 + o1 * t_v)
+    return o0, o1
+
+
+def _plan_geometry(p: ClippingParams, W: int, H: int):
+    """commit_params (:1062-1228) + modify_roi_out (:725-909), numpy."""
+    angle = math.pi / 180.0 * p.angle
+    flags = (FLAG_FLIP_V if p.ch < 0 else 0) | (FLAG_FLIP_H if p.cw < 0 else 0)
+    cx = min(max(p.cx, 0.0), 0.9)
+    cy = min(max(p.cy, 0.0), 0.9)
+    cw = min(max(abs(p.cw), 0.1), 1.0)
+    ch = min(max(abs(p.ch), 0.1), 1.0)
+
+    ki_h = ki_v = 0.0
+    k_apply = 0
+    all_off = 1
+    crop_auto = bool(p.crop_auto)
+    kxa = kxd = kya = kyb = 0.0
+    kxb = kxc = kyc = kyd = 0.6
+    k_space = [0.2, 0.2, 0.6, 0.6]
+    if p.k_type == 4:  # old single-axis keystoning
+        if abs(p.k_h) >= 1e-4:
+            all_off = 0
+        ki_h = p.k_h if -1.0 <= p.k_h <= 1.0 else 0.0
+        if abs(p.k_v) >= 1e-4:
+            all_off = 0
+        ki_v = p.k_v if -1.0 <= p.k_v <= 1.0 else 0.0
+    elif p.k_type >= 0 and p.k_apply == 1:
+        kxa, kxb, kxc, kxd = p.kxa, p.kxb, p.kxc, p.kxd
+        kya, kyb, kyc, kyd = p.kya, p.kyb, p.kyc, p.kyd
+        if p.k_type == 1:  # align horizontal point pairs (:1118-1146)
+            a1 = (kxd - kxa) / (kyd - kya)
+            b1 = kxa - a1 * kya
+            a2 = (kxc - kxb) / (kyc - kyb)
+            b2 = kxb - a2 * kyb
+            if kya > kyb:
+                kya = kyb
+                kxa = a1 * kya + b1
+            else:
+                kyb = kya
+                kxb = a2 * kyb + b2
+            if kyc > kyd:
+                kyd = kyc
+                kxd = a1 * kyd + b1
+            else:
+                kyc = kyd
+                kxc = a2 * kyc + b2
+        elif p.k_type == 2:  # align vertical point pairs (:1147-1180)
+            a1 = (kyb - kya) / (kxb - kxa)
+            b1 = kya - a1 * kxa
+            a2 = (kyc - kyd) / (kxc - kxd)
+            b2 = kyd - a2 * kxd
+            if kxa > kxd:
+                kxa = kxd
+                kya = a1 * kxa + b1
+            else:
+                kxd = kxa
+                kyd = a2 * kxd + b2
+            if kxc > kxb:
+                kxb = kxc
+                kyb = a1 * kxb + b1
+            else:
+                kxc = kxb
+                kyc = a2 * kxc + b2
+        k_space = [abs((kxa + kxd) / 2.0), abs((kya + kyb) / 2.0), 0.0, 0.0]
+        k_space[2] = abs((kxb + kxc) / 2.0) - k_space[0]
+        k_space[3] = abs((kyc + kyd) / 2.0) - k_space[1]
+        kxb, kxc, kxd = kxb - kxa, kxc - kxa, kxd - kxa
+        kyb, kyc, kyd = kyb - kya, kyc - kya, kyd - kya
+        k_apply = 1
+        all_off = 0
+        crop_auto = False
+
+    # --- modify_roi_out with the whole buffer (scale 1) ------------------
+    rt = np.array([math.cos(angle), math.sin(angle),
+                   -math.sin(angle), math.cos(angle)])
+    if angle == 0.0:
+        rt = np.array([1.0, 0.0, 0.0, 1.0])
+    m = rt.copy()
+    if flags & FLAG_FLIP_H:
+        m[0], m[2] = -rt[0], -rt[2]
+    if flags & FLAG_FLIP_V:
+        m[1], m[3] = -rt[1], -rt[3]
+    det = m[0] * m[3] - m[1] * m[2]
+    inv_m = np.array([m[3], -m[1], -m[2], m[0]]) / det
+
+    k_h = k_v = 0.0
+    flip = 0
+    enlarge_x = enlarge_y = 0.0
+    if k_apply == 0 and crop_auto:
+        # auto-crop: largest rect of the original aspect that fits inside
+        # the rotated frame, testing both orientations (:769-812)
+        inv_rt = np.array([rt[3], -rt[1], -rt[2], rt[0]]) / (
+            rt[0] * rt[3] - rt[1] * rt[2])
+        kc = 1.0 / min(W, H)
+        k_h, k_v = ki_h * kc, ki_v * kc
+        cropscale = -1.0
+        oaabb = (-0.5 * W, -0.5 * H, 0.5 * W, 0.5 * H)
+        tx, ty = W * 0.5, H * 0.5
+        out_x = out_y = 0.0
+        out_w, out_h = float(W), float(H)
+        for fl in (0, 1):
+            riw = H if fl else W
+            rih = W if fl else H
+            newcropscale = 1.0
+            aabb = (-0.5 * riw, -0.5 * rih, 0.5 * riw, 0.5 * rih)
+            for c in range(4):
+                px = oaabb[0] if c in (0, 3) else oaabb[2]
+                py = oaabb[1] if c in (0, 1) else oaabb[3]
+                o0, o1 = _transform((px, py), inv_rt, k_h, k_v)
+                for k, ov in enumerate((o0, o1)):
+                    if abs(ov) > 0.001:
+                        newcropscale = min(
+                            newcropscale, aabb[(2 if ov > 0 else 0) + k] / ov)
+            if newcropscale >= cropscale:
+                cropscale = newcropscale
+                flip = fl
+                ach, acw = ch - cy, cw - cx
+                if fl:
+                    out_y = tx - (0.5 - cy) * cropscale * W
+                    out_x = ty - (0.5 - cx) * cropscale * H
+                    out_h = ach * cropscale * W
+                    out_w = acw * cropscale * H
+                else:
+                    out_x = tx - (0.5 - cx) * cropscale * W
+                    out_y = ty - (0.5 - cy) * cropscale * H
+                    out_w = acw * cropscale * W
+                    out_h = ach * cropscale * H
+    else:
+        # keystone / no-autocrop: bound the warped corners (:813-897)
+        tx, ty = W * 0.5, H * 0.5
+        corn = []
+        km = _keystone_matrix(k_space, kxa, kxb, kxc, kxd,
+                              kya, kyb, kyc, kyd) if k_apply else None
+        for cxp, cyp in ((0.0, 0.0), (W, 0.0), (W, H), (0.0, H)):
+            o = [cxp, cyp]
+            if k_apply:
+                o[0] /= W
+                o[1] /= H
+                a, b, d, e, g, h = km
+                xx, yy = o[0] - kxa, o[1] - kya
+                div = g * xx + h * yy + 1.0
+                o[0] = (a * xx + b * yy) / div + k_space[0]
+                o[1] = (d * xx + e * yy) / div + k_space[1]
+                o[0] *= W
+                o[1] *= H
+            p0 = (o[0] - 0.5 * W, o[1] - 0.5 * H)
+            o0, o1 = _transform(p0, inv_m, k_h, k_v)
+            corn.append((o0 + 0.5 * W, o1 + 0.5 * H))
+        xs = [c[0] for c in corn]
+        ys = [c[1] for c in corn]
+        new_x = max(min(xs), -float(W))
+        new_y = max(min(ys), -float(H))
+        new_sc_x = min(max(xs), 2.0 * W)
+        new_sc_y = min(max(ys), 2.0 * H)
+        if new_sc_x - new_x < W / 8.0:
+            f = min(max((new_sc_x + new_x) / 2.0, W / 16.0),
+                    W * 15.0 / 16.0 - 1.0)
+            new_x, new_sc_x = f - W / 16.0, f + W / 16.0
+        if new_sc_y - new_y < H / 8.0:
+            f = min(max((new_sc_y + new_y) / 2.0, H / 16.0),
+                    H * 15.0 / 16.0 - 1.0)
+            new_y, new_sc_y = f - H / 16.0, f + H / 16.0
+        new_sc_x -= new_x
+        new_sc_y -= new_y
+        new_x += cx * new_sc_x
+        new_y += cy * new_sc_y
+        new_sc_x *= cw - cx
+        new_sc_y *= ch - cy
+        enlarge_x = max(-new_x, 0.0)
+        out_x = max(new_x, 0.0)
+        enlarge_y = max(-new_y, 0.0)
+        out_y = max(new_y, 0.0)
+        out_w, out_h = new_sc_x, new_sc_y
+
+    out_x = max(out_x, 0.0)
+    out_y = max(out_y, 0.0)
+    out_w = max(int(out_w), 1)
+    out_h = max(int(out_h), 1)
+    km_px = None
+    if k_apply:
+        km_px = _keystone_matrix(
+            [k_space[0] * W, k_space[1] * H, k_space[2] * W, k_space[3] * H],
+            kxa * W, kxb * W, kxc * W, kxd * W,
+            kya * H, kyb * H, kyc * H, kyd * H)
+    return dict(
+        m=tuple(m), k_h=k_h, k_v=k_v, tx=tx, ty=ty,
+        cix=out_x, ciy=out_y, enlarge_x=enlarge_x, enlarge_y=enlarge_y,
+        flip=flip, out_w=out_w, out_h=out_h, k_apply=k_apply,
+        km_px=km_px, kxa_px=kxa * W, kya_px=kya * H,
+        ksp_px=(k_space[0] * W, k_space[1] * H),
+        identity=(flags == 0 and angle == 0.0 and all_off
+                  and out_w == W and out_h == H))
+
+
+@register
+class Clipping(Op):
+    name = "clipping"
+    input_colorspace = None  # geometric, any 3-channel space
+
+    def enabled_by_default(self, meta):
+        return False
+
+    def plan(self, ctx: PlanContext, spec_in, p: ClippingParams) -> OpPlan:
+        g = _plan_geometry(p, spec_in.width, spec_in.height)
+        spec_out = spec_in.with_size(g["out_w"], g["out_h"])
+        if g["identity"]:
+            return OpPlan(spec_in=spec_in, spec_out=spec_in, static=None)
+        key = tuple(sorted((k, v) for k, v in g.items()
+                           if k not in ("out_w", "out_h")))
+        return OpPlan(spec_in=spec_in, spec_out=spec_out, static=key)
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        if plan.static is None:
+            return x
+        g = dict(plan.static)
+        si, so = plan.spec_in, plan.spec_out
+        H, W = si.height, si.width
+        oh, ow = so.pad_h, so.pad_w
+        ii = jnp.arange(ow, dtype=jnp.float32)[None, :]
+        jj = jnp.arange(oh, dtype=jnp.float32)[:, None]
+        # inverse map, clipping.c:1015-1038 at scale 1, roi_in = full buffer
+        px = g["cix"] - g["enlarge_x"] + ii + 0.5
+        py = g["ciy"] - g["enlarge_y"] + jj + 0.5
+        if g["flip"]:
+            px = px - g["ty"]
+            py = py - g["tx"]
+        else:
+            px = px - g["tx"]
+            py = py - g["ty"]
+        px, py = jnp.broadcast_to(px, (oh, ow)), jnp.broadcast_to(py, (oh, ow))
+        # backtransform (:468-473): undo keystone shears, rotate back
+        py = py / (1.0 + px * g["k_h"])
+        px = px / (1.0 + py * g["k_v"])
+        m = g["m"]
+        sx = m[0] * px + m[1] * py + g["tx"]
+        sy = m[2] * px + m[3] * py + g["ty"]
+        if g["k_apply"]:
+            a, b, d, e, h_g, h_h = g["km_px"]
+            xx = sx - g["ksp_px"][0]
+            yy = sy - g["ksp_px"][1]
+            div = (d * xx - a * yy) * h_h + (b * yy - e * xx) * h_g \
+                + a * e - b * d
+            sx = (e * xx - b * yy) / div + g["kxa_px"]
+            sy = -(d * xx - a * yy) / div + g["kya_px"]
+        sx = sx - 0.5
+        sy = sy - 0.5
+        inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+        out = jnp.stack([_sample_bilinear(x[i], sy, sx)
+                         for i in range(x.shape[0])])
+        return jnp.where(inside[None], out, 0.0)

@@ -71,6 +71,16 @@ class ColorBalanceRGBParams:
     contrast: float = cfield("f", 0.0)
     saturation_formula: int = cfield("i", 1)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        if version == 4:
+            # colorbalancergb.c:248-292 — v4 = v5 minus saturation_formula;
+            # legacy edits keep the JzAzBz (2021) saturation algorithm
+            p = cls.codec.decode(raw + b"\0" * 4)
+            p.saturation_formula = 0  # DT_COLORBALANCE_SATURATION_JZAZBZ
+            return p
+        return None
+
 
 MASK_EXP = 0.4101205819200422
 

@@ -53,6 +53,17 @@ class ColorinParams:
     type_work: int = cfield("i", CS_LIN_REC2020)
     filename_work: str = cfield("s:512", "")
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        if version == 6:
+            # colorin.c:455-482 — v6 layout == v7; migration only re-validates
+            # the working-profile choice (invalid -> linear Rec2020)
+            p = cls.codec.decode(raw)
+            if p.type_work not in _WORK_NAMES:
+                p.type_work = CS_LIN_REC2020
+            return p
+        return None
+
 
 @register
 class Colorin(Op):

@@ -69,6 +69,19 @@ class DenoiseProfileParams:
     use_new_vst: int = cfield("i", 1)
     wavelet_color_mode: int = cfield("i", MODE_Y0U0V0)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        if version == 10:
+            # denoiseprofile.c legacy v10->v11: identical layout; v11 bakes
+            # a 2.5x strength boost into the Y0U0V0 wavelet path, so old
+            # strengths are divided to keep renders constant
+            p = cls.codec.decode(raw)
+            if (p.mode in (MODE_WAVELETS, MODE_WAVELETS_AUTO)
+                    and p.wavelet_color_mode == MODE_Y0U0V0):
+                p.strength /= 2.5
+            return p
+        return None
+
 
 def _band_forces(xs, ys, ch: int) -> np.ndarray:
     """Evaluate the per-band force curve at the band positions. The
@@ -94,9 +107,13 @@ class DenoiseProfile(Op):
         nlm = p.mode in (MODE_NLMEANS, MODE_NLMEANS_AUTO)
         P = max(0, int(-(-p.radius * min(ctx.scale, 2.0) // 1)))
         K = max(1, int(p.nbhood))
+        # central_pixel_weight / scattering shape the NLM search lattice
+        # (python control flow in pixel/nlmeans.py) -> static, not coeffs
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=(max_scale, color_mode, bool(p.use_new_vst),
-                              nlm, P, K))
+                              nlm, P, K,
+                              round(float(p.central_pixel_weight), 6),
+                              round(float(p.scattering), 6)))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DenoiseProfileParams):
         max_scale, color_mode = plan.static[0], plan.static[1]
@@ -188,7 +205,8 @@ class DenoiseProfile(Op):
         }
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        max_scale, color_mode, use_new_vst, nlm, P, K = plan.static
+        (max_scale, color_mode, use_new_vst, nlm, P, K,
+         center_weight, scattering) = plan.static
         wb = c["wb"].reshape(3, 1, 1)
         pexp = c["p"].reshape(3, 1, 1)
         a, b = c["a"], c["b"]
@@ -202,10 +220,8 @@ class DenoiseProfile(Op):
             from ..pixel.nlmeans import nlmeans as nlm_core
 
             out = nlm_core(buf, P, K, c["nlm_norm"], [1.0, 1.0, 1.0],
-                           center_weight=float(np.asarray(
-                               c["central_pixel_weight"])),
-                           scattering=float(np.asarray(c["scattering"])),
-                           scale=ctx.scale)
+                           center_weight=center_weight,
+                           scattering=scattering, scale=ctx.scale)
             denom = 4.0 / (sqrt_a * (2.0 - pexp))
             xx = jnp.maximum(out, 0.0)
             delta = xx * xx + c["bias"]

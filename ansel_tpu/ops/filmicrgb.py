@@ -92,6 +92,58 @@ class FilmicParams:
     compensate_icc_black: int = cfield("i", 0)
     spline_version: int = cfield("i", SPLINE_V3)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        if version == 4:
+            # filmicrgb.c legacy v4->v5: identical 112B layout, the last
+            # field was a year (2019/2020/2021) instead of the spline enum
+            p = cls.codec.decode(raw)
+            p.spline_version = {2019: SPLINE_V1, 2020: SPLINE_V2,
+                                2021: SPLINE_V3}.get(p.spline_version,
+                                                     SPLINE_V3)
+            return p
+        if version == 3:
+            # v3 = v5 prefix minus {compensate_icc_black, spline_version}
+            p = cls.codec.decode(raw[:104] + b"\0" * 8)
+            p.compensate_icc_black = 0
+            p.spline_version = SPLINE_V1
+            return p
+        if version == 2:
+            # filmicrgb.c legacy v2 branch: no noise fields, shadows/
+            # highlights curve types at the tail
+            v = struct.unpack("<17fiiiiiii", raw[:96])
+            return cls(
+                grey_point_source=v[0], black_point_source=v[1],
+                white_point_source=v[2], reconstruct_threshold=v[3],
+                reconstruct_feather=v[4], reconstruct_bloom_vs_details=v[5],
+                reconstruct_grey_vs_color=v[6],
+                reconstruct_structure_vs_texture=v[7], security_factor=v[8],
+                grey_point_target=v[9], black_point_target=v[10],
+                white_point_target=v[11], output_power=v[12], latitude=v[13],
+                contrast=v[14], saturation=v[15], balance=v[16],
+                preserve_color=v[17], version=v[18], auto_hardness=v[19],
+                custom_grey=v[20], high_quality_reconstruction=v[21],
+                shadows=v[22], highlights=v[23], noise_level=0.0,
+                compensate_icc_black=0, spline_version=SPLINE_V1)
+        if version == 1:
+            # filmicrgb.c legacy v1 branch
+            v = struct.unpack("<12fi", raw[:52])
+            return cls(
+                grey_point_source=v[0], black_point_source=v[1],
+                white_point_source=v[2], security_factor=v[3],
+                grey_point_target=v[4], black_point_target=v[5],
+                white_point_target=v[6], output_power=v[7], latitude=v[8],
+                contrast=v[9], saturation=v[10], balance=v[11],
+                preserve_color=v[12], shadows=CURVE_POLY_4,
+                highlights=CURVE_POLY_3, reconstruct_threshold=6.0,
+                reconstruct_feather=3.0, version=CSCI_V1, auto_hardness=1,
+                custom_grey=1, high_quality_reconstruction=0,
+                noise_level=0.0, compensate_icc_black=0,
+                spline_version=SPLINE_V1)
+        return None
+
 
 @dataclasses.dataclass
 class Spline:

@@ -44,6 +44,26 @@ class HighlightsParams:
     debugmode: int = cfield("i", 0)
     solid_color: float = cfield("f", 0.5)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        if version == 1:  # highlights.c:163-184: {mode, blendL, blendC, blendh}
+            mode, bl, bc, bh = struct.unpack("<i3f", raw[:16])
+            return cls(mode=mode, blendL=bl, blendC=bc, blendh=bh, clip=1.0,
+                       noise_level=0.0, iterations=1, scales=5,
+                       reconstructing=0.4, combine=2.0, solid_color=0.0)
+        if version == 2:  # highlights.c:185-209: v1 + {clip}
+            mode, bl, bc, bh, clip = struct.unpack("<i4f", raw[:20])
+            return cls(mode=mode, blendL=bl, blendC=bc, blendh=bh, clip=clip,
+                       noise_level=0.0, iterations=1, scales=5,
+                       reconstructing=0.4, combine=2.0, solid_color=0.0)
+        if version == 3:  # highlights.c:210-220: v4 minus {solid_color}
+            p = cls.codec.decode(raw[:44] + b"\0" * 4)
+            p.solid_color = 0.0
+            return p
+        return None
+
 
 @register
 class Highlights(Op):

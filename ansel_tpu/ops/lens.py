@@ -36,11 +36,14 @@ MODIFY_DISTORTION = 8
 MODIFY_ALL = MODIFY_TCA | MODIFY_VIGNETTING | MODIFY_DISTORTION
 
 
-@params(op="lens", version=1)
+@params(op="lens", version=5)
 @dataclasses.dataclass
 class LensParams:
-    # identity (reference stores camera/lens strings + shot metadata); the
-    # correction model coefficients are explicit here
+    # serialized layout = reference dt_iop_lensfun_params_t v5
+    # (lens.cc:115, struct at lens.cc:~150): the XMP carries the lens
+    # identity + shot metadata; correction-model coefficients are resolved
+    # from a database in the reference (lensfun) and are python-only
+    # fields here (no lensfun DB in this build — see plan()).
     modify_flags: int = cfield("i", MODIFY_ALL)
     inverse: int = cfield("i", 0)
     scale: float = cfield("f", 1.0)
@@ -48,17 +51,21 @@ class LensParams:
     focal: float = cfield("f", 50.0)
     aperture: float = cfield("f", 2.8)
     distance: float = cfield("f", 1000.0)
-    distortion_model: int = cfield("i", DIST_PTLENS)
-    dist_a: float = cfield("f", 0.0)
-    dist_b: float = cfield("f", 0.0)
-    dist_c: float = cfield("f", 0.0)
+    target_geom: int = cfield("i", 1)  # LF_RECTILINEAR
+    camera: str = cfield("s:128", "")
+    lens: str = cfield("s:128", "")
+    tca_override: int = cfield("i", 0)
     tca_r: float = cfield("f", 1.0)
     tca_b: float = cfield("f", 1.0)
-    vig_k1: float = cfield("f", 0.0)
-    vig_k2: float = cfield("f", 0.0)
-    vig_k3: float = cfield("f", 0.0)
-    camera: str = cfield("s:52", "")
-    lens: str = cfield("s:52", "")
+    modified: int = cfield("i", 0)
+    # --- python-only correction coefficients (not serialized) ---
+    distortion_model: int = dataclasses.field(default=DIST_PTLENS)
+    dist_a: float = dataclasses.field(default=0.0)
+    dist_b: float = dataclasses.field(default=0.0)
+    dist_c: float = dataclasses.field(default=0.0)
+    vig_k1: float = dataclasses.field(default=0.0)
+    vig_k2: float = dataclasses.field(default=0.0)
+    vig_k3: float = dataclasses.field(default=0.0)
 
 
 def _sample_bilinear(plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):

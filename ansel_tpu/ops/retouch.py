@@ -32,7 +32,7 @@ _FORM_FMT = "<4if i3ffi"
 _FORM_SIZE = struct.calcsize(_FORM_FMT)  # 44 bytes
 
 
-@params(op="retouch", version=2)
+@params(op="retouch", version=3)
 @dataclasses.dataclass
 class RetouchParams:
     rt_forms: bytes = cfield(f"raw:{NO_FORMS * _FORM_SIZE}",
@@ -48,6 +48,26 @@ class RetouchParams:
     fill_color: tuple = cfield("3f", (0.0, 0.0, 0.0))
     fill_brightness: float = cfield("f", 0.0)
     max_heal_iter: int = cfield("i", 2000)
+
+    @classmethod
+    def from_legacy(cls, version, raw):
+        # retouch.c legacy_params ladder (v3 = current, retouch.c:79)
+        if version == 2:
+            # v2 = v3 minus trailing max_heal_iter
+            p = cls.codec.decode(raw + b"\0" * 4)
+            p.max_heal_iter = 2000
+            return p
+        if version == 1:
+            # v1 forms are 40B (no distort_mode); expand each record,
+            # tagging distort_mode=1 (legacy pre-distortion behavior)
+            forms = b"".join(
+                raw[k * 40:(k + 1) * 40] + struct.pack("<i", 1)
+                for k in range(NO_FORMS))
+            tail = raw[NO_FORMS * 40:NO_FORMS * 40 + 56]
+            p = cls.codec.decode(forms + tail + b"\0" * 4)
+            p.max_heal_iter = 2000
+            return p
+        return None
 
 
 def pack_form(formid: int, scale: int = 0, algorithm: int = ALGO_HEAL,

@@ -1,0 +1,132 @@
+"""Bilateral grid — TPU-native replacement for the reference's grid/lattice
+edge-aware smoothers.
+
+Reference analogs:
+  * `/root/reference/src/pixel/bilateral.c` (dt_bilateral_t: dense 3-D
+    (x, y, L) grid — splat / 5-tap blur / trilinear slice) used by
+    monochrome, shadhi, lowpass, colisa, bilat.
+  * `/root/reference/src/iop/bilateral.cc` (5-D permutohedral lattice) —
+    approximated here channel-by-channel (each channel guided by itself),
+    a documented deviation: the permutohedral version couples the RGB
+    range distance, this one stops smoothing per channel independently.
+
+TPU design: scatters (splat) are poison on TPU, so the grid is built by
+range-bin decomposition (Durand-Dorsey 2002 = the same linear filter bank
+the grid discretizes): for each of D range bins, a triangle (linear-splat)
+weight plane is pooled to grid resolution (reshape-mean, no conv), the
+(D, gh, gw) grid is blurred with the reference's 5-tap kernel per axis,
+and slicing is D bilinear upsamples (separable matmuls on the MXU)
+accumulated with the same triangle weights.  Everything is pool / matmul /
+elementwise — no gathers, no scatters, fuses cleanly under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pool2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
+    """Average-pool (..., H, W) by integer strides via reshape (H, W must be
+    pre-padded to multiples)."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // sy, sy, w // sx, sx)
+    return x.mean(axis=(-3, -1))
+
+
+def _upsample_matrices(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix for cell-centered grids."""
+    # grid cell k covers [k*s, (k+1)*s); sample at pixel centers
+    s = n_out / n_in
+    pos = (np.arange(n_out) + 0.5) / s - 0.5
+    i0 = np.clip(np.floor(pos), 0, n_in - 1).astype(int)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    f = np.clip(pos - i0, 0.0, 1.0)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), i0] += 1.0 - f
+    M[np.arange(n_out), i1] += f
+    return M
+
+
+def _blur_axis(g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Reference 5-tap grid blur [1,4,6,4,1]/16 (bilateral.c blur pass)."""
+    taps = (1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16)
+    n = g.shape[axis]
+    pad = [(0, 0)] * g.ndim
+    pad[axis] = (2, 2)
+    gp = jnp.pad(g, pad, mode="edge")
+    out = None
+    for i, t in enumerate(taps):
+        sl = [slice(None)] * g.ndim
+        sl[axis] = slice(i, i + n)
+        c = t * gp[tuple(sl)]
+        out = c if out is None else out + c
+    return out
+
+
+def grid_filter(guide: jnp.ndarray, values: jnp.ndarray, sigma_s: float,
+                sigma_r: float, lo: float, hi: float,
+                detail: float = None) -> jnp.ndarray:
+    """Edge-aware smooth `values` (C, H, W) guided by `guide` (H, W).
+
+    sigma_s: spatial cell size in pixels; sigma_r: range cell size in guide
+    units; [lo, hi]: guide range.  With detail != None, implements the
+    reference's dt_bilateral_slice_to_output detail-boost slicing used by
+    `bilat` mode 1 (out = in + detail * (in - base)).
+    """
+    H, W = guide.shape
+    ss = max(int(round(sigma_s)), 1)
+    D = int(np.clip(round((hi - lo) / max(sigma_r, 1e-6)) + 1, 4, 32))
+    centers = np.linspace(lo, hi, D, dtype=np.float32)
+    step = (hi - lo) / (D - 1)
+
+    # pad to pool-able size
+    ph = (-H) % ss
+    pw = (-W) % ss
+    gp = jnp.pad(jnp.clip(guide, lo, hi), ((0, ph), (0, pw)), mode="edge")
+    vp = jnp.pad(values, ((0, 0), (0, ph), (0, pw)), mode="edge")
+
+    def splat_bin(center):
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs(gp - center) / step)
+        num = _pool2d(wk[None] * vp, ss, ss)          # (C, gh, gw)
+        den = _pool2d(wk, ss, ss)                      # (gh, gw)
+        return num, den
+
+    nums, dens = jax.lax.map(splat_bin, jnp.asarray(centers))
+    # grid blur: space (2 axes) + range, reference 5-tap / [1,2,1]
+    for ax in (-2, -1):
+        nums = _blur_axis(nums, ax)
+        dens = _blur_axis(dens, ax)
+    nums = _blur_axis(nums, 0)
+    dens = _blur_axis(dens, 0)
+    base_grid = nums / jnp.maximum(dens[:, None], 1e-8)  # (D, C, gh, gw)
+
+    gh, gw = dens.shape[-2:]
+    My = jnp.asarray(_upsample_matrices(H + ph, gh))
+    Mx = jnp.asarray(_upsample_matrices(W + pw, gw))
+
+    def slice_bin(carry, inp):
+        acc = carry
+        center, g = inp                       # g: (C, gh, gw)
+        up = jnp.einsum("yh,chw,xw->cyx", My, g, Mx,
+                        preferred_element_type=jnp.float32)
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs(gp - center) / step)
+        return acc + wk[None] * up, None
+
+    init = jnp.zeros_like(vp)
+    out, _ = jax.lax.scan(slice_bin, init,
+                          (jnp.asarray(centers), base_grid))
+    out = out[:, :H, :W]
+    if detail is not None:
+        return values[:, :H, :W] + detail * (values[:, :H, :W] - out)
+    return out
+
+
+def bilateral_self(x: jnp.ndarray, sigma_s: float, sigma_r: float,
+                   lo: float = 0.0, hi: float = 1.0) -> jnp.ndarray:
+    """Per-channel self-guided bilateral of (C, H, W) — the channelwise
+    approximation of iop/bilateral.cc's 5-D permutohedral filter."""
+    return jnp.stack([
+        grid_filter(x[c], x[c:c + 1], sigma_s, sigma_r, lo, hi)[0]
+        for c in range(x.shape[0])])

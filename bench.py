@@ -50,6 +50,13 @@ CONFIGS = {
         ("channelmixerrgb", {}),
         ("filmicrgb", {}),
     ], label="batch export (4-image stream, per-chip rate)"),
+    # config 6: the reference's own benchmark pipeline — the full
+    # darktable-bench-3.4 sidecar history (~60 module instances incl.
+    # denoiseprofile x2, retouch x2, bilat x2, atrous, liquify,
+    # hazeremoval), the honest like-for-like comparison against the
+    # 0.2 img/s CPU baseline (tests/benchmark/README.txt:135-141)
+    6: dict(h=4000, w=6016, sidecar="darktable-bench-3.4.xmp",
+            label="full 3.4-sidecar replay (~60 modules)"),
 }
 
 # Fuji X-Trans III 6x6 pattern (color indices)
@@ -90,8 +97,19 @@ def main():
                - meta.black_levels[0]) + meta.black_levels[0]).astype(
                    _np.float32)
 
-    history = [HistoryItem(op, prm) for op, prm in cfg["history"]]
-    pipe = compile_pipeline(meta, history, scale=1.0)
+    forms = None
+    if cfg.get("sidecar"):
+        import os
+
+        from ansel_tpu.io.xmp import parse_xmp
+
+        path = os.path.join("/root/reference/tests/benchmark",
+                            cfg["sidecar"])
+        doc = parse_xmp(path)
+        history, forms = doc.history, doc.masks
+    else:
+        history = [HistoryItem(op, prm) for op, prm in cfg["history"]]
+    pipe = compile_pipeline(meta, history, scale=1.0, forms=forms)
 
     spec = pipe.pipe.spec_in
     raw_padded = ops_base.pad_to(raw, spec)

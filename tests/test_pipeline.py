@@ -98,5 +98,5 @@ def test_unknown_op_reported(synth_small):
     raw, meta, scene = synth_small
     from ansel_tpu.pipeline.engine import Pipeline
 
-    p = Pipeline(meta, [HistoryItem("liquify", {})])
-    assert any("liquify" in u for u in p.unsupported)
+    p = Pipeline(meta, [HistoryItem("not_a_real_module", {"x": 1})])
+    assert any("not_a_real_module" in u for u in p.unsupported)

@@ -1,0 +1,62 @@
+"""End-to-end replay of the reference's shipped benchmark sidecars.
+
+The reference pins its benchmark pipelines in versioned XMPs
+(`/root/reference/tests/benchmark/darktable-bench-{3.4,3.6,3.8}.xmp`,
+README.txt:1-15) written by real darktable releases — decoding them
+exercises every legacy params version (`legacy_params`, iop_api.h:206-207)
+a real-world sidecar can carry.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import ansel_tpu.ops  # noqa: F401 — register all ops
+from ansel_tpu.core.params import decode_blob
+from ansel_tpu.io.synthetic import synth_raw
+from ansel_tpu.io.xmp import parse_xmp
+from ansel_tpu.pipeline.engine import CompiledPipe, Pipeline
+
+BENCH_DIR = "/root/reference/tests/benchmark"
+SIDECARS = ["darktable-bench-3.4.xmp", "darktable-bench-3.6.xmp",
+            "darktable-bench-3.8.xmp"]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BENCH_DIR), reason="reference sidecars not present")
+
+
+@pytest.mark.parametrize("name", SIDECARS)
+def test_decode_every_history_item(name):
+    doc = parse_xmp(os.path.join(BENCH_DIR, name))
+    assert len(doc.history) >= 60
+    for item in doc.history:
+        p = decode_blob(item.op, item.version,
+                        bytes(item.params)
+                        if isinstance(item.params, (bytes, bytearray))
+                        else item.params.codec.encode(item.params))
+        assert p is not None, (item.op, item.version)
+
+
+@pytest.mark.parametrize("name", SIDECARS)
+def test_plan_without_skips(name):
+    doc = parse_xmp(os.path.join(BENCH_DIR, name))
+    raw, meta, _ = synth_raw(h=128, w=192, kind="gradients")
+    pipe = Pipeline(meta, doc.history, forms=doc.masks)
+    assert pipe.unsupported == []
+    names = [s.name for s in pipe.stages]
+    # every enabled history item must be planned in
+    for item in doc.history:
+        if item.enabled:
+            assert item.op in names, \
+                f"{item.op} missing from planned {name} stack"
+
+
+def test_render_bench_34_finite():
+    doc = parse_xmp(os.path.join(BENCH_DIR, SIDECARS[0]))
+    raw, meta, _ = synth_raw(h=128, w=192, kind="gradients")
+    cp = CompiledPipe(Pipeline(meta, doc.history, forms=doc.masks))
+    y = cp.output_array(raw)
+    assert y.ndim == 3 and y.shape[0] == 3
+    assert np.isfinite(y).all()
+    assert y.max() > 0.01
