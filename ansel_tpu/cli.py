@@ -25,6 +25,11 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--quality", type=int, default=92)
+    ap.add_argument("--bpp", type=int, default=8, choices=(8, 16))
+    ap.add_argument("--no-icc", action="store_true")
+    ap.add_argument("-d", "--debug", action="append", default=[],
+                    choices=("perf", "nan"),
+                    help="per-stage timing / NaN scan (reference -d flags)")
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -50,7 +55,22 @@ def main(argv=None):
 
     xmp = args.xmp if args.xmp and args.xmp.lower().endswith(".xmp") else None
     settings = ExportSettings(max_width=args.width, max_height=args.height,
-                              quality=args.quality)
+                              quality=args.quality, bpp=args.bpp,
+                              embed_icc=not args.no_icc)
+    if args.debug:
+        from .io.xmp import parse_xmp
+        from .pipeline.engine import Pipeline
+        from .pipeline.export import compute_export_scale
+        from .pipeline.profiling import nan_report, run_stages
+
+        doc = parse_xmp(xmp) if xmp else None
+        pipe = Pipeline(meta, doc.history if doc else [],
+                        scale=compute_export_scale(meta, settings),
+                        forms=doc.masks if doc else None)
+        reps = run_stages(pipe, raw, nan_scan="nan" in args.debug)
+        bad = nan_report(reps)
+        if bad:
+            print(f"[nan] {bad}", file=sys.stderr)
     t0 = time.perf_counter()
     out = export_image(raw, meta, xmp_path=xmp, output_path=args.output,
                        settings=settings)

@@ -1,14 +1,53 @@
-"""Output encoding: display-referred float planes -> 8/16-bit images.
+"""Output encoding: display-referred float planes -> 8/16-bit images with
+ICC profile + EXIF embedding.
 
 Reference: `/root/reference/src/imageio/imageio_core.c:897-928` (float ->
-uint8/16 conversion) + format plugins (`src/imageio/format/`).  JPEG/PNG/
-TIFF writing goes through PIL here; a native encoder stage is a later
-milestone for batch-export throughput.
+uint8/16 conversion under the read lock) + format plugins
+(`src/imageio/format/{jpeg,png,tiff}.c` — all three embed the output ICC
+profile and carry EXIF over via exiv2).  Here:
+
+  * uint8 JPEG/PNG/TIFF/WebP via PIL with `icc_profile=` + `exif=`.
+  * 16-bit: PIL can't write 16-bit RGB PNGs, so `_write_png16` emits the
+    PNG stream directly (zlib, filter 0, big-endian — png.c:16-bit path)
+    and `_write_tiff16` a minimal uncompressed little-endian TIFF
+    (tiff.c:16-bit path), both with embedded ICC (PNG `iCCP` chunk /
+    TIFF tag 34675).
+  * PFM/PPM float & 16-bit variants (format/pnm.c).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+from typing import Optional
+
 import numpy as np
+
+
+def srgb_icc_bytes() -> bytes:
+    """Standard sRGB ICC profile (LCMS-built, like colorout's default)."""
+    from PIL import ImageCms
+
+    return ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes()
+
+
+def exif_from_meta(meta) -> Optional[bytes]:
+    """Minimal EXIF carry-over from RawMeta (maker/model/ISO)."""
+    try:
+        from PIL import Image
+
+        ex = Image.Exif()
+        if getattr(meta, "maker", ""):
+            ex[271] = str(meta.maker)          # Make
+        if getattr(meta, "model", ""):
+            ex[272] = str(meta.model)          # Model
+        iso = int(getattr(meta, "iso", 0) or 0)
+        if iso:
+            ex[34855] = iso                     # ISOSpeedRatings
+        ex[305] = "ansel_tpu"                   # Software
+        return ex.tobytes()
+    except Exception:
+        return None
 
 
 def to_uint8(img_chw: np.ndarray) -> np.ndarray:
@@ -22,12 +61,123 @@ def to_uint16(img_chw: np.ndarray) -> np.ndarray:
     return (x * 65535.0 + 0.5).astype(np.uint16).transpose(1, 2, 0)
 
 
-def write_image(path: str, img_chw: np.ndarray, quality: int = 92) -> None:
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _write_png16(path: str, arr: np.ndarray, icc: Optional[bytes]) -> None:
+    """(H, W, 3) uint16 -> 16-bit RGB PNG (big-endian, filter 0)."""
+    h, w, _ = arr.shape
+    raw = arr.astype(">u2").tobytes()
+    stride = w * 6
+    scan = b"".join(b"\0" + raw[y * stride:(y + 1) * stride]
+                    for y in range(h))
+    out = [b"\x89PNG\r\n\x1a\n",
+           _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))]
+    if icc:
+        out.append(_png_chunk(
+            b"iCCP", b"icc\0\0" + zlib.compress(icc)))
+    out.append(_png_chunk(b"IDAT", zlib.compress(scan, 6)))
+    out.append(_png_chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def _write_tiff16(path: str, arr: np.ndarray, icc: Optional[bytes]) -> None:
+    """(H, W, 3) uint16 -> minimal uncompressed little-endian TIFF."""
+    h, w, _ = arr.shape
+    pix = arr.astype("<u2").tobytes()
+    entries = []
+    extra = b""
+    header_size = 8
+
+    def entry(tag, typ, count, value, data=b""):
+        entries.append((tag, typ, count, value, data))
+
+    # layout: header(8) | IFD | extra data | pixels
+    n_base = 11 + (1 if icc else 0)
+    ifd_size = 2 + n_base * 12 + 4
+    data_off = header_size + ifd_size
+
+    def defer(data_bytes):
+        nonlocal extra
+        off = data_off + len(extra)
+        extra += data_bytes
+        return off
+
+    bits_off = defer(struct.pack("<3H", 16, 16, 16))
+    icc_off = defer(icc) if icc else 0
+    pix_off = data_off + len(extra)
+
+    entry(256, 4, 1, w)                    # ImageWidth
+    entry(257, 4, 1, h)                    # ImageLength
+    entry(258, 3, 3, bits_off)             # BitsPerSample
+    entry(259, 3, 1, 1)                    # Compression: none
+    entry(262, 3, 1, 2)                    # Photometric: RGB
+    entry(273, 4, 1, pix_off)              # StripOffsets
+    entry(277, 3, 1, 3)                    # SamplesPerPixel
+    entry(278, 4, 1, h)                    # RowsPerStrip
+    entry(279, 4, 1, len(pix))             # StripByteCounts
+    entry(282, 3, 1, 72)                   # XResolution (int shortcut)
+    entry(283, 3, 1, 72)                   # YResolution
+    if icc:
+        entry(34675, 7, len(icc), icc_off)  # InterColorProfile
+    entries.sort()
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, count, value, _d in entries:
+        ifd += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            ifd += struct.pack("<HH", value, 0)
+        else:
+            ifd += struct.pack("<I", value)
+    ifd += struct.pack("<I", 0)
+    with open(path, "wb") as f:
+        f.write(b"II*\0" + struct.pack("<I", 8) + ifd + extra + pix)
+
+
+def write_pfm(path: str, img_chw: np.ndarray) -> None:
+    """Float PFM (format/pnm.c PFM branch)."""
+    x = np.asarray(img_chw, np.float32).transpose(1, 2, 0)
+    h, w, _ = x.shape
+    with open(path, "wb") as f:
+        f.write(f"PF\n{w} {h}\n-1.0\n".encode())
+        f.write(x[::-1].astype("<f4").tobytes())
+
+
+def write_image(path: str, img_chw: np.ndarray, quality: int = 92,
+                bpp: int = 8, icc: Optional[bytes] = b"srgb",
+                meta=None) -> None:
+    """Write (3, H, W) float display RGB.  bpp: 8 or 16 (png/tiff only);
+    icc: profile bytes, b"srgb" for the default, or None to omit."""
     from PIL import Image
+
+    low = path.lower()
+    if icc == b"srgb":
+        icc = srgb_icc_bytes()
+    exif = exif_from_meta(meta) if meta is not None else None
+
+    if low.endswith(".pfm"):
+        write_pfm(path, img_chw)
+        return
+    if bpp == 16:
+        arr16 = to_uint16(img_chw)
+        if low.endswith(".png"):
+            _write_png16(path, arr16, icc)
+            return
+        if low.endswith((".tif", ".tiff")):
+            _write_tiff16(path, arr16, icc)
+            return
+        raise ValueError(f"16-bit output needs .png/.tif, got {path}")
 
     arr = to_uint8(img_chw)
     im = Image.fromarray(arr)
-    if path.lower().endswith((".jpg", ".jpeg")):
-        im.save(path, quality=quality, subsampling=0)
+    kw = {}
+    if icc:
+        kw["icc_profile"] = icc
+    if exif:
+        kw["exif"] = exif
+    if low.endswith((".jpg", ".jpeg")):
+        im.save(path, quality=quality, subsampling=0, **kw)
     else:
-        im.save(path)
+        im.save(path, **kw)

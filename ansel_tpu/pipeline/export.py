@@ -29,6 +29,9 @@ class ExportSettings:
     max_height: int = 0
     quality: int = 92
     format: str = "jpg"
+    bpp: int = 8            # 8 or 16 (png/tiff)
+    embed_icc: bool = True  # embed the output sRGB ICC profile
+    embed_exif: bool = True  # carry maker/model/ISO over from the raw
 
 
 def compute_export_scale(meta: RawMeta, s: ExportSettings) -> float:
@@ -62,5 +65,8 @@ def export_image(
     pipe = CompiledPipe(Pipeline(meta, history, scale=scale, forms=forms))
     out = pipe.output_array(raw)
     if output_path:
-        encode.write_image(output_path, out, quality=settings.quality)
+        encode.write_image(output_path, out, quality=settings.quality,
+                           bpp=settings.bpp,
+                           icc=b"srgb" if settings.embed_icc else None,
+                           meta=meta if settings.embed_exif else None)
     return out
