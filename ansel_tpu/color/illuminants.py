@@ -70,8 +70,14 @@ def blackbody_xy(cct: float):
 
 def illuminant_to_xy(kind: int, temperature: float = 5003.0,
                      custom_x: float = 1.0 / 3.0, custom_y: float = 1.0 / 3.0,
-                     fluo: int = 2, pipe_white=XY_D65):
+                     fluo: int = 2, pipe_white=None):
     if kind == ILLUMINANT_PIPE:
+        if pipe_white is None:
+            # pipeline white = D50, like the reference (illuminant.h
+            # DT_ILLUMINANT_PIPE -> D50 PCS white)
+            from .matrices import PIPE_WHITE_XY
+
+            pipe_white = PIPE_WHITE_XY
         return pipe_white
     if kind == ILLUMINANT_A:
         return XY_A

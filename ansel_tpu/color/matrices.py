@@ -96,13 +96,30 @@ def rgb_to_rgb_matrix(src: str, dst: str) -> np.ndarray:
 
 
 # The pipeline working space (reference default: linear Rec2020,
-# src/develop/imageop.h work profile plumbing / iop_profile.c)
+# src/develop/imageop.h work profile plumbing / iop_profile.c).
+#
+# Pipeline PCS white is D50, matching the reference exactly: its work
+# profiles are LCMS ICC profiles whose matrices are D50-adapted (PCS),
+# Lab is D50-based (colorspaces_inline_conversions.h dt_XYZ_to_Lab),
+# and channelmixerrgb's CATs target hard D50 products
+# (pixel/chromatic_adaptation.h bradford_adapt_D50 et al).
+PIPE_WHITE_XY = WP_D50
+PIPE_WHITE_XYZ = xy_to_XYZ(*WP_D50)
 WORK_PROFILE = "rec2020"
-XYZ_FROM_WORK = profile_matrix(WORK_PROFILE, to_xyz=True)
-WORK_FROM_XYZ = profile_matrix(WORK_PROFILE, to_xyz=False)
+XYZ_FROM_WORK = profile_matrix(WORK_PROFILE, to_xyz=True,
+                               dst_white_xy=PIPE_WHITE_XY)
+WORK_FROM_XYZ = profile_matrix(WORK_PROFILE, to_xyz=False,
+                               dst_white_xy=PIPE_WHITE_XY)
 
 # Y row of the working profile: luminance weights for work-RGB
 WORK_Y = XYZ_FROM_WORK[1, :].copy()
+
+# Pre-solved D50 <-> D65 XYZ adaptations (CAT16), the analog of the
+# reference's XYZ_D50_to_D65 tables (chromatic_adaptation.h:248-268) —
+# used at the boundary of D65-defined spaces (JzAzBz, LMS2006/Yrg)
+XYZ_D50_TO_D65 = adaptation_matrix(xy_to_XYZ(*WP_D50), xy_to_XYZ(*WP_D65),
+                                   cone=CAT16)
+XYZ_D65_TO_D50 = np.linalg.inv(XYZ_D50_TO_D65)
 
 
 def cam_to_work_matrix(cam_to_xyz: np.ndarray) -> np.ndarray:

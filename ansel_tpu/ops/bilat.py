@@ -3,8 +3,9 @@
 Reference: `/root/reference/src/iop/bilat.c` (params v3, bilat.c:78-86):
 mode 2 = local laplacian on Lab L (src/pixel/locallaplacian.c) with
 shadows = sigma_s/100, highlights = sigma_r/100, clarity = detail, midtone
-sigma; mode 1 = bilateral grid (approximated by the same local-laplacian
-path until the permutohedral kernel lands).
+sigma; mode 1 = bilateral grid on L (src/pixel/bilateral.c splat/blur/
+slice, detail-boost slicing dt_bilateral_slice_to_output:
+out = in + detail * (in - base)) via pixel/bilateralgrid.grid_filter.
 """
 
 from __future__ import annotations
@@ -45,12 +46,17 @@ class Bilat(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         mode, midtone, sigma_s, sigma_r, detail = plan.static
-        if mode == MODE_LOCAL_LAPLACIAN:
-            shadows = sigma_s / 100.0
-            highlights = sigma_r / 100.0
-        else:
-            # bilateral mode: emulate detail boost via clarity only
-            shadows = highlights = 0.0
+        if mode != MODE_LOCAL_LAPLACIAN:
+            # bilateral grid on L with detail-boost slicing (bilat.c
+            # process -> dt_bilateral_splat/blur/slice_to_output)
+            from ..pixel.bilateralgrid import grid_filter
+
+            L = grid_filter(x[0], x[0:1], max(sigma_s * ctx.scale, 1.0),
+                            max(sigma_r, 1.0), 0.0, 100.0,
+                            detail=detail)[0]
+            return jnp.stack([jnp.clip(L, 0.0, None), x[1], x[2]])
+        shadows = sigma_s / 100.0
+        highlights = sigma_r / 100.0
         L = local_laplacian(x[0] / 100.0, midtone, shadows, highlights,
                             detail)
         return jnp.stack([jnp.clip(L * 100.0, 0.0, None), x[1], x[2]])

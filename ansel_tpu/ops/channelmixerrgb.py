@@ -145,12 +145,15 @@ class ChannelMixerRGB(Op):
         illum_XYZ = cm.xy_to_XYZ(x, y)
         cone = _cone_matrix(p.adaptation)
         illum_lms = cone @ (illum_XYZ / max(illum_XYZ[1], 1e-9))
-        white_XYZ = cm.xy_to_XYZ(*cm.WP_D65)
+        # hard D50 target — the reference pipeline white
+        # (chromatic_adaptation.h bradford_adapt_D50 / CAT16_adapt_D50)
+        white_XYZ = cm.PIPE_WHITE_XYZ
         white_lms = cone @ white_XYZ
 
         gamut = 0.0 if p.gamut == 0.0 else 1.0 / p.gamut
-        # D65 uv (the reference uses D50 uv, its pipeline white)
-        xw, yw = cm.WP_D65
+        # D50 uv — gamut compression pulls toward the pipeline white
+        # (gamut_mapping, channelmixerrgb.c:633-700)
+        xw, yw = cm.PIPE_WHITE_XY
         den = -2.0 * xw + 12.0 * yw + 3.0
         return {
             "MIX": MIX.astype(np.float32),
@@ -165,7 +168,8 @@ class ChannelMixerRGB(Op):
             "work_from_xyz": cm.WORK_FROM_XYZ.astype(np.float32),
             "gamut": np.float32(gamut),
             # full-Bradford blue nonlinearity: (white_S / illuminant_S)^0.0834
-            # (reference channelmixerrgb.c:3051-3054, D65-referenced here)
+            # = (0.818155 / illum_S)^0.0834 with the D50 white
+            # (reference channelmixerrgb.c:3051-3054)
             "p_exp": np.float32(
                 (white_lms[2] / max(illum_lms[2], 1e-9)) ** 0.0834
             ),
@@ -213,7 +217,8 @@ class ChannelMixerRGB(Op):
             x = jnp.maximum(x, 0.0)
 
         xyz = apply_matrix(x, c["xyz_from_work"])
-        Y = jnp.maximum(xyz[1], NORM_MIN)[None]
+        # _downscale_vector_simd guard (chromatic_adaptation.h:293-297)
+        Y = jnp.where(xyz[1] > NORM_MIN, xyz[1] + NORM_MIN, NORM_MIN)[None]
 
         il, wl = c["illum_lms"], c["white_lms"]
         if kind in (ADAPT_LINEAR_BRADFORD, ADAPT_FULL_BRADFORD, ADAPT_CAT16):
@@ -227,7 +232,7 @@ class ChannelMixerRGB(Op):
             mixed = apply_matrix(adapted * Y, c["MIX"])
             xyz = apply_matrix(mixed, c["cone_inv"])
         elif kind == ADAPT_XYZ:
-            w = cm.xy_to_XYZ(*cm.WP_D65)
+            w = cm.PIPE_WHITE_XYZ
             scaled = jnp.stack([xyz[i] * (float(w[i])
                                           / jnp.maximum(il[i], 1e-9))
                                 for i in range(3)])

@@ -110,12 +110,13 @@ class ColorBalanceRGB(Op):
         midtones_weight = (shadows_weight**2 * highlights_weight**2
                            / (shadows_weight**2 + highlights_weight**2))
 
-        work_to_lms = sp.XYZ_D65_TO_LMS2006 @ cm.XYZ_FROM_WORK
+        work_to_lms = (sp.XYZ_D65_TO_LMS2006 @ cm.XYZ_D50_TO_D65
+                       @ cm.XYZ_FROM_WORK)
 
         return {
             "in_mat": np.float32(work_to_lms),
             # the JzAzBz stage hands back XYZ D65, not LMS
-            "out_mat": np.float32(cm.WORK_FROM_XYZ),
+            "out_mat": np.float32(cm.WORK_FROM_XYZ @ cm.XYZ_D65_TO_D50),
             "global": np.float32(global_v),
             "shadows": np.float32(shadows_v),
             "highlights": np.float32(highlights_v),

@@ -20,8 +20,9 @@ from .base import Op, OpPlan, PlanContext, register
 
 
 def _lab_from_srgb_linear(rgb):
-    xyz = cm.profile_matrix("srgb", to_xyz=True) @ np.asarray(rgb)
-    wn = cm.xy_to_XYZ(*cm.WP_D65)
+    xyz = cm.profile_matrix("srgb", to_xyz=True,
+                            dst_white_xy=cm.PIPE_WHITE_XY) @ np.asarray(rgb)
+    wn = cm.PIPE_WHITE_XYZ
     r = xyz / wn
     eps, kappa = 216.0 / 24389.0, 24389.0 / 27.0
     f = np.where(r > eps, np.cbrt(np.maximum(r, 1e-12)),

@@ -145,7 +145,12 @@ class Demosaic(Op):
         method = p.demosaicing_method
         if spec_in.cfa is CFAPattern.XTRANS and not (method & XTRANS_FLAG):
             method = MARKESTEIJN
-        return OpPlan(spec_in=spec_in, spec_out=spec_out, static=method)
+        is_xtrans = spec_in.cfa is CFAPattern.XTRANS
+        green_eq = 0 if is_xtrans else p.green_eq
+        return OpPlan(spec_in=spec_in, spec_out=spec_out,
+                      static=(method, green_eq,
+                              round(float(p.median_thrs), 6),
+                              int(p.color_smoothing)))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DemosaicParams):
         # rcd normalizes by max processed_maximum (rcd.c:283-284) so its eps
@@ -153,11 +158,39 @@ class Demosaic(Op):
         return {"scaler": max(ctx.processed_maximum)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        method = plan.static & ~DUAL_FLAG
+        method_full, green_eq, median_thrs, smooth = plan.static
+        method = method_full & ~DUAL_FLAG
         cfa = plan.spec_in.cfa
         if method in (PASSTHROUGH_MONO, XTRANS_FLAG | 3):
             return jnp.stack([x, x, x])
+        if green_eq:
+            from ..kernels import demosaic_post
+
+            # threshold = 0.0001 * ISO (demosaic.c:1001)
+            thr = 0.0001 * float(getattr(ctx.meta, "iso", 100.0) or 100.0)
+            x = demosaic_post.apply_green_eq(x, cfa, green_eq, thr)
+        out = self._demosaic(x, c, method, cfa, ctx)
+        if smooth:
+            from ..kernels import demosaic_post
+
+            out = demosaic_post.color_smoothing(out, smooth)
+        return out
+
+    def _demosaic(self, x, c, method, cfa, ctx):
         if cfa is CFAPattern.XTRANS:
+            import jax
+
+            passes = 3 if method == MARKESTEIJN_3 else 1
+            if jax.default_backend() == "tpu":
+                from ..kernels import markesteijn_pallas
+
+                return markesteijn_pallas.xtrans_markesteijn_pallas(
+                    x, tuple(ctx.meta.xtrans), passes=passes)
+            if passes == 3:
+                from ..kernels import markesteijn_pallas
+
+                return markesteijn_pallas.xtrans_markesteijn_pallas(
+                    x, tuple(ctx.meta.xtrans), passes=3, interpret=True)
             from ..kernels import markesteijn
 
             return markesteijn.xtrans_demosaic(x, ctx.meta.xtrans)

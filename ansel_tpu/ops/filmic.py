@@ -114,12 +114,15 @@ class FilmicLegacy(Op):
         preserve, desaturate, curve = plan.static
         from ..color.transforms import lab_to_xyz, xyz_to_lab
 
-        white = cm.xy_to_XYZ(*cm.WP_D65)
+        # D50 Lab + D50-native ProPhoto, like the reference's Lab pipe
+        white = cm.PIPE_WHITE_XYZ
         xyz = lab_to_xyz(x, white)
-        PP = cm.profile_matrix("prophoto", to_xyz=False).tolist()
-        PPI = cm.profile_matrix("prophoto", to_xyz=True).tolist()
-        Yrow = [float(v) for v in cm.profile_matrix("prophoto",
-                                                    to_xyz=True)[1]]
+        PP = cm.profile_matrix("prophoto", to_xyz=False,
+                               dst_white_xy=cm.PIPE_WHITE_XY).tolist()
+        PPI = cm.profile_matrix("prophoto", to_xyz=True,
+                                dst_white_xy=cm.PIPE_WHITE_XY).tolist()
+        Yrow = [float(v) for v in cm.profile_matrix(
+            "prophoto", to_xyz=True, dst_white_xy=cm.PIPE_WHITE_XY)[1]]
         rgb = apply_matrix(xyz, PP)
 
         if desaturate:

@@ -83,8 +83,8 @@ def _yrg_to_xyz_np(yrg):
 
 def _build_displaced(inset, rotation) -> np.ndarray:
     """work RGB -> displaced rendering space (_filmic_agx_build_displaced)."""
-    M_in = cm.XYZ_FROM_WORK  # work RGB -> XYZ D65
-    M_out = cm.WORK_FROM_XYZ
+    M_in = cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK  # work -> XYZ D65
+    M_out = cm.WORK_FROM_XYZ @ cm.XYZ_D65_TO_D50
     white_xyz = M_in @ np.ones(3)
     white_yrg = _xyz_to_yrg_np(white_xyz)
     P = np.zeros((3, 3))
@@ -115,8 +115,8 @@ def prepare_bracket(version: int):
 
 def agx_matrices():
     """input (work->LMS2006) / output (LMS2006->work) matrices."""
-    input_m = sp.XYZ_D65_TO_LMS2006 @ cm.XYZ_FROM_WORK
-    output_m = cm.WORK_FROM_XYZ @ sp.LMS2006_TO_XYZ_D65
+    input_m = sp.XYZ_D65_TO_LMS2006 @ cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK
+    output_m = cm.WORK_FROM_XYZ @ cm.XYZ_D65_TO_D50 @ sp.LMS2006_TO_XYZ_D65
     return input_m.astype(np.float32), output_m.astype(np.float32)
 
 

@@ -3,8 +3,10 @@
 Reference: `/root/reference/src/iop/highlights/` — params struct
 common.h:428-446; modes (common.h:403-410): CLIP (hard clamp at
 threshold, highlights/clip.c), LCH (2x2-cell chroma-ratio reconstruction,
-highlights/lch.c:316-410), INPAINT / guided-LAPLACIAN / HARMONIC
-(wavelet-scale segmentation paths — later rounds; they alias to LCH).
+highlights/lch.c:316-410), INPAINT (directional ratio-decay color
+inpainting, highlights/inpaint.c — exact, associative-scan form),
+guided-LAPLACIAN / HARMONIC (multiscale solver paths — alias to LCH for
+now, documented gap).
 """
 
 from __future__ import annotations
@@ -73,25 +75,93 @@ class Highlights(Op):
 
     def plan(self, ctx: PlanContext, spec_in: ImageSpec, p) -> OpPlan:
         # reference clamps processed_maximum to the clip threshold
-        clipval = p.clip * min(ctx.processed_maximum)
+        pmax = tuple(m if m > 0 else 1.0 for m in ctx.processed_maximum)
+        clipval = p.clip * min(pmax)
         ctx.processed_maximum = tuple(
             min(m, clipval) for m in ctx.processed_maximum
         )
         ctx.notes["highlights_clip"] = clipval
+        # per-channel thresholds (highlights.c:385-389)
+        ctx.notes["highlights_clips"] = tuple(
+            0.995 * p.clip * m for m in pmax[:3])
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=p.mode)
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p):
-        return {"clip": ctx.notes["highlights_clip"]}
+        return {"clip": ctx.notes["highlights_clip"],
+                "clips": list(ctx.notes["highlights_clips"])}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         clip = jnp.asarray(c["clip"], x.dtype)
         mode = plan.static
         spec = plan.spec_in
-        if (mode in (MODE_LCH, MODE_INPAINT, MODE_LAPLACIAN, MODE_HARMONIC)
-                and spec.cfa is not None
-                and spec.cfa is not CFAPattern.XTRANS):
+        is_mosaic = spec.cfa is not None
+        if mode == MODE_INPAINT and is_mosaic:
+            return self._inpaint(x, c, spec, ctx)
+        if (mode in (MODE_LCH, MODE_LAPLACIAN, MODE_HARMONIC)
+                and is_mosaic and spec.cfa is not CFAPattern.XTRANS):
             return self._lch_bayer(x, clip, spec)
         return jnp.minimum(x, clip)
+
+    def _clip_map(self, clips, spec, ctx, dtype, h, w):
+        """per-pixel clip threshold = clips[FC(j, i)]."""
+        if spec.cfa is CFAPattern.XTRANS:
+            masks = _bayer.xtrans_color_masks(ctx.meta.xtrans, h, w, dtype)
+        else:
+            masks = _bayer.color_masks(spec.cfa, h, w, dtype)
+        return (masks[0] * clips[0] + masks[1] * clips[1]
+                + masks[2] * clips[2])
+
+    def _inpaint(self, x, c, spec, ctx):
+        """process_inpaint_bayer/xtrans (highlights/inpaint.c:64-104 →
+        interpolate_color, highlights/lch.c:206-300): four directional
+        sweeps; along each, a running odd/even intensity ratio with
+        exponential decay (ratio' = (3·ratio + r)/4 at unclipped pairs)
+        rebuilds clipped samples from their scan-direction neighbour.
+
+        TPU form: the ratio recurrence is a first-order linear recurrence
+        x_k = a_k·x_{k-1} + b_k, evaluated in log-depth with ONE
+        `lax.associative_scan` per direction; everything else is
+        elementwise.  The four directional estimates average exactly like
+        the reference's pass 0/1/2/3 accumulation."""
+        import jax
+
+        eps = 1e-5
+        H, W = x.shape[-2:]
+        clip0 = self._clip_map(c["clips"], spec, ctx, x.dtype, H, W)
+
+        def comb(left, right):
+            al, bl = left
+            ar, br = right
+            return al * ar, bl * ar + br
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        interior = (row > 0) & (row < H - 1) & (col > 0) & (col < W - 1)
+
+        def sweep(axis, direction):
+            nxt = jnp.roll(x, -direction, axis=axis)
+            clip1 = jnp.roll(clip0, -direction, axis=axis)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), axis)
+            odd = (idx & 1) == 1
+            # image-border pixels neither update the ratio nor write
+            # (interpolate_color's leading border check)
+            both_ok = ((x < clip0) & (x > eps) & (nxt < clip1) & (nxt > eps)
+                       & interior)
+            r = jnp.where(odd, x / jnp.maximum(nxt, eps),
+                          nxt / jnp.maximum(x, eps))
+            a = jnp.where(both_ok, 0.75, 1.0)
+            b = jnp.where(both_ok, 0.25 * r, 0.0)
+            aa, bb = jax.lax.associative_scan(
+                comb, (a, b), axis=axis, reverse=(direction < 0))
+            ratio = aa + bb  # x_init = 1
+            return jnp.where(
+                nxt >= clip1 - eps, jnp.maximum(clip0, clip1),
+                jnp.where(odd, nxt * ratio,
+                          nxt / jnp.maximum(ratio, 1e-12)))
+
+        add = (sweep(1, 1) + sweep(1, -1) + sweep(0, 1)
+               + sweep(0, -1)) * 0.25
+        return jnp.where((x >= clip0 - eps) & interior, add, x)
 
     def _lch_bayer(self, x, clip, spec):
         """process_lch_bayer (highlights/lch.c:316-410): per pixel, analyse

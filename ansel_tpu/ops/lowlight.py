@@ -20,7 +20,9 @@ from .base import Op, OpPlan, PlanContext, register
 
 BANDS = 6
 # D50 in the reference; this pipeline is D65-referenced throughout
-_WHITE = (0.9504559, 1.0, 1.0890578)
+from ..color.matrices import PIPE_WHITE_XYZ as _WHITE_ARR
+
+_WHITE = tuple(float(v) for v in _WHITE_ARR)  # D50 Lab white (reference dt_Lab_to_XYZ)
 
 
 @params(op="lowlight", version=1)

@@ -37,17 +37,25 @@ class Lowpass(Op):
     input_colorspace = Colorspace.LAB
 
     def plan(self, ctx: PlanContext, spec_in, p: LowpassParams) -> OpPlan:
-        sigma = max(0.1, p.radius) * ctx.scale
+        sigma = max(0.1, abs(p.radius)) * ctx.scale
+        bilat = p.lowpass_algo == 1 or p.radius < 0.0
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
-                      static=(round(sigma, 3), bool(p.unbound)))
+                      static=(round(sigma, 3), bool(p.unbound), bilat))
 
     def coeffs(self, ctx, plan, p):
         return {"contrast": p.contrast, "brightness": p.brightness,
                 "saturation": p.saturation}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        sigma, unbound = plan.static
-        y = gaussian_blur(x, sigma)
+        sigma, unbound, bilat = plan.static
+        if bilat:
+            # LOWPASS_ALGO_BILATERAL: L-guided grid, sigma_r=100
+            # (lowpass.c:362-372)
+            from ..pixel.bilateralgrid import grid_filter
+
+            y = grid_filter(x[0], x, max(sigma, 1.0), 100.0, 0.0, 100.0)
+        else:
+            y = gaussian_blur(x, sigma)
         contrast = jnp.asarray(c["contrast"], x.dtype)
         # negative contrast mirrors the curve (reference ctable semantics)
         L = 50.0 + (y[0] - 50.0) * contrast

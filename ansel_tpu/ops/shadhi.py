@@ -46,7 +46,8 @@ class ShadowsHighlights(Op):
     input_colorspace = Colorspace.LAB
 
     def plan(self, ctx: PlanContext, spec_in, p: ShadHiParams) -> OpPlan:
-        sigma = max(0.1, p.radius) * ctx.scale
+        sigma = max(0.1, abs(p.radius)) * ctx.scale
+        bilat = p.shadhi_algo == 1 or p.radius < 0.0
         # all tone params gate control flow (pass counts, signs) -> static
         shadows = 2.0 * min(max(p.shadows / 100.0, -1.0), 1.0)
         highlights = 2.0 * min(max(p.highlights / 100.0, -1.0), 1.0)
@@ -59,6 +60,7 @@ class ShadowsHighlights(Op):
             round((min(max(p.highlights_ccorrect / 100.0, 0.0), 1.0) - 0.5)
                   * _sign(-highlights) + 0.5, 5),
             max(p.low_approximation, 1e-6),
+            bilat,
         )
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=static)
 
@@ -67,12 +69,19 @@ class ShadowsHighlights(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         (sigma, shadows_v, highlights_v, whitepoint, compress_v,
-         shadows_cc, highlights_cc, low_v) = plan.static
+         shadows_cc, highlights_cc, low_v, bilat) = plan.static
         c = {"whitepoint": whitepoint, "compress": compress_v,
              "low": low_v, "shadows": shadows_v, "highlights": highlights_v,
              "shadows_ccorrect": shadows_cc,
              "highlights_ccorrect": highlights_cc}
-        blurred = gaussian_blur(x, sigma)
+        if bilat:
+            # SHADHI_ALGO_BILATERAL (shadhi.c:345-360): L-guided grid
+            from ..pixel.bilateralgrid import grid_filter
+
+            blurred = grid_filter(x[0], x, max(sigma, 1.0), 100.0,
+                                  0.0, 100.0)
+        else:
+            blurred = gaussian_blur(x, sigma)
         # scale to unit Lab (ta = in/100, tb = inverted blur L)
         ta_L = x[0] / 100.0
         ta_a = x[1] / 128.0

@@ -46,7 +46,7 @@ def _point_matrix(red, green, blue, normalize, temperature) -> np.ndarray:
                 rows[r] = rows[r] / s
     # CAT16 white-balance matrix expressed in work RGB
     # (_build_cat16_rgb_matrix + CAT16_adapt: lms * white / illuminant)
-    lms_from_work = cm.CAT16 @ cm.XYZ_FROM_WORK
+    lms_from_work = cm.CAT16 @ cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK
     work_from_lms = np.linalg.inv(lms_from_work)
     gain = np.diag(_temp_lms(NEUTRAL_TEMP)
                    / np.maximum(_temp_lms(temperature), 1e-9))

@@ -156,7 +156,8 @@ def _scene_channels(rgb, y_weights):
     """channel values for CS_RGB_SCENE (blendif_rgb_jzczhz.c)."""
     w = jnp.asarray(y_weights, rgb.dtype).reshape(3, 1, 1)
     gray = jnp.sum(rgb * w, axis=0)
-    xyz = tr.apply_matrix(jnp.maximum(rgb, 0.0), cm.XYZ_FROM_WORK)
+    xyz = tr.apply_matrix(jnp.maximum(rgb, 0.0),
+                          cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK)
     jab = sp.xyz_to_jzazbz(xyz)
     Jz = jab[0]
     Cz = jnp.sqrt(jab[1] ** 2 + jab[2] ** 2)

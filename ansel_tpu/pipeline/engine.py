@@ -105,7 +105,7 @@ class _ConvertOp(ops_base.Op):
         from ..color import transforms as tr
 
         src, dst = plan.static
-        white = cm.xy_to_XYZ(*cm.WP_D65)
+        white = cm.PIPE_WHITE_XYZ  # D50 Lab, like the reference
         if (src, dst) == (Colorspace.WORK_RGB, Colorspace.LAB):
             xyz = tr.apply_matrix(x, cm.XYZ_FROM_WORK)
             return tr.xyz_to_lab(xyz, white)
@@ -121,7 +121,7 @@ class _ConvertOp(ops_base.Op):
         from ..ops.base import PointwiseSpec
 
         src, dst = plan.static
-        white = [float(v) for v in cm.xy_to_XYZ(*cm.WP_D65)]
+        white = [float(v) for v in cm.PIPE_WHITE_XYZ]
         eps, kappa = 216.0 / 24389.0, 24389.0 / 27.0
 
         if (src, dst) == (Colorspace.WORK_RGB, Colorspace.LAB):

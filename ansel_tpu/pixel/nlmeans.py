@@ -8,17 +8,21 @@ average over a (2K+1)^2 search window; two weightings:
     /(1+center_weight) * sharpness - 2)) (nlmeans_core.c:417-423)
 with optional patch scattering (`scatter`, nlmeans_core.c:95-110).
 
-TPU form: one fused pass per search offset — shifted view, per-channel
-normed squared difference, patch box-sum via cumsum, weight, accumulate.
-Whole-image XLA today; VMEM-resident Pallas variant is the scheduled
-optimization.
+TPU form: `lax.scan` over the search offsets — ONE shifted view lives at a
+time (pad once, `dynamic_slice` per step), its SSD box-summed via cumsum,
+weighted and accumulated.  An unrolled whole-image version holds every
+shifted copy simultaneously and OOMs 16 GB HBM at 24 MP (the jnp.roll
+trap, CLAUDE.md); the scan bounds liveness to a handful of (3, H, W)
+buffers regardless of window size.
 """
 
 from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .blur import box_blur_1d
 
@@ -47,24 +51,34 @@ def nlmeans(img: jnp.ndarray, patch_radius: int, search_radius: int,
             scattering: float = 0.0, scale: float = 1.0) -> jnp.ndarray:
     """(3, H, W) -> (3, H, W) weighted patch average (not yet blended with
     the input — callers apply luma/chroma blending)."""
+    H, W = img.shape[-2:]
     norm = jnp.asarray(norm, img.dtype).reshape(3, 1, 1)
-    acc = jnp.zeros_like(img)
-    wsum = jnp.zeros_like(img[0])
     if center_weight >= 0.0:
         n = 2 * patch_radius + 1
         cp_norm = center_weight * n * n
+
+    offsets = []
     for dy in range(-search_radius, search_radius + 1):
         for dx in range(-search_radius, search_radius + 1):
-            oy, ox = _scatter(scale, scattering, dy, dx)
-            sh = img if (oy == 0 and ox == 0) else jnp.roll(
-                img, (-oy, -ox), axis=(-2, -1))
-            d2 = jnp.sum(norm * (img - sh) ** 2, axis=0)
-            ssd = _patch_sum(d2, patch_radius)
-            if center_weight < 0.0:
-                w = jnp.exp2(-ssd * sharpness)
-            else:
-                dis = (ssd + d2 * cp_norm) / (1.0 + center_weight)
-                w = jnp.exp2(-jnp.maximum(0.0, dis * sharpness - 2.0))
-            acc = acc + sh * w[None]
-            wsum = wsum + w
+            offsets.append(_scatter(scale, scattering, dy, dx))
+    off = np.asarray(offsets, np.int32)
+    m = int(np.abs(off).max()) if len(off) else 0
+    # edge-pad once; per-step shifted views are dynamic slices of this
+    pad = jnp.pad(img, ((0, 0), (m, m), (m, m)), mode="edge")
+
+    def step(carry, o):
+        acc, wsum = carry
+        sh = jax.lax.dynamic_slice(
+            pad, (0, m + o[0], m + o[1]), (img.shape[0], H, W))
+        d2 = jnp.sum(norm * (img - sh) ** 2, axis=0)
+        ssd = _patch_sum(d2, patch_radius)
+        if center_weight < 0.0:
+            w = jnp.exp2(-ssd * sharpness)
+        else:
+            dis = (ssd + d2 * cp_norm) / (1.0 + center_weight)
+            w = jnp.exp2(-jnp.maximum(0.0, dis * sharpness - 2.0))
+        return (acc + sh * w[None], wsum + w), None
+
+    init = (jnp.zeros_like(img), jnp.zeros_like(img[0]))
+    (acc, wsum), _ = jax.lax.scan(step, init, jnp.asarray(off))
     return acc / jnp.maximum(wsum, 1e-12)[None]

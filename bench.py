@@ -37,12 +37,13 @@ CONFIGS = {
         ("exposure", {"exposure": 0.5}),
         ("filmicrgb", {}),
     ], label="45MP heavy-iterative stack"),
-    # BASELINE config 4: X-Trans Markesteijn + lens (incl. TCA) pipe
+    # BASELINE config 4: X-Trans Markesteijn 3-pass + lens (incl. TCA)
     4: dict(h=4000, w=6000, xtrans=True, history=[
+        ("demosaic", {"demosaicing_method": 1024 | 2}),  # Markesteijn 3-pass
         ("lens", {"tca_r": 1.0005, "tca_b": 0.9995, "dist_a": -0.02}),
         ("exposure", {"exposure": 0.5}),
         ("filmicrgb", {}),
-    ], label="24MP X-Trans Markesteijn+lens+TCA"),
+    ], label="24MP X-Trans Markesteijn-3pass+lens+TCA"),
     # BASELINE config 5: batch export throughput (vmap batch on this
     # chip; the v5e-8 dp-mesh path is exercised by dryrun_multichip)
     5: dict(h=4000, w=6016, batch=4, history=[
@@ -70,6 +71,11 @@ XTRANS6 = (1, 0, 2, 1, 2, 0,
 
 def main():
     import jax
+
+    # persistent XLA compile cache: the 60-module sidecar pipelines take
+    # minutes to compile cold; cached re-runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ansel_tpu_jitcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from ansel_tpu import HistoryItem, compile_pipeline
     from ansel_tpu.io.synthetic import synth_raw

@@ -179,3 +179,31 @@ def test_cacorrect_reduces_synthetic_ca():
     before = np.abs(mosaic[0::2, 0::2] - scene_g[0::2, 0::2]).mean()
     after = np.abs(out[0::2, 0::2] - scene_g[0::2, 0::2]).mean()
     assert after < 0.3 * before, (before, after)
+
+
+def test_markesteijn_pallas_matches_scene():
+    """Pallas tile kernel (interpret mode), 1-pass + 3-pass: constant scene
+    exact, smooth scene close; 3-pass at least as good as 1-pass."""
+    from scipy.ndimage import gaussian_filter
+
+    from ansel_tpu.kernels.markesteijn_pallas import \
+        xtrans_markesteijn_pallas
+
+    img = np.full((3, 96, 384), 0.5, np.float32)
+    out = np.asarray(xtrans_markesteijn_pallas(
+        _xtrans_mosaic(img), XTRANS, passes=1, interpret=True))
+    assert np.allclose(out[:, 24:-24, 24:-24], 0.5, atol=1e-5)
+
+    rng = np.random.default_rng(1)
+    img = gaussian_filter(rng.uniform(0.1, 0.9, (3, 96, 384)),
+                          sigma=(0, 3, 3)).astype(np.float32)
+    mosaic = _xtrans_mosaic(img)
+    o1 = np.asarray(xtrans_markesteijn_pallas(mosaic, XTRANS, passes=1,
+                                              interpret=True))
+    o3 = np.asarray(xtrans_markesteijn_pallas(mosaic, XTRANS, passes=3,
+                                              interpret=True))
+    ref = img[:, 24:-24, 24:-24]
+    e1 = np.abs(o1[:, 24:-24, 24:-24] - ref).mean()
+    e3 = np.abs(o3[:, 24:-24, 24:-24] - ref).mean()
+    assert e1 < 0.005 and e1 > 0, e1
+    assert e3 < e1 * 1.10, (e1, e3)  # 3-pass must not be worse

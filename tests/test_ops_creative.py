@@ -32,7 +32,7 @@ def test_lab_roundtrip():
 
     rng = np.random.default_rng(0)
     rgb = jnp.asarray(rng.uniform(0.01, 1.0, (3, 8, 128)), jnp.float32)
-    white = cm.xy_to_XYZ(*cm.WP_D65)
+    white = cm.PIPE_WHITE_XYZ  # pipeline Lab is D50-referenced
     lab = tr.xyz_to_lab(tr.apply_matrix(rgb, cm.XYZ_FROM_WORK), white)
     back = tr.apply_matrix(tr.lab_to_xyz(lab, white), cm.WORK_FROM_XYZ)
     assert np.allclose(np.asarray(back), np.asarray(rgb), atol=2e-5)
