@@ -97,13 +97,18 @@ class _TileGeo:
         return out
 
     def hex_pair_mask(self, m, k):
+        # the pair-sum-nonzero predicate is static per class, so the mask
+        # is a pure OR of class masks (a bool-valued select would force an
+        # i8->i1 trunc Mosaic can't lower)
         mask = None
         for ccls, hexes in self.allhex.items():
             s = (hexes[k][0] + hexes[k + 1][0]) * 4096 \
                 + (hexes[k][1] + hexes[k + 1][1])
-            v = jnp.full((BUF_H, BUF_W), s != 0)
-            mask = v if mask is None else jnp.where(
-                m["cls"][ccls], v, mask)
+            if s != 0:
+                v = m["cls"][ccls]
+                mask = v if mask is None else (mask | v)
+        if mask is None:
+            mask = jnp.zeros((BUF_H, BUF_W), jnp.bool_)
         return mask
 
 
@@ -154,7 +159,8 @@ def _sg_rb(geo, m, x, G, R, B, right_red):
                 est_far = est
             if d > 1:
                 diff = diff + (gp - gm - fp + fm) ** 2 + gterm**2
-        base_is_red = jnp.where(right_red, axis_h, not axis_h)
+        # (mosaic can't lower where(bool, py_bool, py_bool) — use mask ops)
+        base_is_red = right_red if axis_h else ~right_red
         ests[d] = (jnp.where(base_is_red, est_near, est_far),
                    jnp.where(base_is_red, est_far, est_near))
         diffs[d] = diff
@@ -197,17 +203,18 @@ def _rb_opposite(geo, m, G, R, B):
             jnp.abs(gd - _sh(gd, 3, 0)) + jnp.abs(gd - _sh(gd, -3, 0)),
             jnp.abs(gd - _sh(gd, 0, 3)) + jnp.abs(gd - _sh(gd, 0, -3)))
         d_even = (d % 2 == 0)
-        use_c = ((d > 1)
-                 | jnp.where(row_sg, jnp.asarray(d_even),
-                             jnp.asarray(not d_even))
-                 | (grad_c < 2.0 * grad_h))
+        parity_ok = row_sg if d_even else ~row_sg
+        use_c = None if d > 1 else parity_ok | (grad_c < 2.0 * grad_h)
         for plane_list, own in ((R, m["is_r"]), (B, m["is_b"])):
             plane = plane_list[d]
             v_c = jnp.where(row_sg, interp(plane, 0, 1),
                             interp(plane, 1, 0))
-            v_h = jnp.where(row_sg, interp(plane, 3, 0),
-                            interp(plane, 0, 3))
-            val = jnp.where(use_c, v_c, v_h)
+            if use_c is None:
+                val = v_c
+            else:
+                v_h = jnp.where(row_sg, interp(plane, 3, 0),
+                                interp(plane, 0, 3))
+                val = jnp.where(use_c, v_c, v_h)
             site = is_rb & (~own) & (~m["sg"])
             plane_list[d] = jnp.where(site, val, plane)
     return R, B
@@ -379,6 +386,9 @@ def xtrans_markesteijn_pallas(x: jnp.ndarray, pattern6, passes: int = 1,
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, pattern6=tuple(pattern6),
                              passes=passes)
+    # 3-pass holds ~8x (G,R,B) direction buffers live for the final vote;
+    # raise the scoped VMEM ceiling (v5e has 128MB physical VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     r, g, b = pl.pallas_call(
         kern,
         grid=(nh, nw),
@@ -389,6 +399,7 @@ def xtrans_markesteijn_pallas(x: jnp.ndarray, pattern6, passes: int = 1,
             pltpu.VMEM((BUF_H, BUF_W), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=params,
         interpret=interpret,
     )(cp)
     return jnp.maximum(jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]]), 0.0)

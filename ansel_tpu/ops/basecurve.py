@@ -53,16 +53,14 @@ class BaseCurve(Op):
         n = max(2, min(p.basecurve_nodes[0], MAXNODES))
         xs = [p.basecurve[2 * i] for i in range(n)]
         ys = [p.basecurve[2 * i + 1] for i in range(n)]
-        lut = curves.sample_curve(xs, ys, p.basecurve_type[0],
-                                  lut_max=LUT_MAX)
-        slope = (lut[-1] - lut[-2]) / (LUT_MAX / (curves.LUT_SIZE - 1))
-        return {"lut": lut, "slope": np.float32(slope),
+        cx, cy, cmv = curves.curve_coeffs(xs, ys, p.basecurve_type[0])
+        return {"cx": cx, "cy": cy, "cm": cmv,
                 "y_weights": np.float32(cm.WORK_Y)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         preserve = plan.static
         if preserve != 0:
             n = jnp.maximum(rgb_norm(x, preserve, c["y_weights"]), 1e-9)
-            mapped = curves.apply_lut(n, c["lut"], LUT_MAX, c["slope"])
+            mapped = curves.eval_curve(n, c["cx"], c["cy"], c["cm"])
             return x * (mapped / n)[None]
-        return curves.apply_lut(x, c["lut"], LUT_MAX, c["slope"])
+        return curves.eval_curve(x, c["cx"], c["cy"], c["cm"])

@@ -47,18 +47,16 @@ class ColorZones(Op):
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=p.channel)
 
     def coeffs(self, ctx, plan, p: ColorZonesParams):
-        luts = []
+        import numpy as np
+
+        cs = []
         for ch in range(3):
             n = max(2, min(p.curve_num_nodes[ch], MAXNODES))
             base = ch * MAXNODES * 2
             xs = [p.curve[base + 2 * i] for i in range(n)]
             ys = [p.curve[base + 2 * i + 1] for i in range(n)]
-            # hue-indexed curves are periodic: wrap the end nodes
-            luts.append(curves.sample_curve(xs, ys, p.curve_type[ch],
-                                            lut_max=1.0))
-        import numpy as np
-
-        return {"luts": np.stack(luts),
+            cs.append(curves.curve_coeffs(xs, ys, p.curve_type[ch]))
+        return {"c0": cs[0], "c1": cs[1], "c2": cs[2],
                 "mix": np.float32(1.0 + p.strength / 100.0)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
@@ -72,9 +70,9 @@ class ColorZones(Op):
             t = jnp.clip(C / (128.0 * math.sqrt(2.0)), 0.0, 1.0)
         else:
             t = h
-        sel_L = curves.apply_lut(t, c["luts"][0], 1.0)
-        sel_C = curves.apply_lut(t, c["luts"][1], 1.0)
-        sel_h = curves.apply_lut(t, c["luts"][2], 1.0)
+        sel_L = curves.eval_curve(t, *c["c0"])
+        sel_C = curves.eval_curve(t, *c["c1"])
+        sel_h = curves.eval_curve(t, *c["c2"])
         mix = c["mix"]
         # y=0.5 neutral; lightness +-50L, chroma x4 range, hue +-30deg
         L2 = L + 100.0 * (sel_L - 0.5) * 2.0 * mix * 0.5

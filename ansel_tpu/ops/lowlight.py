@@ -15,7 +15,7 @@ import numpy as np
 from ..color.transforms import lab_to_xyz, xyz_to_lab
 from ..core.params import cfield, params
 from ..core.types import Colorspace
-from ..pixel.curves import CATMULL_ROM, apply_lut, sample_curve
+from ..pixel.curves import CATMULL_ROM, curve_coeffs, eval_curve
 from .base import Op, OpPlan, PlanContext, register
 
 BANDS = 6
@@ -45,13 +45,13 @@ class Lowlight(Op):
               + [p.transition_x[1] + 1.0])
         ys = [p.transition_y[0]] + list(p.transition_y) \
             + [p.transition_y[BANDS - 1]]
-        lut = sample_curve(np.asarray(xs), np.asarray(ys), CATMULL_ROM,
-                           lut_max=1.0, size=1024)
+        cx, cy, cmv = curve_coeffs(np.asarray(xs), np.asarray(ys),
+                                   CATMULL_ROM)
         # scotopic white: Lab(100, 0, -blueness) -> XYZ
         sw_lab = jnp.asarray([100.0, 0.0, -p.blueness],
                              jnp.float32).reshape(3, 1, 1)
         sw = lab_to_xyz(sw_lab, _WHITE).reshape(3)
-        return {"lut": lut, "sw": sw}
+        return {"cx": cx, "cy": cy, "cm": cmv, "sw": sw}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         xyz = lab_to_xyz(x, _WHITE)
@@ -59,7 +59,8 @@ class Lowlight(Op):
         denom = jnp.maximum(xyz[0], threshold)
         V = xyz[1] * (1.33 * (1.0 + (xyz[1] + xyz[2]) / denom) - 1.68)
         V = jnp.clip(0.5 * V, 0.0, 1.0)
-        w = jnp.clip(apply_lut(x[0] / 100.0, c["lut"]), 0.0, 1.0)
+        w = jnp.clip(eval_curve(x[0] / 100.0, c["cx"], c["cy"], c["cm"]),
+                     0.0, 1.0)
         sw = c["sw"]
         mixed = jnp.stack([w * xyz[i] + (1.0 - w) * V * sw[i]
                            for i in range(3)])

@@ -53,6 +53,45 @@ def _degamma709(x):
                      ((jnp.maximum(x, 1e-9) + 0.099) / 1.099) ** (1.0 / 0.45))
 
 
+def lut3d_sample(t, flat, level, interp):
+    """(3, H, W) code values in [0,1] + (level^3, 3) LUT (index r + g*L +
+    b*L^2) -> (3, H, W); trilinear or tetrahedral (lut3d.cl:23-95)."""
+    L = level
+    d = t * (L - 1.0)
+    i0 = jnp.clip(d.astype(jnp.int32), 0, L - 2)
+    f = d - i0
+    base = i0[0] + i0[1] * L + i0[2] * L * L
+    flat = jnp.asarray(flat)
+
+    def P(dr, dg, db):
+        return flat[base + dr + dg * L + db * L * L]  # (h, w, 3)
+
+    r, g, b = f[0][..., None], f[1][..., None], f[2][..., None]
+    c000, c111 = P(0, 0, 0), P(1, 1, 1)
+    c100, c010, c001 = P(1, 0, 0), P(0, 1, 0), P(0, 0, 1)
+    c110, c101, c011 = P(1, 1, 0), P(1, 0, 1), P(0, 1, 1)
+    if interp == INTERP_TRILINEAR:
+        c00 = c000 * (1 - r) + c100 * r
+        c10 = c010 * (1 - r) + c110 * r
+        c01 = c001 * (1 - r) + c101 * r
+        c11 = c011 * (1 - r) + c111 * r
+        out = (c00 * (1 - g) + c10 * g) * (1 - b) \
+            + (c01 * (1 - g) + c11 * g) * b
+    else:
+        # tetrahedral (lut3d.cl:66-95); pyramid maps here too
+        t1 = (1 - r) * c000 + (r - g) * c100 + (g - b) * c110 + b * c111
+        t2 = (1 - r) * c000 + (r - b) * c100 + (b - g) * c101 + g * c111
+        t3 = (1 - b) * c000 + (b - r) * c001 + (r - g) * c101 + g * c111
+        t4 = (1 - b) * c000 + (b - g) * c001 + (g - r) * c011 + r * c111
+        t5 = (1 - g) * c000 + (g - b) * c010 + (b - r) * c011 + r * c111
+        t6 = (1 - g) * c000 + (g - r) * c010 + (r - b) * c110 + b * c111
+        out = jnp.where(
+            r > g,
+            jnp.where(g > b, t1, jnp.where(r > b, t2, t3)),
+            jnp.where(b > g, t4, jnp.where(b > r, t5, t6)))
+    return jnp.moveaxis(out, -1, 0)
+
+
 @register
 class Lut3D(Op):
     name = "lut3d"
@@ -111,42 +150,7 @@ class Lut3D(Op):
             t = _gamma709(jnp.clip(t, 0.0, 1.0))
         t = jnp.clip(t, 0.0, 1.0)
 
-        flat = c["clut"]  # (level^3, 3), index r + g*L + b*L^2
-        L = level
-        d = t * (L - 1.0)
-        i0 = jnp.clip(d.astype(jnp.int32), 0, L - 2)
-        f = d - i0
-        base = i0[0] + i0[1] * L + i0[2] * L * L
-
-        def P(dr, dg, db):
-            return flat[base + dr + dg * L + db * L * L]  # (h, w, 3)
-
-        r, g, b = f[0][..., None], f[1][..., None], f[2][..., None]
-        c000, c111 = P(0, 0, 0), P(1, 1, 1)
-        if interp == INTERP_TRILINEAR:
-            c100, c010, c001 = P(1, 0, 0), P(0, 1, 0), P(0, 0, 1)
-            c110, c101, c011 = P(1, 1, 0), P(1, 0, 1), P(0, 1, 1)
-            c00 = c000 * (1 - r) + c100 * r
-            c10 = c010 * (1 - r) + c110 * r
-            c01 = c001 * (1 - r) + c101 * r
-            c11 = c011 * (1 - r) + c111 * r
-            out = (c00 * (1 - g) + c10 * g) * (1 - b) \
-                + (c01 * (1 - g) + c11 * g) * b
-        else:
-            # tetrahedral (lut3d.cl:66-95); pyramid maps here too
-            c100, c010, c001 = P(1, 0, 0), P(0, 1, 0), P(0, 0, 1)
-            c110, c101, c011 = P(1, 1, 0), P(1, 0, 1), P(0, 1, 1)
-            t1 = (1 - r) * c000 + (r - g) * c100 + (g - b) * c110 + b * c111
-            t2 = (1 - r) * c000 + (r - b) * c100 + (b - g) * c101 + g * c111
-            t3 = (1 - b) * c000 + (b - r) * c001 + (r - g) * c101 + g * c111
-            t4 = (1 - b) * c000 + (b - g) * c001 + (g - r) * c011 + r * c111
-            t5 = (1 - g) * c000 + (g - b) * c010 + (b - r) * c011 + r * c111
-            t6 = (1 - g) * c000 + (g - r) * c010 + (r - b) * c110 + b * c111
-            out = jnp.where(
-                r > g,
-                jnp.where(g > b, t1, jnp.where(r > b, t2, t3)),
-                jnp.where(b > g, t4, jnp.where(b > r, t5, t6)))
-        out = jnp.moveaxis(out, -1, 0)
+        out = lut3d_sample(t, c["clut"], level, interp)
 
         if cs == CS_SRGB:
             out = srgb_decode(jnp.clip(out, 0.0, 1.0))

@@ -83,16 +83,9 @@ class RGBCurve(Op):
                       static=(p.curve_autoscale, p.preserve_colors))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: RGBCurveParams):
-        luts = []
-        slopes = []
-        for ch in range(3):
-            xs, ys = _nodes(p, ch)
-            lut = curves.sample_curve(xs, ys, p.curve_type[ch],
-                                      lut_max=LUT_MAX)
-            luts.append(lut)
-            slopes.append((lut[-1] - lut[-2])
-                          / (LUT_MAX / (curves.LUT_SIZE - 1)))
-        return {"luts": np.stack(luts), "slopes": np.float32(slopes),
+        cs = [curves.curve_coeffs(*_nodes(p, ch), p.curve_type[ch])
+              for ch in range(3)]
+        return {"c0": cs[0], "c1": cs[1], "c2": cs[2],
                 "y_weights": np.float32(cm.WORK_Y)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
@@ -100,12 +93,10 @@ class RGBCurve(Op):
         if autoscale == SCALE_AUTOMATIC_RGB and preserve != NORM_NONE:
             ratio_src = rgb_norm(x, preserve, c["y_weights"])
             ratio_src = jnp.maximum(ratio_src, 1e-9)
-            mapped = curves.apply_lut(ratio_src, c["luts"][0], LUT_MAX,
-                                      c["slopes"][0])
+            mapped = curves.eval_curve(ratio_src, *c["c0"])
             return x * (mapped / ratio_src)[None]
         if autoscale == SCALE_AUTOMATIC_RGB:
-            return curves.apply_lut(x, c["luts"][0], LUT_MAX, c["slopes"][0])
+            return curves.eval_curve(x, *c["c0"])
         return jnp.stack([
-            curves.apply_lut(x[i], c["luts"][i], LUT_MAX, c["slopes"][i])
-            for i in range(3)
+            curves.eval_curve(x[i], *c[f"c{i}"]) for i in range(3)
         ])

@@ -51,13 +51,12 @@ class ToneCurve(Op):
         n = max(2, min(p.tonecurve_nodes[0], MAXNODES))
         xs = [p.tonecurve[2 * i] for i in range(n)]
         ys = [p.tonecurve[2 * i + 1] for i in range(n)]
-        lut = curves.sample_curve(xs, ys, p.tonecurve_type[0], lut_max=1.0)
-        slope = (lut[-1] - lut[-2]) * (curves.LUT_SIZE - 1)
-        return {"lut": lut, "slope": np.float32(slope)}
+        cx, cy, cm = curves.curve_coeffs(xs, ys, p.tonecurve_type[0])
+        return {"cx": cx, "cy": cy, "cm": cm}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         L = x[0] / 100.0
-        L_out = curves.apply_lut(L, c["lut"], 1.0, c["slope"]) * 100.0
+        L_out = curves.eval_curve(L, c["cx"], c["cy"], c["cm"]) * 100.0
         # automatic ab: scale chroma with the L ratio
         ratio = L_out / jnp.maximum(x[0], 1e-6)
         return jnp.stack([L_out, x[1] * ratio, x[2] * ratio])

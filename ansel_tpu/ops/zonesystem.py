@@ -42,16 +42,13 @@ class ZoneSystem(Op):
         zonemap = np.array(
             [p.zone[k] if p.zone[k] >= 0 else k / (size - 1.0)
              for k in range(size)], np.float32)
-        # build a dense LUT over [0,1] L: piecewise linear between zones
-        xs = np.linspace(0.0, 1.0, size)
-        lut = np.interp(np.linspace(0, 1, 1024), xs, zonemap).astype(
-            np.float32)
-        return {"lut": lut}
+        xs = np.linspace(0.0, 1.0, size).astype(np.float32)
+        return {"xs": xs, "ys": zonemap}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        from ..pixel.curves import apply_lut
+        from ..pixel.curves import eval_linear
 
         L = jnp.clip(x[0] / 100.0, 0.0, 1.0)
-        L_out = apply_lut(L, c["lut"], 1.0) * 100.0
+        L_out = eval_linear(L, c["xs"], c["ys"]) * 100.0
         ratio = L_out / jnp.maximum(x[0], 1e-6)
         return jnp.stack([L_out, x[1] * ratio, x[2] * ratio])

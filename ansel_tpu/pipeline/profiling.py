@@ -46,9 +46,11 @@ class StageReport:
 
 def _sync(arr) -> np.ndarray:
     """Force device completion (block_until_ready is unreliable over the
-    axon relay; a tiny readback is the documented sync)."""
-    a = np.asarray(arr).reshape(-1)
-    return a[:1]
+    axon relay; a tiny readback is the documented sync).  Slice ON DEVICE
+    first — np.asarray(full) would ship the whole buffer through the
+    ~1-35 MB/s tunnel and time the transfer, not the kernel."""
+    tiny = arr[(slice(0, 1),) * (arr.ndim - 1) + (slice(0, 8),)]
+    return np.asarray(tiny)
 
 
 def run_stages(pipe: engine_mod.Pipeline, raw: np.ndarray,
@@ -101,12 +103,14 @@ def run_stages(pipe: engine_mod.Pipeline, raw: np.ndarray,
         ms = (time.perf_counter() - t0) / repeats * 1000.0
         rep = StageReport(s.name, ms, tuple(y.shape))
         if nan_scan:
-            ya = np.asarray(y)
-            rep.nan = int(np.isnan(ya).sum())
-            rep.inf = int(np.isinf(ya).sum())
-            fin = ya[np.isfinite(ya)]
-            if fin.size:
-                rep.vmin, rep.vmax = float(fin.min()), float(fin.max())
+            # reduce on device; read back 4 scalars (not the buffer)
+            stats = jax.jit(lambda a: (
+                jnp.isnan(a).sum(), jnp.isinf(a).sum(),
+                jnp.nanmin(jnp.where(jnp.isinf(a), jnp.nan, a)),
+                jnp.nanmax(jnp.where(jnp.isinf(a), jnp.nan, a))))(y)
+            rep.nan = int(stats[0])
+            rep.inf = int(stats[1])
+            rep.vmin, rep.vmax = float(stats[2]), float(stats[3])
         reports.append(rep)
         if verbose:
             print(rep.line())

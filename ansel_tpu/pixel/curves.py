@@ -109,10 +109,70 @@ def sample_curve(nodes_x, nodes_y, curve_type: int, lut_max: float = 1.0,
     return out.astype(np.float32)
 
 
+def curve_coeffs(nodes_x, nodes_y, curve_type: int):
+    """-> (xs, ys, ms) float32 node arrays for in-graph eval_curve."""
+    xs = np.asarray(nodes_x, np.float64)
+    ys = np.asarray(nodes_y, np.float64)
+    order = np.argsort(xs)
+    xs, ys = xs[order], ys[order]
+    if curve_type == CATMULL_ROM:
+        ms = _slopes_catmull(xs, ys)
+    elif curve_type == MONOTONE_HERMITE:
+        ms = _slopes_monotone(xs, ys)
+    else:
+        ms = _slopes_natural(xs, ys)
+    return (xs.astype(np.float32), ys.astype(np.float32),
+            ms.astype(np.float32))
+
+
+def eval_curve(x: jnp.ndarray, xs, ys, ms,
+               unbounded_slope=None) -> jnp.ndarray:
+    """Exact in-graph piecewise-Hermite evaluation, gather-free.
+
+    Per-pixel LUT gathers run at ~18 ns/element on TPU (two of them made
+    every curve op a ~100 ms stage at 6 MP); the node count is tiny
+    (2-20), so the segments unroll into masked FMA chains the VPU eats in
+    one fused pass.  xs must be sorted; since each `where(x >= xs[k])`
+    overwrites the previous segment, no upper-bound test is needed.
+    Outside the node range: linear extrapolation with the edge slopes
+    (dt's unbounded convention); `unbounded_slope` overrides the upper
+    one when the caller fitted its own (tonecurve/rgbcurve LUT tail).
+    """
+    n = xs.shape[0]
+    out = ys[0] + ms[0] * (x - xs[0])
+    for k in range(n - 1):
+        h = jnp.maximum(xs[k + 1] - xs[k], 1e-9)
+        u = jnp.clip((x - xs[k]) / h, 0.0, 1.0)
+        u2 = u * u
+        u3 = u2 * u
+        val = (ys[k] * (2 * u3 - 3 * u2 + 1)
+               + ms[k] * h * (u3 - 2 * u2 + u)
+               + ys[k + 1] * (-2 * u3 + 3 * u2)
+               + ms[k + 1] * h * (u3 - u2))
+        out = jnp.where(x >= xs[k], val, out)
+    hi_slope = ms[n - 1] if unbounded_slope is None else unbounded_slope
+    return jnp.where(x > xs[n - 1],
+                     ys[n - 1] + hi_slope * (x - xs[n - 1]), out)
+
+
+def eval_linear(x: jnp.ndarray, xs, ys) -> jnp.ndarray:
+    """Gather-free in-graph piecewise-LINEAR evaluation over sorted nodes
+    (same unrolled masked-select trick as eval_curve)."""
+    n = xs.shape[0]
+    out = jnp.full_like(x, ys[0]) + 0.0 * x
+    for k in range(n - 1):
+        h = jnp.maximum(xs[k + 1] - xs[k], 1e-9)
+        u = jnp.clip((x - xs[k]) / h, 0.0, 1.0)
+        val = ys[k] * (1.0 - u) + ys[k + 1] * u
+        out = jnp.where(x >= xs[k], val, out)
+    return out
+
+
 def apply_lut(x: jnp.ndarray, lut, lut_max: float = 1.0,
               unbounded_slope: float = None) -> jnp.ndarray:
     """In-graph LUT application with linear in-bin interpolation; above
-    lut_max extrapolate linearly with the final slope."""
+    lut_max extrapolate linearly with the final slope.  NOTE: two per-pixel
+    gathers — prefer eval_curve/eval_linear for full-image application."""
     lut = jnp.asarray(lut)
     n = lut.shape[0]
     pos = jnp.clip(x / lut_max, 0.0, 1.0) * (n - 1)
