@@ -28,15 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 # tile geometry per scale count: halo = 2(2^S - 1) decompose + (2^S - 1)
-# PDE shifts; S=5 needs 93 px of halo, paid for with a smaller tile
+# PDE shifts; S=5 needs 93 px of halo, paid for with a raised scoped-VMEM
+# ceiling (CompilerParams below) and a 128x512 tile that keeps the DMA
+# amplification at 3.75x (the old 16MB-limit 32x256 attempt was 14x)
 _GEOM = {  # scales -> (TILE_H, TILE_W, BORDER_H, BORDER_W)
     1: (64, 512, 8, 64), 2: (64, 512, 16, 64), 3: (64, 512, 24, 64),
-    4: (64, 512, 48, 64),
+    4: (64, 512, 48, 64), 5: (128, 512, 96, 128),
 }
-# S=5 needs 93px of halo; the DMA amplification there (~14x with the
-# VMEM-feasible 32x256 tile) erases the fusion win — measured 771ms vs
-# 705ms plain at 45MP — so 5+ scales stay on the whole-image XLA path.
-MAX_SCALES = 4
+MAX_SCALES = 5
 
 
 def _sh(a, dy, dx):
@@ -54,15 +53,53 @@ def _sep_blur_tile(p, scale: int):
     return sum(float(B3[k]) * _sh(row, 0, (k - 2) * d) for k in range(5))
 
 
-def _shifts9_tile(planes, mult: int):
-    """9 dilated-neighbourhood views of a 3-channel tuple, per channel."""
-    return [[_sh(p, ii * mult, jj * mult) for p in planes]
-            for ii in (-1, 0, 1) for jj in (-1, 0, 1)]
+def _box9(p, d):
+    """Separable 3x3 dilated box sum: 4 rolls instead of 8."""
+    rowp = _sh(p, 0, -d) + p + _sh(p, 0, d)
+    return _sh(rowp, -d, 0) + rowp + _sh(rowp, d, 0)
+
+
+def _conv_pieces(p, d, modes_pair, need_dir):
+    """Stencil pieces of one source plane for the 3x3 dilated anisotropic
+    convolution (taps decomposed into diagonal D / vertical V /
+    horizontal H / center, all separable-shared):
+      deriv = 0.5*a12*D + a22*V + a11*H - 2*(a11+a22)*c
+    and the separable isotropic laplacian when a kernel pair is
+    isotropic.  `need_dir` adds the gradient components."""
+    ISO = 0
+    out = {"c": p}
+    all_iso = all(m == ISO for m in modes_pair)
+    if all_iso and not need_dir:
+        l, r = _sh(p, 0, -d), _sh(p, 0, d)
+        rowp = 0.5 * (l + r) + p
+        out["iso"] = (0.5 * (_sh(rowp, -d, 0) + _sh(rowp, d, 0))
+                      + rowp - 4.0 * p)
+        return out
+    l, r = _sh(p, 0, -d), _sh(p, 0, d)
+    u, dn = _sh(p, -d, 0), _sh(p, d, 0)
+    rd = l - r
+    out["V"] = u + dn
+    out["H"] = l + r
+    out["D"] = _sh(rd, -d, 0) - _sh(rd, d, 0)
+    if need_dir:
+        out["gx"] = (dn - u) * 0.5
+        out["gy"] = (r - l) * 0.5
+    if any(m == ISO for m in modes_pair):
+        out["iso"] = (0.25 * (_sh(out["H"], -d, 0) + _sh(out["H"], d, 0))
+                      + 0.5 * (out["V"] + out["H"]) - 3.0 * p)
+    return out
+
+
+def _aniso_abc(c2, cs, c_sq, s_sq, mode):
+    """a11/a22/a12 of the anisotropic kernel (diffuse.c:648-732)."""
+    if mode == 1:  # ISO_ISOPHOTE
+        return (c_sq + c2 * s_sq, c2 * c_sq + s_sq, (c2 - 1.0) * cs)
+    return (c2 * c_sq + s_sq, c_sq + c2 * s_sq, (1.0 - c2) * cs)
 
 
 def _kernel(consts_ref, hbm_ref, o0, o1, o2, tile, sem, *, scales, modes,
             geom):
-    from ..ops.diffuse import _direction, _kernel9
+    from ..ops.diffuse import _direction
 
     TILE_H, TILE_W, BORDER_H, BORDER_W = geom
     BUF_H = TILE_H + 2 * BORDER_H
@@ -97,47 +134,55 @@ def _kernel(consts_ref, hbm_ref, o0, o1, o2, tile, sem, *, scales, modes,
         cur = low
 
     flt_min = 1e-8
+    ISO = 0
+    # k0: g-direction kernel on LF; k1: l-direction on LF;
+    # k2: g-direction on HF; k3: l-direction on HF (diffuse.c:1068-1075)
+    need_g = modes[0] != ISO or modes[2] != ISO
+    need_l = modes[1] != ISO or modes[3] != ISO
+
     # coarse-to-fine PDE (ops/diffuse._pde_step, vectorized per channel)
     buf = cur
     for s in range(scales - 1, -1, -1):
-        mult = 1 << s
-        nHF = _shifts9_tile(HF[s], mult)    # [9][3]
-        nLF = _shifts9_tile(buf, mult)
-        energy = None
-        for t9 in range(9):
-            for ch in range(3):
-                l = jnp.maximum(nLF[t9][ch] - flt_min, 0.0) + flt_min
-                e = (nHF[t9][ch] / l) ** 2
-                energy = e if energy is None else energy + e
-        energy = jnp.maximum(vt + energy * norm_reg[s] - flt_min,
-                             0.0) + flt_min
-
+        d = 1 << s
         new_buf = []
         for ch in range(3):
-            gx_lf = (nLF[7][ch] - nLF[1][ch]) * 0.5
-            gy_lf = (nLF[5][ch] - nLF[3][ch]) * 0.5
-            gx_hf = (nHF[7][ch] - nHF[1][ch]) * 0.5
-            gy_hf = (nHF[5][ch] - nHF[3][ch]) * 0.5
-            c_sq_g, s_sq_g, cs_g, mag_g = _direction(gx_lf, gy_lf)
-            c_sq_l, s_sq_l, cs_l, mag_l = _direction(gx_hf, gy_hf)
-            c2 = [jnp.exp(-mag_g * aniso[0]), jnp.exp(-mag_l * aniso[1]),
-                  jnp.exp(-mag_g * aniso[2]), jnp.exp(-mag_l * aniso[3])]
-            kerns = [
-                _kernel9(c2[0], cs_g, c_sq_g, s_sq_g, modes[0]),
-                _kernel9(c2[1], cs_l, c_sq_l, s_sq_l, modes[1]),
-                _kernel9(c2[2], cs_g, c_sq_g, s_sq_g, modes[2]),
-                _kernel9(c2[3], cs_l, c_sq_l, s_sq_l, modes[3]),
-            ]
+            # energy is PER CHANNEL (diffuse.c:818-836 simd pixel math):
+            # q = (HF/LF)^2 computed ONCE, then box-summed separably
+            # (elementwise commutes with shifts; no per-tap divides)
+            q = (HF[s][ch] * (1.0 / (jnp.maximum(buf[ch] - flt_min, 0.0)
+                                     + flt_min))) ** 2
+            energy = jnp.maximum(vt + _box9(q, d) * norm_reg[s] - flt_min,
+                                 0.0) + flt_min
+            inv_energy = 1.0 / energy
+            pl_lf = _conv_pieces(buf[ch], d, (modes[0], modes[1]), need_g)
+            pl_hf = _conv_pieces(HF[s][ch], d, (modes[2], modes[3]),
+                                 need_l)
+            if need_g:
+                c_sq_g, s_sq_g, cs_g, mag_g = _direction(pl_lf["gx"],
+                                                         pl_lf["gy"])
+            if need_l:
+                c_sq_l, s_sq_l, cs_l, mag_l = _direction(pl_hf["gx"],
+                                                         pl_hf["gy"])
             update = None
-            for k, src in enumerate((nLF, nLF, nHF, nHF)):
+            for k, src in enumerate((pl_lf, pl_lf, pl_hf, pl_hf)):
                 abcd_k = consts_ref[abcd_off + 4 * s + k]
-                deriv = None
-                for t9 in range(9):
-                    term = kerns[k][t9] * src[t9][ch]
-                    deriv = term if deriv is None else deriv + term
+                if modes[k] == ISO:
+                    deriv = src["iso"]
+                else:
+                    if k % 2 == 0:
+                        c2 = jnp.exp(-mag_g * aniso[k])
+                        a11, a22, a12 = _aniso_abc(c2, cs_g, c_sq_g,
+                                                   s_sq_g, modes[k])
+                    else:
+                        c2 = jnp.exp(-mag_l * aniso[k])
+                        a11, a22, a12 = _aniso_abc(c2, cs_l, c_sq_l,
+                                                   s_sq_l, modes[k])
+                    deriv = (0.5 * a12 * src["D"] + a22 * src["V"]
+                             + a11 * src["H"]
+                             - 2.0 * (a11 + a22) * src["c"])
                 contrib = abcd_k * deriv
                 update = contrib if update is None else update + contrib
-            acc = HF[s][ch] * strength[s] + update / energy
+            acc = HF[s][ch] * strength[s] + update * inv_energy
             new_buf.append(jnp.maximum(acc + buf[ch], 0.0))
         buf = new_buf
 
@@ -189,6 +234,8 @@ def diffuse_iteration_pallas(x: jnp.ndarray, c, scales: int, modes,
             pltpu.VMEM((3, BUF_H, BUF_W), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(consts, xp)
     return jnp.stack([a[:h, :w], b[:h, :w], cc[:h, :w]])

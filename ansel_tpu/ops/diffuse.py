@@ -109,13 +109,17 @@ def _shifts9(x, mult: int):
 
 
 def _direction(gx, gy):
-    """-> (cos2, sin2, cos*sin, magnitude) with arg=0 when magnitude=0."""
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    nonzero = (mag != 0.0).astype(gx.dtype)
-    inv = 1.0 / (mag + (1.0 - nonzero))
+    """-> (cos2, sin2, cos*sin, magnitude) with arg=0 when magnitude=0.
+    rsqrt form: one lax.rsqrt replaces sqrt+div (VPU div is multi-cycle;
+    this function runs 2x per channel per scale)."""
+    import jax
+
+    m2 = gx * gx + gy * gy
+    nonzero = (m2 != 0.0).astype(gx.dtype)
+    inv = jax.lax.rsqrt(m2 + (1.0 - nonzero))
     cx = gx * inv + (1.0 - nonzero)
     sy = gy * inv
-    return cx * cx, sy * sy, cx * sy, mag
+    return cx * cx, sy * sy, cx * sy, m2 * inv
 
 
 def _kernel9(c2, cs, c_sq, s_sq, mode: int):
@@ -189,8 +193,10 @@ class Diffuse(Op):
         nLF = _shifts9(LF, mult)
         flt_min = 1e-8
 
-        safe_lf = [jnp.maximum(v - flt_min, 0.0) + flt_min for v in nLF]
-        energy = sum((h / l) ** 2 for h, l in zip(nHF, safe_lf))
+        # 1/LF once, then shifted (elementwise commutes with shifts)
+        rcp = 1.0 / (jnp.maximum(LF - flt_min, 0.0) + flt_min)
+        nR = _shifts9(rcp, mult)
+        energy = sum((h * r) ** 2 for h, r in zip(nHF, nR))
         energy = jnp.maximum(
             c["variance_threshold"] + energy * c["norm_reg"][s] - flt_min,
             0.0) + flt_min

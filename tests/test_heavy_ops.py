@@ -89,3 +89,33 @@ def test_diffuse_blur_diffuses():
                       fourth=0.2, radius=8)
     out = _run(Diffuse(), p, x)
     assert out.std() < x.std() * 0.9
+
+
+def test_diffuse_pallas_matches_xla_path():
+    """Pallas tile kernel (interpret) == whole-image XLA path, interior."""
+    from ansel_tpu.kernels.diffuse_pallas import diffuse_iteration_pallas
+    from ansel_tpu.ops.diffuse import Diffuse, DiffuseParams
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.05, 0.9, (3, 96, 256)).astype(np.float32)
+    for aniso in (0.0, 2.0, -2.0):
+        p = DiffuseParams(iterations=1, radius=2, first=0.1, second=-0.05,
+                          third=0.1, fourth=0.05, sharpness=0.1,
+                          regularization=1.0,
+                          anisotropy_first=aniso, anisotropy_second=aniso,
+                          anisotropy_third=-aniso, anisotropy_fourth=0.0)
+        op = Diffuse()
+        ctx = ob.PlanContext(meta=RawMeta(width=256, height=96), scale=1.0)
+        spec = ImageSpec(width=256, height=96,
+                         colorspace=Colorspace.WORK_RGB)
+        plan = op.plan(ctx, spec, p)
+        scales, iterations, modes, _ = plan.static
+        c = op.coeffs(ctx, plan, p)
+        ref = np.asarray(op.apply(x, c, plan, ctx))
+        out = np.asarray(diffuse_iteration_pallas(
+            x, c, scales, modes, interpret=True))
+        # interior (the kernel edge-pads once; the XLA path re-pads per
+        # blur stage -> results differ only inside the halo ring)
+        halo = 3 * ((1 << scales) - 1)
+        err = np.abs(out - ref)[:, halo:-halo, halo:-halo]
+        assert err.max() < 1e-5, (aniso, err.max())
