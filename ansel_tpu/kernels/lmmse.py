@@ -1,0 +1,264 @@
+"""LMMSE Bayer demosaic (Zhang & Wu directional linear minimum
+mean-square-error estimation).
+
+Behavioral reference: `/root/reference/src/iop/demosaic/lmmse.c`
+(gamma curve demosaic.c:1160-1165; G-R/G-B directional estimates
+lmmse.c:208-244; 9-tap exponential low-pass :247-259; per-direction
+LMMSE variance blend :261-320; R/B bilinear :339-363; median passes
+:373-483; EECI refinement :486-545).
+
+TPU form: the reference's 136x136 cache tiles become one fused
+whole-image XLA graph of shifted views (pixel/shifts.PaddedView) and
+parity masks (ops/_bayer) — every step is elementwise VPU math, no
+gathers.  Borders: the reference zeroes data outside the frame inside
+each tile; here the pad is edge-replicated, so the outer ~6 px ring
+differs (the reference runs a separate border interpolation there too).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..core.types import CFAPattern
+from ..ops import _bayer
+from ..pixel.shifts import PaddedView
+
+
+def _gamma_in(x):
+    """(x<=0.001867) ? 17x : 1.044445*x^(1/2.4) - 0.044445."""
+    xp = jnp.maximum(x, 1e-12)
+    return jnp.where(x <= 0.001867, x * 17.0,
+                     1.044445 * jnp.exp(jnp.log(xp) / 2.4) - 0.044445)
+
+
+def _gamma_out(x):
+    """Inverse of _gamma_in."""
+    xp = jnp.maximum((x + 0.044445) / 1.044445, 1e-12)
+    return jnp.where(x <= 0.031746, x / 17.0,
+                     jnp.exp(jnp.log(xp) * 2.4))
+
+
+def _median3(a, b, c):
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(c, jnp.maximum(a, b)))
+
+
+def _median9(vs):
+    """Exact 9-element median via a sorting network (lmmse.c:76-119)."""
+    v = list(vs)
+
+    def mm(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8)):
+        mm(i, j)
+    v[3] = jnp.maximum(v[0], v[3])
+    v[5] = jnp.minimum(v[5], v[8])
+    mm(4, 7)
+    v[6] = jnp.maximum(v[3], v[6])
+    v[4] = jnp.maximum(v[1], v[4])
+    v[2] = jnp.minimum(v[2], v[5])
+    v[4] = jnp.minimum(v[4], v[7])
+    mm(4, 2)
+    v[4] = jnp.maximum(v[6], v[4])
+    return jnp.minimum(v[4], v[2])
+
+
+def _med9_of(plane):
+    pv = PaddedView(plane, 1)
+    return _median9([pv.at(dy, dx) for dy in (-1, 0, 1)
+                     for dx in (-1, 0, 1)])
+
+
+def lmmse_demosaic(x: jnp.ndarray, cfa: CFAPattern, scaler,
+                   refine: int = 0) -> jnp.ndarray:
+    """(H, W) Bayer mosaic -> (3, H, W).  refine = lmmse_refine param:
+    0/1 = that many median passes, 2 = 3 medians, 3/4 = 3 medians +
+    (refine-2) EECI refinement steps (demosaic.c mode mapping)."""
+    h, w = x.shape
+    medians = refine if refine < 2 else 3
+    refines = max(0, refine - 2)
+
+    rmask, gmask, bmask = (m.astype(bool)
+                           for m in _bayer.color_masks(cfa, h, w))
+    rbmask = rmask | bmask
+    # R rows: rows whose non-green sites are red
+    red_row_parity = 0 if 0 in (cfa.color_at(0, 0), cfa.color_at(0, 1)) \
+        else 1
+    rp, _ = _bayer.parity_maps(h, w)
+    rrow = jnp.broadcast_to(rp == red_row_parity, (h, w))
+
+    cfa_g = _gamma_in(jnp.clip(x / scaler, 0.0, None))
+    p = PaddedView(cfa_g, 4)
+
+    # ---- directional G-R/G-B estimates (lmmse.c:208-244) ----
+    v0 = 0.0625 * (p.at(-1, -1) + p.at(-1, 1) + p.at(1, -1) + p.at(1, 1)) \
+        + 0.25 * cfa_g
+    hse = -0.25 * (p.at(0, -2) + p.at(0, 2)) \
+        + 0.5 * (p.at(0, -1) + cfa_g + p.at(0, 1))
+    vse = -0.25 * (p.at(-2, 0) + p.at(2, 0)) \
+        + 0.5 * (p.at(-1, 0) + cfa_g + p.at(1, 0))
+    y0 = v0 + 0.5 * hse
+    y1 = v0 + 0.5 * vse
+    h_rb = jnp.where(cfa_g > 1.75 * y0,
+                     _median3(hse, p.at(0, -1), p.at(0, 1)),
+                     jnp.clip(hse, 0.0, 1.0)) - cfa_g
+    v_rb = jnp.where(cfa_g > 1.75 * y1,
+                     _median3(vse, p.at(-1, 0), p.at(1, 0)),
+                     jnp.clip(vse, 0.0, 1.0)) - cfa_g
+    h_g = jnp.clip(-hse, -1.0, 0.0) + cfa_g
+    v_g = jnp.clip(-vse, -1.0, 0.0) + cfa_g
+    hdiff = jnp.where(rbmask, h_rb, h_g)
+    vdiff = jnp.where(rbmask, v_rb, v_g)
+
+    # ---- 9-tap exponential low-pass (lmmse.c:142-151, 247-259) ----
+    hk = [math.exp(-(k * k) / 8.0) for k in range(5)]
+    hs = hk[0] + 2.0 * sum(hk[1:])
+    hk = [v / hs for v in hk]
+    ph = PaddedView(hdiff, 4)
+    pv = PaddedView(vdiff, 4)
+    hlp = hk[0] * hdiff + sum(hk[k] * (ph.at(0, -k) + ph.at(0, k))
+                              for k in range(1, 5))
+    vlp = hk[0] * vdiff + sum(hk[k] * (pv.at(-k, 0) + pv.at(k, 0))
+                              for k in range(1, 5))
+
+    # ---- LMMSE variance blend per direction (lmmse.c:261-320) ----
+    def lmmse_dir(lp, diff, vertical):
+        plp = PaddedView(lp, 4)
+        pdf = PaddedView(diff, 4)
+        taps = [(plp.at(k, 0) if vertical else plp.at(0, k))
+                for k in range(-4, 5)]
+        mu = sum(taps) / 9.0
+        vx = 1e-7 + sum((t - mu) ** 2 for t in taps)
+        dtaps = [(pdf.at(k, 0) if vertical else pdf.at(0, k))
+                 for k in range(-4, 5)]
+        vn = 1e-7 + sum((t - dt_) ** 2 for t, dt_ in zip(taps, dtaps))
+        xv = (diff * vx + lp * vn) / (vx + vn)
+        vv = vx * vn / (vx + vn)
+        return xv, vv
+
+    xh, vh = lmmse_dir(hlp, hdiff, False)
+    xv, vv = lmmse_dir(vlp, vdiff, True)
+    interp = (xh * vv + xv * vh) / (vh + vv)
+
+    # ---- assemble planes (lmmse.c:323-336) ----
+    G = jnp.where(rbmask, cfa_g + interp, cfa_g)
+    R = jnp.where(rmask, cfa_g, 0.0)
+    B = jnp.where(bmask, cfa_g, 0.0)
+
+    # ---- bilinear R/B at G, then at opposite sites (lmmse.c:339-363) ----
+    pG = PaddedView(G, 1)
+    pR = PaddedView(R, 1)
+    pB = PaddedView(B, 1)
+    r_h = G + 0.5 * (pR.at(0, -1) - pG.at(0, -1) + pR.at(0, 1)
+                     - pG.at(0, 1))
+    r_v = G + 0.5 * (pR.at(-1, 0) - pG.at(-1, 0) + pR.at(1, 0)
+                     - pG.at(1, 0))
+    b_h = G + 0.5 * (pB.at(0, -1) - pG.at(0, -1) + pB.at(0, 1)
+                     - pG.at(0, 1))
+    b_v = G + 0.5 * (pB.at(-1, 0) - pG.at(-1, 0) + pB.at(1, 0)
+                     - pG.at(1, 0))
+    R = jnp.where(gmask, jnp.where(rrow, r_h, r_v), R)
+    B = jnp.where(gmask, jnp.where(rrow, b_v, b_h), B)
+
+    pG = PaddedView(G, 1)
+    pR = PaddedView(R, 1)
+    pB = PaddedView(B, 1)
+
+    def axial4(pc, pg):
+        return 0.25 * (pc.at(-1, 0) - pg.at(-1, 0) + pc.at(0, -1)
+                       - pg.at(0, -1) + pc.at(0, 1) - pg.at(0, 1)
+                       + pc.at(1, 0) - pg.at(1, 0))
+
+    R = jnp.where(bmask, G + axial4(pR, pG), R)
+    B = jnp.where(rmask, G + axial4(pB, pG), B)
+
+    # ---- median passes (lmmse.c:373-483) ----
+    for _ in range(medians):
+        corr_r = _med9_of(R - G)
+        corr_b = _med9_of(B - G)
+        newR = jnp.where(gmask, G + corr_r, R)
+        newB = jnp.where(gmask, G + corr_b, B)
+        newR = jnp.where(bmask, G + corr_r, newR)
+        newB = jnp.where(rmask, G + corr_b, newB)
+        newG = jnp.where(rbmask,
+                         0.5 * (newR - corr_r + newB - corr_b), G)
+        R, G, B = newR, newG, newB
+
+    # non-approximated channel from gamma cfa (lmmse.c:486-495)
+    R = jnp.where(rmask, cfa_g, R)
+    G = jnp.where(gmask, cfa_g, G)
+    B = jnp.where(bmask, cfa_g, B)
+
+    # ---- EECI refinement (lmmse.c:497-545) ----
+    for _ in range(refines):
+        # reinforce G at R/B sites
+        pG = PaddedView(G, 2)
+        for cmask, C in ((rmask, R), (bmask, B)):
+            pC = PaddedView(C, 2)
+            dh = jnp.abs(pG.at(0, 1) - pG.at(0, -1))
+            dv = jnp.abs(pG.at(1, 0) - pG.at(-1, 0))
+            dL = 1.0 / (1.0 + jnp.abs(pC.at(0, -2) - C) + dh)
+            dR = 1.0 / (1.0 + jnp.abs(pC.at(0, 2) - C) + dh)
+            dU = 1.0 / (1.0 + jnp.abs(pC.at(-2, 0) - C) + dv)
+            dD = 1.0 / (1.0 + jnp.abs(pC.at(2, 0) - C) + dv)
+            val = C + ((pG.at(0, -1) - pC.at(0, -1)) * dL
+                       + (pG.at(0, 1) - pC.at(0, 1)) * dR
+                       + (pG.at(-1, 0) - pC.at(-1, 0)) * dU
+                       + (pG.at(1, 0) - pC.at(1, 0)) * dD) \
+                / (dL + dR + dU + dD)
+            G = jnp.where(cmask, val, G)
+        # reinforce R/B at G sites (weights: |G(+-2)-G| + own-color
+        # lateral difference, lmmse.c:516-529)
+        pG = PaddedView(G, 2)
+        newR, newB = R, B
+        for C, is_red in ((R, True), (B, False)):
+            pC = PaddedView(C, 2)
+            dch = jnp.abs(pC.at(0, 1) - pC.at(0, -1))
+            dcv = jnp.abs(pC.at(1, 0) - pC.at(-1, 0))
+            dL = 1.0 / (1.0 + jnp.abs(pG.at(0, -2) - G) + dch)
+            dR_ = 1.0 / (1.0 + jnp.abs(pG.at(0, 2) - G) + dch)
+            dU = 1.0 / (1.0 + jnp.abs(pG.at(-2, 0) - G) + dcv)
+            dD = 1.0 / (1.0 + jnp.abs(pG.at(2, 0) - G) + dcv)
+            val = G - ((pG.at(0, -1) - pC.at(0, -1)) * dL
+                       + (pG.at(0, 1) - pC.at(0, 1)) * dR_
+                       + (pG.at(-1, 0) - pC.at(-1, 0)) * dU
+                       + (pG.at(1, 0) - pC.at(1, 0)) * dD) \
+                / (dL + dR_ + dU + dD)
+            if is_red:
+                newR = jnp.where(gmask, val, newR)
+            else:
+                newB = jnp.where(gmask, val, newB)
+        R, B = newR, newB
+        # reinforce R at B sites / B at R sites (weights: site's OWN
+        # measured color differences + lateral G, lmmse.c:531-545)
+        pG = PaddedView(G, 2)
+        gh = jnp.abs(pG.at(0, 1) - pG.at(0, -1))
+        gv = jnp.abs(pG.at(1, 0) - pG.at(-1, 0))
+        newR, newB = R, B
+        for C, own, smask, is_red in ((R, B, bmask, True),
+                                      (B, R, rmask, False)):
+            pC = PaddedView(C, 2)
+            pD = PaddedView(own, 2)
+            dL = 1.0 / (1.0 + jnp.abs(pD.at(0, -2) - own) + gh)
+            dR_ = 1.0 / (1.0 + jnp.abs(pD.at(0, 2) - own) + gh)
+            dU = 1.0 / (1.0 + jnp.abs(pD.at(-2, 0) - own) + gv)
+            dD = 1.0 / (1.0 + jnp.abs(pD.at(2, 0) - own) + gv)
+            val = G - ((pG.at(0, -1) - pC.at(0, -1)) * dL
+                       + (pG.at(0, 1) - pC.at(0, 1)) * dR_
+                       + (pG.at(-1, 0) - pC.at(-1, 0)) * dU
+                       + (pG.at(1, 0) - pC.at(1, 0)) * dD) \
+                / (dL + dR_ + dU + dD)
+            if is_red:
+                newR = jnp.where(smask, val, newR)
+            else:
+                newB = jnp.where(smask, val, newB)
+        R, B = newR, newB
+
+    out = jnp.stack([_gamma_out(R), _gamma_out(G), _gamma_out(B)])
+    return jnp.maximum(out * scaler, 0.0)

@@ -150,7 +150,9 @@ class Demosaic(Op):
         return OpPlan(spec_in=spec_in, spec_out=spec_out,
                       static=(method, green_eq,
                               round(float(p.median_thrs), 6),
-                              int(p.color_smoothing)))
+                              int(p.color_smoothing),
+                              int(p.lmmse_refine),
+                              round(float(p.dual_thrs), 4)))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DemosaicParams):
         # rcd normalizes by max processed_maximum (rcd.c:283-284) so its eps
@@ -158,7 +160,8 @@ class Demosaic(Op):
         return {"scaler": max(ctx.processed_maximum)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        method_full, green_eq, median_thrs, smooth = plan.static
+        (method_full, green_eq, median_thrs, smooth, lmmse_refine,
+         dual_thrs) = plan.static
         method = method_full & ~DUAL_FLAG
         cfa = plan.spec_in.cfa
         if method in (PASSTHROUGH_MONO, XTRANS_FLAG | 3):
@@ -169,14 +172,30 @@ class Demosaic(Op):
             # threshold = 0.0001 * ISO (demosaic.c:1001)
             thr = 0.0001 * float(getattr(ctx.meta, "iso", 100.0) or 100.0)
             x = demosaic_post.apply_green_eq(x, cfa, green_eq, thr)
-        out = self._demosaic(x, c, method, cfa, ctx)
+        out = self._demosaic(x, c, method, cfa, ctx,
+                             lmmse_refine=lmmse_refine)
+        if (method_full & DUAL_FLAG) and dual_thrs > 0.0 \
+                and cfa is not CFAPattern.XTRANS:
+            # dual demosaic: VNG4 low-frequency under a detail mask
+            # (demosaic/dual.c:38-110); X-Trans dual stays on the base
+            # method (documented gap: 3-color VNG)
+            from ..kernels import demosaic_post, vng
+            from ..pixel import detail
+
+            low = vng.vng4_demosaic(x, cfa)
+            low = demosaic_post.color_smoothing(low, 2)
+            contrast = 0.005 * dual_thrs ** 1.1  # slider2contrast
+            wb = [max(v, 1e-6) for v in ctx.meta.wb_coeffs[:3]]
+            raw_m = detail.rawdetail_mask(out, wb)
+            blend = detail.detail_mask(raw_m, contrast, detail=True)
+            out = blend[None] * out + (1.0 - blend[None]) * low
         if smooth:
             from ..kernels import demosaic_post
 
             out = demosaic_post.color_smoothing(out, smooth)
         return out
 
-    def _demosaic(self, x, c, method, cfa, ctx):
+    def _demosaic(self, x, c, method, cfa, ctx, lmmse_refine=1):
         if cfa is CFAPattern.XTRANS:
             import jax
 
@@ -196,9 +215,18 @@ class Demosaic(Op):
             return markesteijn.xtrans_demosaic(x, ctx.meta.xtrans)
         if method == PPG:
             return ppg_demosaic(x, cfa)
-        # RCD is the quality default; AMaZE/LMMSE/VNG4 alias to it for now
-        # (SURVEY.md notes AMaZE may be replaced by RCD+LMMSE initially)
-        if method in (RCD, AMAZE, LMMSE, VNG4):
+        if method == LMMSE:
+            from ..kernels import lmmse
+
+            return lmmse.lmmse_demosaic(x, cfa, c["scaler"],
+                                        refine=lmmse_refine)
+        if method == VNG4:
+            from ..kernels import vng
+
+            return vng.vng4_demosaic(x, cfa)
+        # RCD is the quality default; AMaZE aliases to it (SURVEY.md §7:
+        # AMaZE's role is covered by RCD + LMMSE on this build)
+        if method in (RCD, AMAZE):
             import jax
 
             if jax.default_backend() == "tpu":

@@ -207,3 +207,92 @@ def test_markesteijn_pallas_matches_scene():
     e3 = np.abs(o3[:, 24:-24, 24:-24] - ref).mean()
     assert e1 < 0.005 and e1 > 0, e1
     assert e3 < e1 * 1.10, (e1, e3)  # 3-pass must not be worse
+
+
+def _remosaic(scene, pat_name):
+    import numpy as np
+
+    h, w = scene.shape[1:]
+    yy, xx = np.mgrid[0:h, 0:w]
+    sel_map = {"RGGB": [[0, 1], [1, 2]], "GRBG": [[1, 0], [2, 1]],
+               "BGGR": [[2, 1], [1, 0]], "GBRG": [[1, 2], [0, 1]]}
+    sel = np.array(sel_map[pat_name])[yy % 2, xx % 2]
+    return np.take_along_axis(scene, sel[None], axis=0)[0]
+
+
+def _smooth_scene(h=96, w=192):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        0.3 + 0.2 * np.sin(yy / 17.0) * np.cos(xx / 23.0),
+        0.4 + 0.2 * np.cos(yy / 13.0),
+        0.35 + 0.15 * np.sin(xx / 19.0)]).astype(np.float32)
+
+
+def test_lmmse_reconstructs_smooth_scene():
+    import numpy as np
+
+    from ansel_tpu.core.types import CFAPattern
+    from ansel_tpu.kernels.lmmse import lmmse_demosaic
+
+    scene = _smooth_scene()
+    for refine in (0, 2, 4):
+        out = np.asarray(lmmse_demosaic(
+            _remosaic(scene, "RGGB"), CFAPattern.RGGB, 1.0, refine))
+        err = np.abs(out - scene)[:, 8:-8, 8:-8]
+        psnr = -10 * np.log10(np.mean(err ** 2) + 1e-12)
+        assert psnr > 45.0, (refine, psnr)
+
+
+def test_vng4_reconstructs_smooth_scene():
+    import numpy as np
+
+    from ansel_tpu.core.types import CFAPattern
+    from ansel_tpu.kernels.vng import vng4_demosaic
+
+    scene = _smooth_scene()
+    for pat in ("RGGB", "GRBG", "BGGR", "GBRG"):
+        out = np.asarray(vng4_demosaic(
+            _remosaic(scene, pat), CFAPattern[pat]))
+        err = np.abs(out - scene)[:, 8:-8, 8:-8]
+        psnr = -10 * np.log10(np.mean(err ** 2) + 1e-12)
+        assert psnr > 45.0, (pat, psnr)
+
+
+def test_flat_field_exact_for_lmmse_vng():
+    import numpy as np
+
+    from ansel_tpu.core.types import CFAPattern
+    from ansel_tpu.kernels.lmmse import lmmse_demosaic
+    from ansel_tpu.kernels.vng import vng4_demosaic
+
+    flat = np.full((3, 64, 128), 0.25, np.float32)
+    mosaic = _remosaic(flat, "RGGB")
+    for out in (np.asarray(lmmse_demosaic(mosaic, CFAPattern.RGGB, 1.0, 0)),
+                np.asarray(vng4_demosaic(mosaic, CFAPattern.RGGB))):
+        assert np.allclose(out[:, 4:-4, 4:-4], 0.25, atol=2e-3)
+
+
+def test_dual_demosaic_blends_vng_in_flat_areas():
+    import numpy as np
+
+    from ansel_tpu.core.types import CFAPattern, ImageSpec, RawMeta, Colorspace
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.ops.demosaic import DUAL_FLAG, RCD, Demosaic, DemosaicParams
+
+    scene = _smooth_scene(64, 128)
+    mosaic = _remosaic(scene, "RGGB") * 16000.0
+    op = Demosaic()
+    meta = RawMeta(width=128, height=64, cfa=CFAPattern.RGGB)
+    ctx = ob.PlanContext(meta=meta, scale=1.0)
+    spec = ImageSpec(width=128, height=64, colorspace=Colorspace.RAW,
+                     cfa=CFAPattern.RGGB)
+    p = DemosaicParams(demosaicing_method=RCD | DUAL_FLAG, dual_thrs=0.5)
+    plan = op.plan(ctx, spec, p)
+    c = op.coeffs(ctx, plan, p)
+    out = np.asarray(op.apply(mosaic, c, plan, ctx))
+    assert np.isfinite(out).all()
+    err = np.abs(out / 16000.0 - scene)[:, 8:-8, 8:-8]
+    psnr = -10 * np.log10(np.mean(err ** 2) + 1e-12)
+    assert psnr > 40.0, psnr
