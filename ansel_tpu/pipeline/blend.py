@@ -176,7 +176,7 @@ def _lab_channels(lab):
 
 
 def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights,
-                 drawn=None):
+                 drawn=None, raster=None, rawdetail=None):
     """drawn + parametric mask in [0,1] incl. opacity and post-processing.
     Combine semantics follow blendif_rgb_hsl.c:236-340: the drawn mask is
     the base, the parametric factors form `temp`, and INCL/INV pick the
@@ -184,6 +184,18 @@ def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights,
     opacity = min(max(bp.opacity / 100.0, 0.0), 1.0)
     incl = bool(bp.mask_combine & COMBINE_INCL)
     inv = bool(bp.mask_combine & COMBINE_INV)
+
+    if bp.mask_mode & MASK_RASTER:
+        # raster side-band: the mask IS an upstream module's blend mask
+        # (blend.c:_develop_blend_init_raster_mask:509-545); the engine
+        # resolves the source — a missing source is a hard error, never a
+        # silent mask=1.0
+        if raster is None:
+            raise ValueError(
+                f"raster mask source '{bp.raster_mask_source}' not found "
+                "upstream of this module")
+        mask = (1.0 - raster) if bp.raster_mask_invert else raster
+        return mask * opacity
 
     # base (drawn) mask (blend.c:_develop_blend_init_drawn_mask)
     if bp.mask_mode & MASK_SHAPE:
@@ -226,6 +238,18 @@ def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights,
     else:
         mask = (1.0 - base) if inv else base
     mask = mask * opacity
+
+    # details slider: refine by the demosaic-stage raw-detail mask
+    # (blend.c:_refine_with_detail_mask:349-358 + _detail_mask_threshold)
+    if abs(bp.details) > 1e-6 and rawdetail is not None:
+        from ..pixel import detail as detail_mod
+
+        want_detail = bp.details > 0.0
+        thr = 0.005 * (bp.details ** 2 if want_detail
+                       else 1.0 - abs(bp.details) ** 0.5)
+        dm = detail_mod.detail_mask(rawdetail, max(thr, 1e-6),
+                                    detail=want_detail)
+        mask = mask * dm
 
     # post: feathering (guided filter on the blend input's luma) then blur
     if bp.feathering_radius > 0.1:
@@ -303,10 +327,18 @@ def _mode_fn(mode: int, p: float, cst: int):
 
 
 def apply_blend(a, b, bp: BlendParams, prm, cst: int, y_weights,
-                drawn=None):
+                drawn=None, raster=None, rawdetail=None,
+                return_mask=False):
     """a = module input, b = module output, both (3, H, W) in the blend
-    colorspace -> blended result."""
-    mask = compute_mask(a, b, bp, prm, cst, y_weights, drawn=drawn)[None]
+    colorspace -> blended result (optionally also the final mask, for
+    the raster side-band)."""
+    mask2d = compute_mask(a, b, bp, prm, cst, y_weights, drawn=drawn,
+                          raster=raster, rawdetail=rawdetail)
+    out = _apply_blend_mode(a, b, bp, cst, y_weights, mask2d[None])
+    return (out, mask2d) if return_mask else out
+
+
+def _apply_blend_mode(a, b, bp: BlendParams, cst: int, y_weights, mask):
     mode = bp.blend_mode & BLEND_MODE_MASK
     if bp.blend_mode & BLEND_REVERSE:
         a, b = b, a

@@ -83,6 +83,7 @@ class PlannedOp:
     blend: Any = None          # BlendParams when active
     blend_static: Any = None   # (cst, blend_mode, mask_mode, combine, blendif)
     blend_form: Any = None     # masks.Form when the blend uses a drawn mask
+    multi_priority: int = 0    # instance id (raster side-band key)
 
 
 class _ConvertOp(ops_base.Op):
@@ -210,7 +211,8 @@ class Pipeline:
                     self.unsupported.append(f"{item.op} (colorspace skip)")
                     continue
             plan = op.plan(self.ctx, spec, p)
-            stage = PlannedOp(item.op, op, plan, p)
+            stage = PlannedOp(item.op, op, plan, p,
+                              multi_priority=item.multi_priority)
             # blending (reference dt_develop_blend_process): only for
             # 3-channel, geometry-preserving stages
             if item.blend_params is not None:
@@ -241,7 +243,8 @@ class Pipeline:
     def signature(self) -> Tuple:
         sig = [self.spec_in.array_shape]
         for s in self.stages:
-            sig.append((s.name, s.plan.spec_in.array_shape,
+            sig.append((s.name, s.multi_priority,
+                        s.plan.spec_in.array_shape,
                         s.plan.spec_out.array_shape, s.plan.static,
                         s.blend_static))
         return tuple(sig)
@@ -316,6 +319,14 @@ class Pipeline:
             fuse = ((_jax.default_backend() == "tpu"
                      or _FORCE_FUSION_INTERPRET)
                     and not _DISABLE_FUSION)
+            # raster side-band (pixelpipe_raster_masks.c): blend masks of
+            # upstream modules, keyed by (op, multi_priority); plus the
+            # demosaic-stage raw-detail plane for the details slider
+            raster_masks = {}
+            rawdetail = None
+            needs_detail = any(
+                s.blend is not None and abs(s.blend.details) > 1e-6
+                for s in stages)
             i = 0
             while i < len(stages):
                 s, c = stages[i], coeffs[i]
@@ -349,10 +360,37 @@ class Pipeline:
                             s.blend_form, forms,
                             spec.array_shape[-2], spec.array_shape[-1],
                             norm_h=spec.height, norm_w=spec.width)
-                    x = blend_mod.apply_blend(a_in, y, s.blend, prm, cst,
-                                              cmats.WORK_Y, drawn=drawn)
+                    raster = None
+                    if s.blend.mask_mode & blend_mod.MASK_RASTER:
+                        src = s.blend.raster_mask_source
+                        if isinstance(src, bytes):
+                            src = src.split(b"\0")[0].decode(
+                                "utf-8", "ignore")
+                        src = (src or "").strip("\0")
+                        key = (src, s.blend.raster_mask_instance)
+                        raster = raster_masks.get(
+                            key, raster_masks.get((src, None)))
+                        if raster is None:
+                            raise RuntimeError(
+                                f"stage '{s.name}': raster mask source "
+                                f"'{src}' (instance "
+                                f"{s.blend.raster_mask_instance}) has no "
+                                "mask upstream — enable a mask on the "
+                                "source module or drop the raster blend")
+                    x, m = blend_mod.apply_blend(
+                        a_in, y, s.blend, prm, cst, cmats.WORK_Y,
+                        drawn=drawn, raster=raster, rawdetail=rawdetail,
+                        return_mask=True)
+                    raster_masks[(s.name, s.multi_priority)] = m
+                    raster_masks.setdefault((s.name, None), m)
                 else:
                     x = s.op.apply(x, c, s.plan, ctx)
+                if s.name == "demosaic" and needs_detail:
+                    from ..pixel import detail as detail_mod
+
+                    wb = [max(float(v), 1e-6)
+                          for v in ctx.meta.wb_coeffs[:3]]
+                    rawdetail = detail_mod.rawdetail_mask(x, wb)
                 i += 1
             return x
 

@@ -104,3 +104,96 @@ def test_blend_in_pipeline_via_history():
     # 50% opacity must land between no-exposure and full-exposure
     assert out.mean() < out2.mean()
     assert out.mean() > 0.5 * out2.mean()
+
+def test_raster_mask_side_band():
+    """One module's blend mask feeds another's RASTER blend
+    (pixelpipe_raster_masks.c semantics)."""
+    import jax
+
+    from ansel_tpu import HistoryItem
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.pipeline.engine import Pipeline
+
+    raw, meta, _ = synth_raw(h=64, w=128)
+    # source: exposure with a parametric mask on bright input
+    params = [0.0] * 64
+    base = 4 * 0  # input channel 0 (g/L), 4 floats per channel
+    params[base:base + 4] = [0.4, 0.5, 1.0, 1.0]
+    src_bp = _bp(mask_mode=B.MASK_ENABLED | B.MASK_PARAMETRIC,
+                 blend_mode=B.B_NORMAL2, opacity=100.0,
+                 blendif=(1 << 0), blendif_parameters=tuple(params))
+    # consumer: vibrance blended through exposure's raster mask
+    dst_bp = _bp(mask_mode=B.MASK_ENABLED | B.MASK_RASTER,
+                 blend_mode=B.B_NORMAL2, opacity=100.0,
+                 raster_mask_source="exposure", raster_mask_instance=0)
+    hist = [
+        HistoryItem("demosaic", {"demosaicing_method": 0}),
+        HistoryItem("exposure", {"exposure": 1.0},
+                    blend_params=B.BlendParams.codec.encode(src_bp)),
+        HistoryItem("vibrance", {"amount": 80.0},
+                    blend_params=B.BlendParams.codec.encode(dst_bp)),
+    ]
+    pipe = Pipeline(meta, hist)
+    fn = jax.jit(pipe.trace_fn())
+    out = np.asarray(fn(ob.pad_to(raw, pipe.spec_in), pipe.coeffs()))
+    assert np.isfinite(out).all()
+
+    # inverted raster must differ
+    dst_inv = _bp(mask_mode=B.MASK_ENABLED | B.MASK_RASTER,
+                  blend_mode=B.B_NORMAL2, opacity=100.0,
+                  raster_mask_source="exposure", raster_mask_invert=1)
+    hist[2] = HistoryItem("vibrance", {"amount": 80.0},
+                          blend_params=B.BlendParams.codec.encode(dst_inv))
+    pipe2 = Pipeline(meta, hist)
+    fn2 = jax.jit(pipe2.trace_fn())
+    out2 = np.asarray(fn2(ob.pad_to(raw, pipe2.spec_in), pipe2.coeffs()))
+    assert not np.allclose(out, out2)
+
+
+def test_raster_mask_missing_source_fails_loudly():
+    import pytest
+
+    from ansel_tpu import HistoryItem
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.pipeline.engine import Pipeline
+
+    raw, meta, _ = synth_raw(h=64, w=128)
+    dst_bp = _bp(mask_mode=B.MASK_ENABLED | B.MASK_RASTER,
+                 blend_mode=B.B_NORMAL2, opacity=100.0,
+                 raster_mask_source="toneequal")
+    hist = [HistoryItem("demosaic", {"demosaicing_method": 0}),
+            HistoryItem("vibrance", {"amount": 50.0},
+                        blend_params=B.BlendParams.codec.encode(dst_bp))]
+    pipe = Pipeline(meta, hist)
+    with pytest.raises(RuntimeError, match="raster mask source"):
+        pipe.trace_fn()(ob.pad_to(raw, pipe.spec_in), pipe.coeffs())
+
+
+def test_details_slider_refines_mask():
+    """blend 'details' uses the demosaic raw-detail plane
+    (blend.c:_refine_with_detail_mask)."""
+    import jax
+
+    from ansel_tpu import HistoryItem
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.pipeline.engine import Pipeline
+
+    raw, meta, _ = synth_raw(h=64, w=128)
+    for details in (0.0, 0.9, -0.9):
+        bp = _bp(mask_mode=B.MASK_ENABLED, blend_mode=B.B_NORMAL2,
+                 opacity=100.0, details=details)
+        hist = [HistoryItem("demosaic", {"demosaicing_method": 0}),
+                HistoryItem("exposure", {"exposure": 2.0},
+                            blend_params=B.BlendParams.codec.encode(bp))]
+        pipe = Pipeline(meta, hist)
+        fn = jax.jit(pipe.trace_fn())
+        out = np.asarray(fn(ob.pad_to(raw, pipe.spec_in), pipe.coeffs()))
+        assert np.isfinite(out).all()
+        if details == 0.0:
+            full = out
+        else:
+            # a detail-restricted mask must blend less than a full mask
+            assert out.mean() != full.mean()
