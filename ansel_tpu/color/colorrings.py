@@ -355,34 +355,42 @@ def build_clut(params, level: int = CLUT_LEVEL) -> np.ndarray:
     sigma_theta = max(params.sigma_theta, 1e-6)
     rho0 = max(params.neutral_protection, 0.0) * sigma_rho
 
-    # --- dense lattice evaluation (fill_lut_local_field, vectorized) ------
+    ring_idx = np.repeat(np.arange(LOCAL_FIELD_RINGS), HUE_SAMPLES)
+    anchors = dict(
+        L=anchor_L.reshape(-1), rho=anchor_rho.reshape(-1),
+        theta=anchor_theta.reshape(-1), delta_L=delta_L.reshape(-1),
+        chroma_scale=chroma_scale.reshape(-1),
+        delta_theta=delta_theta.reshape(-1),
+        weight=np.where(ring_idx == LOCAL_FIELD_RINGS - 1,
+                        1.0 / HUE_SAMPLES, 1.0))
+    return fill_lut_sparse_local_field(anchors, sigma_L, sigma_rho,
+                                       sigma_theta, rho0, level)
+
+
+def fill_lut_sparse_local_field(anchors, sigma_L, sigma_rho, sigma_theta,
+                                rho0, level: int = CLUT_LEVEL):
+    """dt_colorrings_fill_lut_sparse_local_field
+    (colorequal_shared.c:622-726), vectorized over the dense lattice.
+    anchors: dict of 1-D arrays L/rho/theta/delta_L/chroma_scale/
+    delta_theta/weight.  -> (level^3, 3) float32, idx r + g*L + b*L^2."""
     g1 = np.arange(level) / (level - 1.0)
     rr, gg, bb = np.meshgrid(g1, g1, g1, indexing="ij")  # index [r,g,b]
     lattice = np.stack([rr, gg, bb], axis=-1).reshape(-1, 3)
     Lx, rhox, thetax = rgb_to_gray_cyl(lattice)
 
-    aL = anchor_L.reshape(-1)
-    arho = anchor_rho.reshape(-1)
-    atheta = anchor_theta.reshape(-1)
-    adL = delta_L.reshape(-1)
-    ascale = chroma_scale.reshape(-1)
-    adtheta = delta_theta.reshape(-1)
-    ring_idx = np.repeat(np.arange(LOCAL_FIELD_RINGS), HUE_SAMPLES)
-    axis_w = np.where(ring_idx == LOCAL_FIELD_RINGS - 1,
-                      1.0 / HUE_SAMPLES, 1.0)
-
-    dL = (Lx[:, None] - aL) / sigma_L
-    dr = (rhox[:, None] - arho) / sigma_rho
-    dh = wrap_pi(thetax[:, None] - atheta) / sigma_theta
+    dL = (Lx[:, None] - anchors["L"]) / sigma_L
+    dr = (rhox[:, None] - anchors["rho"]) / sigma_rho
+    dh = wrap_pi(thetax[:, None] - anchors["theta"]) / sigma_theta
     d2 = dL * dL + dr * dr + dh * dh
     w = np.where(d2 >= 1.0, 0.0,
-                 wendland_c2(np.sqrt(np.maximum(d2, 0.0))) * axis_w)
+                 wendland_c2(np.sqrt(np.maximum(d2, 0.0)))
+                 * anchors["weight"])
     sum_w = w.sum(-1)
     ok = (sum_w > np.finfo(np.float32).tiny) & (rhox > 1e-6)
     inv_w = 1.0 / np.maximum(sum_w, 1e-30)
-    tgt_dL = (w @ adL) * inv_w
-    scale = (w @ ascale) * inv_w
-    tgt_dth = (w @ adtheta) * inv_w
+    tgt_dL = (w @ anchors["delta_L"]) * inv_w
+    scale = (w @ anchors["chroma_scale"]) * inv_w
+    tgt_dth = (w @ anchors["delta_theta"]) * inv_w
     neutral_edit = ((np.abs(tgt_dL) <= 1e-6) & (np.abs(scale - 1.0) <= 1e-6)
                     & (np.abs(tgt_dth) <= 1e-6))
     ok = ok & ~neutral_edit
@@ -401,3 +409,155 @@ def build_clut(params, level: int = CLUT_LEVEL) -> np.ndarray:
     # = r*L^2 + g*L + b) -> transpose
     out = out.reshape(level, level, level, 3).transpose(2, 1, 0, 3)
     return out.reshape(-1, 3).astype(np.float32)
+
+
+# --- colorprimaries anchors (iop/colorprimaries.c) -------------------------
+
+_PRIM_CORNERS = np.array([
+    [1.0, 0.0, 0.0],   # RED
+    [1.0, 1.0, 0.0],   # YELLOW
+    [0.0, 1.0, 0.0],   # GREEN
+    [0.0, 1.0, 1.0],   # CYAN
+    [0.0, 0.0, 1.0],   # BLUE
+    [1.0, 0.0, 1.0],   # MAGENTA
+])
+_PRIM_EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)]
+_PRIM_AXIS_ANCHORS = 64
+_SQRT3 = 1.7320508075688772
+
+
+def rgb_to_ucs_hsb(rgb_code, white):
+    """HLG Rec2020 code values -> dt UCS HSB
+    (dt_colorrings_profile_rgb_to_dt_ucs_hsb with the CLUT profile)."""
+    lin = hlg_eotf(np.clip(np.asarray(rgb_code, np.float64), 0.0, 1.0))
+    XYZ_D50 = lin @ np.linalg.inv(_REC2020_D50_INV).T
+    XYZ_D65 = XYZ_D50 @ np.linalg.inv(cm.XYZ_D65_TO_D50).T
+    return JCH_to_HSB(xyY_to_JCH(XYZ_to_xyY(XYZ_D65), white))
+
+
+def _hsb_distance(a, b):
+    dh = wrap_pi(a[..., 0] - b[..., 0])
+    return np.sqrt(dh * dh + (a[..., 1] - b[..., 1]) ** 2
+                   + (a[..., 2] - b[..., 2]) ** 2)
+
+
+def _anchor_from_source_rgb(source_rgb, hue_delta, sat_delta, bright_delta,
+                            white):
+    """_build_anchor_from_source_rgb (colorprimaries.c:323-378) -> anchor
+    dict or None."""
+    source_hsb = rgb_to_ucs_hsb(source_rgb, white)
+    L, rho, theta = rgb_to_gray_cyl(np.asarray(source_rgb))
+    if rho <= 1e-6:
+        return None
+    sb = np.clip(source_hsb[2], 0.0, 1.0)
+    tb = np.clip(sb + bright_delta, 0.0, 1.0)
+    sL, _, _ = rgb_to_gray_cyl(brightness_to_axis_rgb(sb, white))
+    tL, _, _ = rgb_to_gray_cyl(brightness_to_axis_rgb(tb, white))
+    scale = 1.0
+    if source_hsb[1] > 1e-6:
+        scale = max(source_hsb[1] + sat_delta, 0.0) / source_hsb[1]
+    return dict(L=L, rho=rho, theta=theta, delta_L=tL - sL,
+                chroma_scale=scale, delta_theta=float(wrap_pi(hue_delta)),
+                weight=1.0)
+
+
+def build_primaries_clut(p, level: int = CLUT_LEVEL) -> np.ndarray:
+    """colorprimaries.c _build_clut: six edited gamut vertices + synthetic
+    edge / radial / black-white midpoint anchors + a no-op axis ladder,
+    spread by the sparse local field.  p: ColorPrimariesParams."""
+    white = graph_white()
+    coverage = np.clip(p.gamut_coverage * 0.01, 0.0, 1.0)
+    anchors = []
+
+    def base_rgb(node):
+        corner = _PRIM_CORNERS[node]
+        mu = corner.mean()
+        return mu + coverage * (corner - mu)
+
+    def node_deltas(node):
+        return (p.hue[node] * np.pi / 180.0, p.saturation[node] * 0.01,
+                p.brightness[node])
+
+    def edge_deltas(edge):
+        a, b = edge
+        sa, sb_ = base_rgb(a), base_rgb(b)
+        mid = 0.5 * (sa + sb_)
+        ha = rgb_to_ucs_hsb(sa, white)
+        hb = rgb_to_ucs_hsb(sb_, white)
+        hm = rgb_to_ucs_hsb(mid, white)
+        da, db = _hsb_distance(hm, ha), _hsb_distance(hm, hb)
+        wa = wb = 0.5
+        if da + db > 1e-6:
+            wa, wb = db / (da + db), da / (da + db)
+        aa = p.hue[a] * np.pi / 180.0
+        ab = p.hue[b] * np.pi / 180.0
+        hue = np.arctan2(wa * np.sin(aa) + wb * np.sin(ab),
+                         wa * np.cos(aa) + wb * np.cos(ab))
+        sat = (wa * p.saturation[a] + wb * p.saturation[b]) * 0.01
+        bri = wa * p.brightness[a] + wb * p.brightness[b]
+        return mid, hue, sat, bri
+
+    def add(anchor):
+        if anchor is not None:
+            anchors.append(anchor)
+
+    # vertex + edge anchors
+    for node in range(6):
+        add(_anchor_from_source_rgb(base_rgb(node), *node_deltas(node),
+                                    white))
+    for edge in _PRIM_EDGES:
+        mid, hue, sat, bri = edge_deltas(edge)
+        add(_anchor_from_source_rgb(mid, hue, sat, bri, white))
+
+    # radial midpoints (halfway toward the gray axis, HSB-weighted)
+    def radial(source_rgb, hue, sat, bri):
+        L, rho, theta = rgb_to_gray_cyl(np.asarray(source_rgb))
+        if rho <= 1e-6:
+            return None
+        halfway = gray_basis_to_rgb(
+            np.asarray(L), np.asarray(0.5 * rho * np.cos(theta)),
+            np.asarray(0.5 * rho * np.sin(theta)))
+        axis_rgb = np.full(3, L / _SQRT3)
+        sh = rgb_to_ucs_hsb(source_rgb, white)
+        ah = rgb_to_ucs_hsb(axis_rgb, white)
+        hh = rgb_to_ucs_hsb(halfway, white)
+        ah = np.array([sh[0], ah[1], ah[2]])
+        ds, da = _hsb_distance(hh, sh), _hsb_distance(hh, ah)
+        ws = 0.5 if ds + da <= 1e-6 else da / (ds + da)
+        return _anchor_from_source_rgb(halfway, ws * hue, ws * sat,
+                                       ws * bri, white)
+
+    for node in range(6):
+        add(radial(base_rgb(node), *node_deltas(node)))
+    for edge in _PRIM_EDGES:
+        mid, hue, sat, bri = edge_deltas(edge)
+        add(radial(mid, hue, sat, bri))
+
+    # black/white midpoints
+    for extreme in (np.zeros(3), np.ones(3)):
+        for node in range(6):
+            src = base_rgb(node)
+            halfway = 0.5 * (src + extreme)
+            sh = rgb_to_ucs_hsb(src, white)
+            eh = rgb_to_ucs_hsb(extreme, white)
+            hh = rgb_to_ucs_hsb(halfway, white)
+            eh = np.array([sh[0], eh[1], eh[2]])
+            ds, de = _hsb_distance(hh, sh), _hsb_distance(hh, eh)
+            ws = 0.5 if ds + de <= 1e-6 else de / (ds + de)
+            hue, sat, bri = node_deltas(node)
+            add(_anchor_from_source_rgb(halfway, ws * hue, ws * sat,
+                                        ws * bri, white))
+
+    # no-op axis ladder
+    for k in range(_PRIM_AXIS_ANCHORS):
+        anchors.append(dict(
+            L=k / (_PRIM_AXIS_ANCHORS - 1.0) * _SQRT3, rho=0.0, theta=0.0,
+            delta_L=0.0, chroma_scale=1.0, delta_theta=0.0,
+            weight=1.0 / _PRIM_AXIS_ANCHORS))
+
+    packed = {key: np.array([a[key] for a in anchors])
+              for key in ("L", "rho", "theta", "delta_L", "chroma_scale",
+                          "delta_theta", "weight")}
+    return fill_lut_sparse_local_field(
+        packed, max(p.sigma_L * 0.01, 1e-6), max(p.sigma_rho, 1e-6),
+        max(p.sigma_theta, 1e-6), max(p.neutral_protection, 1e-6), level)

@@ -49,6 +49,7 @@ V30_ORDER: List[Tuple[float, str]] = [
     (28.5, "diffuse"),
     (28.5, "censorize"),
     (28.5, "negadoctor"),
+    (28.6, "restorescans"),
     (28.5, "blurs"),
     (29.0, "nlmeans"),
     (30.0, "colorchecker"),

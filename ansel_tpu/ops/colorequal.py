@@ -85,8 +85,9 @@ class ColorEqual(Op):
         if plan.static is None:
             return None
         clut = rings.build_clut(p)
+        # white_level is in EV (colorequal.c:794: exp2f)
         return {"clut": clut,
-                "white": np.float32(max(p.white_level, 1e-6))}
+                "white": np.float32(max(2.0 ** p.white_level, 1e-6))}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         if plan.static is None:

@@ -19,6 +19,12 @@ SPECIAL = {
     "flip": {"orientation": 6},
     "monochrome": {},
     "invert": {},
+    # layer_capture=0 prints nothing (black by design); keep layers small
+    "crystgrain": {"layer_capture": 0.4, "layers": 4, "grain_size": 2.0},
+    "colorprimaries": {"hue": (30.0, 0.0, 0.0, 0.0, 0.0, 0.0)},
+    "colorequal": {"curve": tuple([0.1, 0.7, 0.5, 0.5, 0.9, 0.5]
+                                  + [0.0] * 354),
+                   "curve_num_nodes": tuple([3] + [0] * 8)},
 }
 # mandatory ops are always in the pipe; don't add twice
 MANDATORY = {"rawprepare", "temperature", "highlights", "demosaic",
