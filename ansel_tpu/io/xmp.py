@@ -217,15 +217,20 @@ def write_xmp(path: str, doc: XMPDocument) -> None:
         li = etree.SubElement(seq, _q("rdf", "li"))
         li.set(_q("darktable", "operation"), item.op)
         li.set(_q("darktable", "enabled"), "1" if item.enabled else "0")
+        blob = item.params
+        if isinstance(blob, dict):
+            from ..core.params import params_class
+
+            cls = params_class(item.op, item.version)
+            blob = cls(**blob)
         version = item.version
         if version is None:
-            version = getattr(item.params, "op_version", None) or 1
+            version = getattr(blob, "op_version", None) or 1
         li.set(_q("darktable", "modversion"), str(version))
         li.set(_q("darktable", "multi_priority"), str(item.multi_priority))
         if item.iop_order is not None:
             li.set(_q("darktable", "iop_order"), repr(float(item.iop_order)))
-        if item.params is not None:
-            blob = item.params
+        if blob is not None:
             if not isinstance(blob, (bytes, bytearray)):
                 blob = blob.codec.encode(blob)
             li.set(_q("darktable", "params"), xmp_encode(bytes(blob)))

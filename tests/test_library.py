@@ -1,0 +1,151 @@
+"""Library layer: SQLite DB, tags, collections, variables, crawler.
+
+Reference behaviors: `src/common/database.c` (schema/import),
+`collection.c` (query builder), `variables.c` (template expansion),
+`src/control/crawler.c` (XMP reconciliation)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from ansel_tpu.library import Library
+from ansel_tpu.library.collections import Collection
+from ansel_tpu.library.crawler import crawl
+from ansel_tpu.library.variables import expand
+
+
+@pytest.fixture
+def film(tmp_path):
+    d = tmp_path / "roll_a"
+    d.mkdir()
+    for name in ("img_0001.dng", "img_0002.dng", "other.txt"):
+        (d / name).write_bytes(b"II*\x00\x08\x00\x00\x00\x00\x00")
+    return str(d)
+
+
+def test_import_film_roll_and_exif_columns(film):
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    assert len(ids) == 2  # .txt skipped
+    # idempotent
+    assert lib.import_film_roll(film) == ids
+    assert lib.image_path(ids[0]).endswith("img_0001.dng")
+
+
+def test_ratings_labels_tags(film):
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    lib.set_rating(ids[0], 4)
+    assert lib.rating(ids[0]) == 4
+    lib.set_color_label(ids[0], 2)
+    lib.attach_tag(ids[0], "travel|alps")
+    lib.attach_tag(ids[1], "travel|sea")
+    assert lib.image_tags(ids[0]) == ["travel|alps"]
+    lib.detach_tag(ids[0], "travel|alps")
+    assert lib.image_tags(ids[0]) == []
+
+
+def test_collection_filters(film):
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    lib.set_rating(ids[0], 5)
+    lib.attach_tag(ids[1], "keep")
+    assert Collection(min_rating=4).run(lib) == [ids[0]]
+    assert Collection(tag="keep").run(lib) == [ids[1]]
+    assert Collection(filename_like="img_%").run(lib) == ids
+    assert Collection(sort="filename", descending=True).run(lib) \
+        == list(reversed(ids))
+
+
+def test_history_roundtrip_via_db(film):
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    hist = [HistoryItem("exposure", {"exposure": 1.25}),
+            HistoryItem("vibrance", {"amount": 40.0})]
+    lib.write_history(ids[0], hist)
+    back = lib.read_history(ids[0])
+    assert [h.op for h in back] == ["exposure", "vibrance"]
+    from ansel_tpu.core.params import decode_blob
+
+    p = decode_blob("exposure", back[0].version or 6, back[0].params)
+    assert abs(p.exposure - 1.25) < 1e-6
+
+
+def test_crawler_reimports_newer_sidecar(film):
+    from ansel_tpu.io.xmp import XMPDocument, write_xmp
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    xmp = lib.xmp_path(ids[0])
+    write_xmp(xmp, XMPDocument(
+        history=[HistoryItem("exposure", {"exposure": 0.5})]))
+    rep = crawl(lib)
+    assert ids[0] in rep.reimported
+    assert [h.op for h in lib.read_history(ids[0])] == ["exposure"]
+    # second crawl: no change
+    assert crawl(lib).reimported == []
+
+
+def test_variables_expansion(film):
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    lib.set_rating(ids[0], 3)
+    lib.con.execute(
+        "UPDATE images SET datetime_taken='2024:06:01 10:30:00', "
+        "iso=400, maker='FUJI', model='X-T5' WHERE id=?", (ids[0],))
+    out = expand("$(ROLL_NAME)/$(FILE_NAME)-$(EXIF_YEAR)$(EXIF_MONTH)"
+                 "-iso$(EXIF_ISO)-$(MODEL)-$(STARS)$(UNKNOWN)",
+                 lib, ids[0])
+    assert out == "roll_a/img_0001-202406-iso400-X-T5-3"
+
+
+def test_exif_reader_jpeg_roundtrip(tmp_path):
+    from PIL import Image
+
+    from ansel_tpu.io.exif import read_exif
+
+    # build a JPEG carrying EXIF via PIL
+    img = Image.new("RGB", (8, 8))
+    exif = Image.Exif()
+    exif[0x010F] = "TestMaker"
+    exif[0x0110] = "TestCam X"
+    exif[0x8827] = 800
+    exif[0x0132] = "2023:12:24 08:15:30"
+    p = str(tmp_path / "shot.jpg")
+    img.save(p, exif=exif)
+    ex = read_exif(p)
+    assert ex.maker == "TestMaker"
+    assert ex.model == "TestCam X"
+    assert ex.iso == 800
+    assert ex.datetime.startswith("2023:12:24")
+
+
+def test_batch_export_end_to_end(tmp_path):
+    """Collection -> scheduler export queue -> files on disk
+    (libs/export.c + export_jobs.c flow)."""
+    from ansel_tpu.io.rawfile import save_raw
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.io.xmp import XMPDocument, write_xmp
+    from ansel_tpu.library.export import batch_export
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    roll = tmp_path / "roll_b"
+    roll.mkdir()
+    raw, meta, _ = synth_raw(h=96, w=128)
+    for i in range(2):
+        save_raw(str(roll / f"shot_{i}.npz"), raw, meta)
+    write_xmp(str(roll / "shot_0.npz.xmp"), XMPDocument(
+        history=[HistoryItem("exposure", {"exposure": 1.0})]))
+
+    lib = Library()
+    lib.import_film_roll(str(roll))
+    out = batch_export(lib, Collection(), str(tmp_path / "out"),
+                       template="$(FILE_NAME)-exported")
+    assert len(out) == 2
+    for p in out:
+        assert os.path.exists(p) and p.endswith("-exported.jpg")
