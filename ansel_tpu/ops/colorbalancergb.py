@@ -11,8 +11,12 @@ contrast around the grey fulcrum; then saturation/brilliance in JzAzBz
 Host commit math: commit_params (colorbalancergb.c:~1900-1990),
 opacity_masks (colorbalancergb.c:509-534).
 
-The per-hue gamut LUT (out_max_sat_h) and the dt-UCS saturation formula are
-pending; the JzAzBz formula with analytic gamut clamps is implemented.
+Both saturation formulas are implemented: JzAzBz (2021) with the
+per-hue gamut soft-clip + analytic LMS' clamps, and dt UCS 22 (the v5
+default) with the HCB-plane rotation and colorfulness-boundary
+soft-clip.  The reference's 360-entry gamut LUT gather is re-expressed
+as a truncated Fourier series evaluated from (cos h, sin h) recurrences
+— VPU-vectorizable and Pallas-fusable (fit error is test-gated).
 """
 
 from __future__ import annotations
@@ -85,10 +89,122 @@ class ColorBalanceRGBParams:
 MASK_EXP = 0.4101205819200422
 
 
+_LUT_ELEM = 360
+_FOURIER_K = 48
+
+
+def _xyz_to_jzazbz_np(xyz):
+    """(N, 3) XYZ D65 -> JzAzBz, host-side (mirror of spaces.py jnp)."""
+    X, Y, Z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    Xp = sp._JZ_B * X - (sp._JZ_B - 1.0) * Z
+    Yp = sp._JZ_G * Y - (sp._JZ_G - 1.0) * X
+    lms = np.stack([Xp, Yp, Z], -1) @ sp._JZ_M.T
+    y = np.maximum(lms / 10000.0, 0.0) ** sp._JZ_N
+    pq = ((sp._JZ_C1 + sp._JZ_C2 * y) / (1.0 + sp._JZ_C3 * y)) ** sp._JZ_P
+    iab = pq @ sp._JZ_A.T
+    Jz = np.maximum((1.0 + sp._JZ_D) * iab[:, 0]
+                    / (1.0 + sp._JZ_D * iab[:, 0]) - sp._JZ_D0, 0.0)
+    return Jz, iab[:, 1], iab[:, 2]
+
+
+def _xyY_to_ucs_uv_np(xy):
+    """(N, 2) CIE xy -> dt UCS UV* prime (xyY_to_dt_UCS_UV,
+    colorspaces_inline_conversions.h:1276-1299)."""
+    xf = np.array([-0.783941002840055, 0.745273540913283,
+                   0.318707282433486])
+    yf = np.array([0.277512987809202, -0.205375866083878,
+                   2.16743692732158])
+    of = np.array([0.153836578598858, -0.165478376301988,
+                   0.291320554395942])
+    UVD = xy[:, :1] * xf + xy[:, 1:2] * yf + of
+    U, V = UVD[:, 0] / UVD[:, 2], UVD[:, 1] / UVD[:, 2]
+    fac = (1.39656225667, 1.4513954287)
+    half = (1.49217352929, 1.52488637914)
+    Us = fac[0] * U / (np.abs(U) + half[0])
+    Vs = fac[1] * V / (np.abs(V) + half[1])
+    Up = -1.124983854323892 * Us - 0.980483721769325 * Vs
+    Vp = 1.86323315098672 * Us + 1.971853092390862 * Vs
+    return Up, Vp
+
+
+def _gamut_lut(formula: int, work_to_xyzd65: np.ndarray) -> np.ndarray:
+    """Host-build the per-hue gamut LUT (colorbalancergb.c:1214-1348):
+    JzAzBz formula stores max saturation Cz/Jz; dt UCS stores the M^2
+    colorfulness of the sRGB triangle boundary."""
+    if formula == SAT_JZAZBZ:
+        steps = 92
+        g1 = np.linspace(0.0, 1.0, steps)
+        r, g, b = np.meshgrid(g1, g1, g1, indexing="ij")
+        rgb = np.stack([r, g, b], -1).reshape(-1, 3)
+        XYZ = rgb @ work_to_xyzd65.T
+        Jz, az, bz = _xyz_to_jzazbz_np(XYZ)
+        Cz = np.hypot(bz, az)
+        hue = np.arctan2(bz, az)
+        sat = np.where(Jz > 0.0, Cz / np.maximum(Jz, 1e-12), 0.0)
+        idx = np.round((_LUT_ELEM - 1) * (hue + np.pi)
+                       / (2.0 * np.pi)).astype(int)
+        raw = np.zeros(_LUT_ELEM)
+        np.maximum.at(raw, idx, sat)
+        # 5-tap circular box smooth (:1259-1266)
+        pad = np.concatenate([raw[-2:], raw, raw[:2]])
+        return np.convolve(pad, np.ones(5) / 5.0, "valid")
+    # dt UCS: march the work-primaries triangle boundary in xy
+    prim_xyz = np.eye(3) @ work_to_xyzd65.T
+    prim_xy = prim_xyz[:, :2] / prim_xyz.sum(-1, keepdims=True)
+    n = 50 * 360 * 4
+    t = np.linspace(0.0, 1.0, n // 3, endpoint=False)
+    pts = []
+    for a in range(3):
+        pa, pb = prim_xy[a], prim_xy[(a + 1) % 3]
+        pts.append(pa + t[:, None] * (pb - pa))
+    pts = np.concatenate(pts)
+    Up, Vp = _xyY_to_ucs_uv_np(pts)
+    H = np.degrees(np.arctan2(Vp, Up))
+    M2 = Up * Up + Vp * Vp
+    idx = (np.round(H).astype(int) + 180) % 360
+    lut = np.zeros(_LUT_ELEM)
+    np.maximum.at(lut, idx, M2)
+    return lut
+
+
+def _fourier_fit(lut: np.ndarray, K: int = _FOURIER_K) -> np.ndarray:
+    """LUT over hue -> 2K+1 Fourier coefficients.  The per-pixel LUT
+    gather is not VPU-vectorizable; a truncated Fourier series evaluated
+    from (cos h, sin h) recurrences is the TPU-native re-expression
+    (gamut boundaries are smooth; fit error is test-gated)."""
+    h = -np.pi + 2.0 * np.pi * np.arange(_LUT_ELEM) / (_LUT_ELEM - 1.0)
+    cols = [np.ones_like(h)]
+    for k in range(1, K + 1):
+        cols += [np.cos(k * h), np.sin(k * h)]
+    A = np.stack(cols, -1)
+    coef, *_ = np.linalg.lstsq(A, lut, rcond=None)
+    return coef.astype(np.float32)
+
+
+def _fourier_eval(coef, cos_h, sin_h, K: int = _FOURIER_K):
+    out = coef[0] + coef[1] * cos_h + coef[2] * sin_h
+    ck, sk = cos_h, sin_h
+    for k in range(2, K + 1):
+        ck, sk = (ck * cos_h - sk * sin_h, sk * cos_h + ck * sin_h)
+        out = out + coef[2 * k - 1] * ck + coef[2 * k] * sk
+    return out
+
+
+def _soft_clip(x, soft, hard):
+    """soft_clip (colorbalancergb.c:537-543)."""
+    norm = jnp.maximum(hard - soft, 1e-12)
+    return jnp.where(x > soft,
+                     soft + (1.0 - jnp.exp(-(x - soft) / norm)) * norm, x)
+
+
 @register
 class ColorBalanceRGB(Op):
     name = "colorbalancergb"
     input_colorspace = Colorspace.WORK_RGB
+
+    def plan(self, ctx: PlanContext, spec_in, p) -> OpPlan:
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=int(p.saturation_formula))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: ColorBalanceRGBParams):
         rgb_norm = sp.ych_to_grading_np(1.0, 0.0, 0.0)
@@ -143,6 +259,16 @@ class ColorBalanceRGB(Op):
             "vibrance": np.float32(p.vibrance),
             "hue_cos": np.float32(math.cos(math.radians(p.hue_angle))),
             "hue_sin": np.float32(math.sin(math.radians(p.hue_angle))),
+            # per-hue gamut boundary as Fourier coefficients (the LUT
+            # gather is re-expressed as a cos/sin recurrence series)
+            "gamut_f": _fourier_fit(_gamut_lut(
+                int(p.saturation_formula),
+                cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK)),
+            # dt UCS L* of the white fulcrum (colorbalancergb.c:669)
+            "L_white": np.float32(
+                2.098883786377 * (2.0 ** p.white_fulcrum) ** 0.631651345306265
+                / ((2.0 ** p.white_fulcrum) ** 0.631651345306265
+                   + 1.12426773749357)),
         }
 
     def _opacities(self, x, c):
@@ -163,7 +289,7 @@ class ColorBalanceRGB(Op):
                     "midtones_weight", "mask_grey_fulcrum", "chroma_global",
                     "chroma", "saturation_global", "saturation",
                     "brilliance_global", "brilliance", "vibrance", "hue_cos",
-                    "hue_sin")
+                    "hue_sin", "gamut_f", "L_white")
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         import jax
@@ -180,21 +306,21 @@ class ColorBalanceRGB(Op):
                     v = cd[k]
                     cd[k] = [[v[3 * r + i] for i in range(3)]
                              for r in range(3)]
-                return self._pixel(block, cd)
+                return self._pixel(block, cd, plan.static)
 
             # deep chain: small tile to stay under the scoped-VMEM limit
             return pallas_pointwise(block_fn, x, consts,
                                     tile_h=128, tile_w=512)
-        return self._pixel(x, c)
+        return self._pixel(x, c, plan.static)
 
     def pointwise_spec(self, plan, ctx):
         from .base import PointwiseSpec
 
         return PointwiseSpec(
             consts=self._CONST_ORDER, mats=("in_mat", "out_mat"),
-            fn=lambda b, cd: self._pixel(b, cd))
+            fn=lambda b, cd: self._pixel(b, cd, plan.static))
 
-    def _pixel(self, x, c):
+    def _pixel(self, x, c, formula=SAT_JZAZBZ):
         rgb = jnp.maximum(x, 0.0)
         lms = apply_matrix(rgb, c["in_mat"])
         yrg = sp.lms_to_yrg(lms)
@@ -256,7 +382,23 @@ class ColorBalanceRGB(Op):
         yrg = jnp.stack([Y2, yrg[1], yrg[2]])
         xyz = apply_matrix(sp.yrg_to_lms(yrg), sp.LMS2006_TO_XYZ_D65.tolist())
 
-        # saturation / brilliance in JzAzBz
+        sat = c["saturation"]
+        bri = c["brilliance"]
+        boost_b = c["brilliance_global"] + op_s * bri[0] \
+            + op_m * bri[1] + op_h * bri[2]
+        boost_s = c["saturation_global"] + op_s * sat[0] + op_m * sat[1] \
+            + op_h * sat[2]
+
+        if formula == SAT_DTUCS:
+            xyz_out = self._saturation_dtucs(xyz, c, boost_s, boost_b)
+        else:
+            xyz_out = self._saturation_jzazbz(xyz, c, boost_s, boost_b)
+        out = apply_matrix(jnp.maximum(xyz_out, 0.0), c["out_mat"])
+        return jnp.maximum(out, 0.0)
+
+    def _saturation_jzazbz(self, xyz, c, boost_s, boost_b):
+        """JzAzBz saturation/brilliance + per-hue gamut soft-clip + LMS'
+        clamp (colorbalancergb.c:764-840)."""
         jab = sp.xyz_to_jzazbz(jnp.maximum(xyz, 0.0))
         Jz = jab[0]
         Cz = jnp.sqrt(jab[1] ** 2 + jab[2] ** 2)
@@ -270,20 +412,28 @@ class ColorBalanceRGB(Op):
         inv_h = jnp.where(hyp > 0.0, 1.0 / jnp.maximum(hyp, 1e-20), 0.0)
         sin_T = Cz * inv_h
         cos_T = jnp.where(hyp > 0.0, Jz * inv_h, 1.0)
-        sat = c["saturation"]
-        bri = c["brilliance"]
-        boost_b = 1.0 + c["brilliance_global"] + op_s * bri[0] \
-            + op_m * bri[1] + op_h * bri[2]
-        boost_s = c["saturation_global"] + op_s * sat[0] + op_m * sat[1] \
-            + op_h * sat[2]
         S0 = Jz * cos_T + Cz * sin_T
         O1 = S0 * jnp.clip(T * boost_s, -T, math.pi / 2.0 - T)
-        S1 = jnp.maximum(S0 * boost_b, 0.0)
+        S1 = jnp.maximum(S0 * (1.0 + boost_b), 0.0)
         Jz2 = jnp.maximum(S1 * cos_T - O1 * sin_T, 0.0)
         Cz2 = jnp.maximum(S1 * sin_T + O1 * cos_T, 0.0)
 
-        # analytic gamut clamps: LMS' rows of the inverse Iz(Az,Bz) matrix
-        # must stay positive (colorbalancergb.c JzAzBz branch)
+        # per-hue gamut LUT soft-clip (colorbalancergb.c:798-807)
+        max_sat_h = jnp.maximum(
+            _fourier_eval(c["gamut_f"], cos_H, sin_H), 1e-6)
+        sat_px = jnp.where(
+            Jz2 > 0.0,
+            _soft_clip(Cz2 / jnp.maximum(Jz2, 1e-20), 0.8 * max_sat_h,
+                       max_sat_h),
+            max_sat_h)
+        max_C_at_sat = Jz2 * sat_px
+        max_J_at_sat = jnp.where(sat_px > 0.0,
+                                 Cz2 / jnp.maximum(sat_px, 1e-20), Jz2)
+        Jz2 = 0.5 * (Jz2 + max_J_at_sat)
+        Cz2 = 0.5 * (Cz2 + max_C_at_sat)
+
+        # analytic clamps: LMS' rows of the inverse Iz(Az,Bz) matrix must
+        # stay positive (colorbalancergb.c:810-838)
         d0 = 1.6295499532821566e-11
         dd = -0.56
         Iz = Jz2 + d0
@@ -298,6 +448,98 @@ class ColorBalanceRGB(Op):
             max_C = jnp.where(lms_test < 0.0, jnp.minimum(lim, max_C), max_C)
 
         jab_out = jnp.stack([Jz2, max_C * cos_H, max_C * sin_H])
-        xyz_out = sp.jzazbz_to_xyz(jab_out)
-        out = apply_matrix(jnp.maximum(xyz_out, 0.0), c["out_mat"])
-        return jnp.maximum(out, 0.0)
+        return sp.jzazbz_to_xyz(jab_out)
+
+    def _saturation_dtucs(self, xyz, c, boost_s, boost_b):
+        """dt UCS 22 saturation/brilliance (colorbalancergb.c:841-884):
+        HCB-plane rotation with soft-clipped saturation gain, per-hue
+        colorfulness boundary, HSB soft-clip; trig-free (hue enters only
+        through cos/sin and the Fourier boundary)."""
+        L_white = c["L_white"]
+        X, Y, Z = xyz[0], jnp.maximum(xyz[1], 0.0), xyz[2]
+        ssum = jnp.maximum(X + Y + Z, 1e-12)
+        xx_, yy_ = X / ssum, Y / ssum
+        # xyY -> dt UCS UV* prime (colorspaces_inline_conversions.h:1276)
+        UVD = [(-0.783941002840055 * xx_ + 0.277512987809202 * yy_
+                + 0.153836578598858),
+               (0.745273540913283 * xx_ - 0.205375866083878 * yy_
+                - 0.165478376301988),
+               (0.318707282433486 * xx_ + 2.16743692732158 * yy_
+                + 0.291320554395942)]
+        U = UVD[0] / UVD[2]
+        V = UVD[1] / UVD[2]
+        Us = 1.39656225667 * U / (jnp.abs(U) + 1.49217352929)
+        Vs = 1.4513954287 * V / (jnp.abs(V) + 1.52488637914)
+        Up = -1.124983854323892 * Us - 0.980483721769325 * Vs
+        Vp = 1.86323315098672 * Us + 1.971853092390862 * Vs
+        M2 = Up * Up + Vp * Vp
+        M = jnp.sqrt(M2)
+        inv_m = jnp.where(M > 0.0, 1.0 / jnp.maximum(M, 1e-20), 0.0)
+        cos_H = jnp.where(M > 0.0, Up * inv_m, 1.0)
+        sin_H = Vp * inv_m
+        Yh = jnp.maximum(Y, 1e-12) ** 0.631651345306265
+        L_star = 2.098883786377 * Yh / (Yh + 1.12426773749357)
+        J = L_star / L_white
+        C = 15.932993652962535 * L_star ** 0.6523997524738018 \
+            * M2 ** 0.6007557017508491 / L_white
+        B = J * (C ** 1.33654221029386 + 1.0)
+
+        radius = jnp.sqrt(C * C + B * B)
+        inv_r = jnp.where(radius > 0.0, 1.0 / jnp.maximum(radius, 1e-20),
+                          0.0)
+        sin_T = C * inv_r
+        cos_T = B * inv_r
+        P = jnp.maximum(C, 1e-30)
+        W = sin_T * C + cos_T * B
+        a = jnp.maximum(1.0 + boost_s, 0.0)
+        b = jnp.maximum(1.0 + boost_b, 0.0)
+        max_a = jnp.sqrt(P * P + W * W) / P
+        a = _soft_clip(a, 0.5 * max_a, max_a)
+        P_p = (a - 1.0) * P
+        W_p = jnp.sqrt(jnp.maximum(P * P * (1.0 - a * a), 0.0)
+                       + W * W) * b
+        C2 = jnp.maximum(cos_T * P_p + sin_T * W_p, 0.0)
+        B2 = jnp.maximum(-sin_T * P_p + cos_T * W_p, 0.0)
+        J2 = B2 / (C2 ** 1.33654221029386 + 1.0)
+
+        # per-hue colorfulness boundary (LUT stores M^2)
+        maxM2 = jnp.maximum(_fourier_eval(c["gamut_f"], cos_H, sin_H),
+                            1e-12)
+        max_chroma = 15.932993652962535 \
+            * jnp.maximum(J2 * L_white, 1e-12) ** 0.6523997524738018 \
+            * maxM2 ** 0.6007557017508491 / L_white
+        B_bound = J2 * (max_chroma ** 1.33654221029386 + 1.0)
+        S_bound = max_chroma / jnp.maximum(B_bound, 1e-20)
+        S = jnp.where(B2 > 0.0, C2 / jnp.maximum(B2, 1e-20), 0.0)
+        S = _soft_clip(S, 0.8 * S_bound, S_bound)
+        C3 = S * B2
+        J3 = B2 / (C3 ** 1.33654221029386 + 1.0)
+
+        # dt UCS JCH -> xyY (colorspaces_inline_conversions.h:1344-1381)
+        L3 = J3 * L_white
+        M3 = jnp.maximum(
+            C3 * L_white / (15.932993652962535
+                            * jnp.maximum(L3, 1e-12)
+                            ** 0.6523997524738018),
+            0.0) ** 0.8322850678616855
+        Up3 = M3 * cos_H
+        Vp3 = M3 * sin_H
+        Us3 = -5.037522385190711 * Up3 - 2.504856328185843 * Vp3
+        Vs3 = 4.760029407436461 * Up3 + 2.874012963239247 * Vp3
+        U3 = -1.49217352929 * Us3 / (jnp.abs(Us3) - 1.39656225667)
+        V3 = -1.52488637914 * Vs3 / (jnp.abs(Vs3) - 1.4513954287)
+        xyD = [(0.167171472114775 * U3 + 0.141299802443708 * V3
+                - 0.00801531300850582),
+               (-0.150959086409163 * U3 - 0.155185060382272 * V3
+                - 0.00843312433578007),
+               (0.940254742367256 * U3 + 1.0 * V3 - 0.0256325967652889)]
+        xd = xyD[0] / xyD[2]
+        yd = xyD[1] / xyD[2]
+        Y3 = jnp.maximum(
+            1.12426773749357 * L3
+            / jnp.maximum(2.098883786377 - L3, 1e-9),
+            0.0) ** 1.5831518565279648
+        safe_y = jnp.maximum(yd, 1e-9)
+        X3 = xd * Y3 / safe_y
+        Z3 = (1.0 - xd - yd) * Y3 / safe_y
+        return jnp.stack([X3, Y3, Z3])

@@ -238,3 +238,21 @@ def gamut_map(Y, c, cos_h, sin_h, input_m, output_m, display_black,
         max_c = jnp.minimum(max_c, _clip_chroma_black(coeffs, cos_h, sin_h))
     out = ych_to_rgb(Y2, max_c, cos_h, sin_h, output_m)
     return jnp.clip(out, 0.0, display_white)
+
+
+def desaturate_v4(Y0, c0, Yf, cf, saturation):
+    """filmic_desaturate_v4 (filmicrgb.c:1757-1793): linear chroma model
+    vs luminance with the brightening/resaturation guards."""
+    chroma_o = c0 * Y0
+    chroma_f = cf * Yf
+    delta = saturation * (chroma_o - chroma_f)
+    brightens = Yf > Y0
+    resat = chroma_o < chroma_f
+    desat = chroma_o > chroma_f
+    user_resat = saturation > 0.0
+    user_desat = saturation < 0.0
+    chroma_final = jnp.where(
+        brightens & resat, 0.5 * (chroma_o + chroma_f),
+        jnp.where((user_resat & desat) | user_desat,
+                  chroma_f + delta, chroma_f))
+    return jnp.maximum(chroma_final / jnp.maximum(Yf, 1e-9), 0.0)

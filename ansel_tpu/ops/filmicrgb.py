@@ -13,8 +13,9 @@ filmicrgb.c:229-259).  Split host/device exactly like the reference:
     (filmicrgb.c:1157-1166), chroma/split v2_v3 pixel loops
     (filmicrgb.c:1551-1705), norms (filmicrgb.c:927-1014).
 
-Colorscience V1–V3 are exact; V4/V5/AgX (v8) currently evaluate through the
-V3 chroma path (documented gap, next rounds add Ych gamut mapping + AgX
+All colorscience versions are exact: V1-V3 spline/desaturation paths,
+V4/V5 (v6/v7) norm tone mapping + Kirk Ych gamut mapping
+(filmic_chroma_v4/filmic_v5 + gamut_mapping_simd), and AgX v8 (inset
 inset/outset).  Highlight reconstruction (reconstruct_*) lands with the
 wavelet stack.
 """
@@ -496,7 +497,7 @@ class FilmicRGB(Op):
             version_class = CSCI_AGX_FIRST
             preserve = METHOD_MAX_RGB
         else:
-            version_class = min(version, CSCI_V4)
+            version_class = min(version, CSCI_V5)
         static = (version_class, preserve, p.shadows, p.highlights,
                   p.version)
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=static)
@@ -525,7 +526,11 @@ class FilmicRGB(Op):
                 p.white_point_source - p.black_point_source
             ),
             "output_power": np.float32(p.output_power),
-            "saturation": np.float32(max(saturation, 1e-6)),
+            # v1/v2 divide by sqrt(saturation) -> clamp there only; the
+            # v4+ slider is bipolar (desaturate_v4 needs the sign)
+            "saturation": np.float32(
+                saturation if p.version >= CSCI_V4
+                else max(saturation, 1e-6)),
             "sigma_toe": np.float32(max(sigma_toe, 1e-9)),
             "sigma_shoulder": np.float32(max(sigma_shoulder, 1e-9)),
             "y_weights": np.float32(cm.WORK_Y),
@@ -559,20 +564,48 @@ class FilmicRGB(Op):
             return self._apply_agx(x, c, s, raw_version)
 
         if version >= CSCI_V4:
-            if preserve == METHOD_NONE:
-                # RGB_tone_mapping_v4 (filmicrgb.c:2113-2128): independent
-                # per-channel curves, clamped to [0, white_display]
-                mapped = _log_tonemapping(x, gs, bs, dr)
-                sp = _spline_eval(mapped, s, c)
-                return jnp.clip(sp, 0.0, c["y4"]) ** c["output_power"]
-            # norm_tone_mapping_v4 (filmicrgb.c:2085-2110): clamp norm FIRST
-            # so clipped highlights don't inherit wrong chroma, keep ratios
-            norm = jnp.clip(_pixel_norm(x, preserve, c["y_weights"]),
-                            c["norm_min"], c["norm_max"])
-            ratios = x / norm[None]
-            nlog = _log_tonemapping(norm, gs, bs, dr)
-            nout = curve(nlog)
-            return ratios * nout[None]
+            # exact v6/v7 color science: tone map, then Ych gamut mapping
+            # (filmic_chroma_v4/filmic_split_v4 :2131-2224, filmic_v5
+            # :2227-2283, gamut_mapping_simd :1965-2010)
+            from . import filmic_agx as agx
+
+            input_m, output_m = agx.agx_matrices()
+
+            def rgb_tone_map(v):
+                # RGB_tone_mapping_v4 (filmicrgb.c:2113-2128)
+                mapped = _log_tonemapping(v, gs, bs, dr)
+                sp_ = _spline_eval(mapped, s, c)
+                return jnp.clip(sp_, 0.0, c["y4"]) ** c["output_power"]
+
+            def norm_tone_map(v, method):
+                # norm_tone_mapping_v4 (filmicrgb.c:2085-2110): clamp norm
+                # FIRST so clipped highlights keep a sane chroma
+                norm = jnp.clip(_pixel_norm(v, method, c["y_weights"]),
+                                c["norm_min"], c["norm_max"])
+                nout = curve(_log_tonemapping(norm, gs, bs, dr))
+                return (v / norm[None]) * nout[None]
+
+            if version == CSCI_V4:
+                split = preserve == METHOD_NONE
+                out = rgb_tone_map(x) if split \
+                    else norm_tone_map(x, preserve)
+                sat = c["saturation"]
+            else:  # CSCI_V5: blend max-RGB norm with per-channel curves
+                naive = rgb_tone_map(x)
+                mx = norm_tone_map(x, METHOD_MAX_RGB)
+                out = (0.5 + c["saturation"]) * mx \
+                    + (0.5 - c["saturation"]) * naive
+                split = True
+                sat = 0.0
+            Y0, c0, cos0, sin0 = agx.rgb_to_ych(x, input_m)
+            Yf, cf, _, _ = agx.rgb_to_ych(out, input_m)
+            if split:
+                cf = jnp.minimum(c0, cf)
+            Yf = jnp.clip(Yf, agx.CIE_Y_2006 * c["display_black"],
+                          agx.CIE_Y_2006 * c["display_white"])
+            cf = agx.desaturate_v4(Y0, c0, Yf, cf, sat)
+            return agx.gamut_map(Yf, cf, cos0, sin0, input_m, output_m,
+                                 c["display_black"], c["display_white"])
 
         if preserve == METHOD_NONE:
             # filmic_split_v2_v3 (filmicrgb.c:1551-1588)

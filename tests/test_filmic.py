@@ -96,3 +96,41 @@ def test_filmic_monotone_on_grey_ramp():
     line = out[1, 0, :]
     assert np.all(np.diff(line) > -1e-5)
     assert line[0] < 0.02 and line[-1] > 0.9
+
+
+def test_v4_v5_exact_paths_differ_from_v3():
+    """v6/v7 color science runs the Ych gamut mapping, not the V3 chroma
+    alias (filmic_chroma_v4 :2131, filmic_v5 :2227)."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.core.types import Colorspace, ImageSpec, RawMeta
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.ops.filmicrgb import FilmicParams, FilmicRGB
+
+    def run(p, x):
+        op = FilmicRGB()
+        ctx = ob.PlanContext(meta=RawMeta(width=x.shape[2],
+                                          height=x.shape[1]), scale=1.0)
+        spec = ImageSpec(width=x.shape[2], height=x.shape[1],
+                         colorspace=Colorspace.WORK_RGB)
+        plan = op.plan(ctx, spec, p)
+        return np.asarray(op.apply(jnp.asarray(x),
+                                   op.coeffs(ctx, plan, p), plan, ctx))
+
+    rng = np.random.default_rng(1)
+    x = np.exp2(rng.uniform(-6, 2, (3, 32, 64))).astype(np.float32) * 0.18
+    outs = {v: run(FilmicParams(version=v), x) for v in (2, 3, 4)}
+    assert all(np.isfinite(o).all() for o in outs.values())
+    assert not np.allclose(outs[2], outs[3], atol=1e-4)
+    assert not np.allclose(outs[3], outs[4], atol=1e-4)
+    # neutral grays must stay achromatic through the Ych mapping
+    g = np.full((3, 8, 16), 0.18, np.float32)
+    for v in (3, 4):
+        og = run(FilmicParams(version=v), g)
+        assert np.abs(og - og.mean(axis=0)).max() < 2e-3, v
+    # bipolar saturation: negative desaturates vs zero (v6 science)
+    sat0 = run(FilmicParams(version=3, saturation=0.0), x)
+    satn = run(FilmicParams(version=3, saturation=-80.0), x)
+    def chroma(o):
+        return np.abs(o - o.mean(axis=0, keepdims=True)).mean()
+    assert chroma(satn) < chroma(sat0)

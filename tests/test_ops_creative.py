@@ -192,7 +192,11 @@ def test_colorbalancergb_identity_when_neutral():
     g = np.linspace(0.05, 1.2, 8, dtype=np.float32)
     R, G, B = np.meshgrid(g, g, g, indexing="ij")
     x = np.stack([R, G, B]).reshape(3, 64, 8)
-    out, _ = _run(ColorBalanceRGB(), ColorBalanceRGBParams(), x,
+    # JzAzBz formula: neutral is identity in-gamut.  The dt UCS v5
+    # default formula soft-clips high saturations even when neutral
+    # (reference behavior) and is mirror-tested separately.
+    out, _ = _run(ColorBalanceRGB(),
+                  ColorBalanceRGBParams(saturation_formula=0), x,
                   spec=ImageSpec(height=64, width=8, channels=3,
                                  colorspace=Colorspace.WORK_RGB))
     assert np.abs(out - x).max() < 5e-3, np.abs(out - x).max()
@@ -229,3 +233,105 @@ def test_cacorrectrgb_aligns_fringed_edges():
     assert edges == [64, 64, 64], edges  # all channels align to the guide
     # flat areas untouched
     assert np.abs(out[:, :, :40] - x[:, :, :40]).max() < 0.02
+
+
+def test_colorbalancergb_dtucs_mirror():
+    """dt UCS saturation branch vs a numpy mirror of
+    colorbalancergb.c:841-884 with the exact 360-entry gamut LUT (ours
+    evaluates a Fourier fit of the same LUT)."""
+    import numpy as np
+
+    from ansel_tpu.color import matrices as cm
+    from ansel_tpu.ops import colorbalancergb as C
+
+    def mirror(xyz, lut, L_white, boost_s=0.0, boost_b=0.0):
+        X, Y, Z = xyz
+        s = np.maximum(X + Y + Z, 1e-12)
+        xy = np.stack([X / s, Y / s], -1).reshape(-1, 2)
+        Up, Vp = C._xyY_to_ucs_uv_np(xy)
+        Up = Up.reshape(X.shape)
+        Vp = Vp.reshape(X.shape)
+        M2 = Up * Up + Vp * Vp
+        H = np.arctan2(Vp, Up)
+        Yh = np.maximum(Y, 1e-12) ** 0.631651345306265
+        L_star = 2.098883786377 * Yh / (Yh + 1.12426773749357)
+        J = L_star / L_white
+        Cc = 15.932993652962535 * L_star ** 0.6523997524738018 \
+            * M2 ** 0.6007557017508491 / L_white
+        B = J * (Cc ** 1.33654221029386 + 1.0)
+        radius = np.hypot(Cc, B)
+        sin_T = np.where(radius > 0, Cc / radius, 0.0)
+        cos_T = np.where(radius > 0, B / radius, 0.0)
+        P = np.maximum(Cc, np.finfo(np.float32).tiny)
+        W = sin_T * Cc + cos_T * B
+        a = np.maximum(1.0 + boost_s, 0.0)
+        b = np.maximum(1.0 + boost_b, 0.0)
+        max_a = np.hypot(P, W) / P
+        soft, norm = 0.5 * max_a, max_a - 0.5 * max_a
+        a = np.where(a > soft, soft + (1 - np.exp(-(a - soft) / norm))
+                     * norm, a)
+        P_p = (a - 1.0) * P
+        W_p = np.sqrt(np.maximum(P * P * (1 - a * a), 0.0) + W * W) * b
+        C2 = np.maximum(cos_T * P_p + sin_T * W_p, 0.0)
+        B2 = np.maximum(-sin_T * P_p + cos_T * W_p, 0.0)
+        J2 = B2 / (C2 ** 1.33654221029386 + 1.0)
+        # exact LUT lookup with linear interpolation (lookup_gamut)
+        xt = (360 - 1) * (H + np.pi) / (2 * np.pi)
+        x0 = np.floor(xt).astype(int) % 360
+        x1 = np.ceil(xt).astype(int) % 360
+        f = xt - np.floor(xt)
+        maxM2 = lut[x0] * (1 - f) + lut[x1] * f
+        max_chroma = 15.932993652962535 \
+            * np.maximum(J2 * L_white, 1e-12) ** 0.6523997524738018 \
+            * maxM2 ** 0.6007557017508491 / L_white
+        B_bound = J2 * (max_chroma ** 1.33654221029386 + 1.0)
+        S_bound = max_chroma / np.maximum(B_bound, 1e-20)
+        S = np.where(B2 > 0, C2 / np.maximum(B2, 1e-20), 0.0)
+        soft, norm = 0.8 * S_bound, 0.2 * S_bound
+        S = np.where(S > soft, soft + (1 - np.exp(-(S - soft)
+                                                  / np.maximum(norm, 1e-12)))
+                     * np.maximum(norm, 1e-12), S)
+        C3 = S * B2
+        J3 = B2 / (C3 ** 1.33654221029386 + 1.0)
+        L3 = J3 * L_white
+        M3 = np.maximum(C3 * L_white / (15.932993652962535
+                        * np.maximum(L3, 1e-12) ** 0.6523997524738018),
+                        0.0) ** 0.8322850678616855
+        Up3, Vp3 = M3 * np.cos(H), M3 * np.sin(H)
+        Us3 = -5.037522385190711 * Up3 - 2.504856328185843 * Vp3
+        Vs3 = 4.760029407436461 * Up3 + 2.874012963239247 * Vp3
+        U3 = -1.49217352929 * Us3 / (np.abs(Us3) - 1.39656225667)
+        V3 = -1.52488637914 * Vs3 / (np.abs(Vs3) - 1.4513954287)
+        xd_n = (0.167171472114775 * U3 + 0.141299802443708 * V3
+                - 0.00801531300850582)
+        yd_n = (-0.150959086409163 * U3 - 0.155185060382272 * V3
+                - 0.00843312433578007)
+        dd = (0.940254742367256 * U3 + V3 - 0.0256325967652889)
+        xd, yd = xd_n / dd, yd_n / dd
+        Y3 = np.maximum(1.12426773749357 * L3
+                        / np.maximum(2.098883786377 - L3, 1e-9),
+                        0.0) ** 1.5831518565279648
+        X3 = xd * Y3 / np.maximum(yd, 1e-9)
+        Z3 = (1 - xd - yd) * Y3 / np.maximum(yd, 1e-9)
+        return np.stack([X3, Y3, Z3])
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(0.05, 0.9, (3, 24, 24)).astype(np.float32)
+    m = cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK
+    lut = C._gamut_lut(1, m)
+    Lw = 2.098883786377 * 2.0 ** 0.631651345306265 \
+        / (2.0 ** 0.631651345306265 + 1.12426773749357)
+    op = C.ColorBalanceRGB()
+    for bs, bb in ((0.0, 0.0), (0.4, 0.0), (0.0, 0.3), (-0.3, 0.2)):
+        want = mirror(xyz.astype(np.float64), lut, Lw, bs, bb)
+        got = np.asarray(op._saturation_dtucs(
+            jnp.asarray(xyz),
+            {"L_white": np.float32(Lw),
+             "gamut_f": C._fourier_fit(lut)},
+            jnp.full(xyz.shape[1:], bs), jnp.full(xyz.shape[1:], bb)))
+        err = np.abs(got - want)
+        # tolerance covers the Fourier-vs-LUT boundary difference
+        assert err.max() < 0.035, (bs, bb, err.max())
+        assert np.median(err) < 2e-3, (bs, bb, np.median(err))
