@@ -5,8 +5,10 @@ common.h:428-446; modes (common.h:403-410): CLIP (hard clamp at
 threshold, highlights/clip.c), LCH (2x2-cell chroma-ratio reconstruction,
 highlights/lch.c:316-410), INPAINT (directional ratio-decay color
 inpainting, highlights/inpaint.c — exact, associative-scan form),
-guided-LAPLACIAN / HARMONIC (multiscale solver paths — alias to LCH for
-now, documented gap).
+guided-LAPLACIAN (highlights/laplacian.c via
+kernels/highlights_laplacian.py — 1/4-res wavelet guided fit + ratio
+diffusion); HARMONIC (segmentation dome solver) rides the same
+reconstruction (documented substitution).
 """
 
 from __future__ import annotations
@@ -84,7 +86,11 @@ class Highlights(Op):
         # per-channel thresholds (highlights.c:385-389)
         ctx.notes["highlights_clips"] = tuple(
             0.995 * p.clip * m for m in pmax[:3])
-        return OpPlan(spec_in=spec_in, spec_out=spec_in, static=p.mode)
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(p.mode, max(int(p.scales), 1),
+                              max(int(p.iterations), 1),
+                              round(float(p.noise_level), 6),
+                              round(float(p.solid_color), 6)))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p):
         return {"clip": ctx.notes["highlights_clip"],
@@ -92,13 +98,22 @@ class Highlights(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         clip = jnp.asarray(c["clip"], x.dtype)
-        mode = plan.static
+        mode, scales_p, iters, noise_lv, solid = plan.static
         spec = plan.spec_in
         is_mosaic = spec.cfa is not None
         if mode == MODE_INPAINT and is_mosaic:
             return self._inpaint(x, c, spec, ctx)
-        if (mode in (MODE_LCH, MODE_LAPLACIAN, MODE_HARMONIC)
+        if (mode in (MODE_LAPLACIAN, MODE_HARMONIC)
                 and is_mosaic and spec.cfa is not CFAPattern.XTRANS):
+            # guided-laplacian reconstruction; HARMONIC (segmentation
+            # dome solver) rides the same wavelet reconstruction
+            from ..kernels import highlights_laplacian as hl
+
+            return hl.laplacian_reconstruct(
+                x, c["clips"], spec.cfa, scales_p, iters, noise_lv,
+                solid, zoom=max(ctx.scale, 1e-6))
+        if mode == MODE_LCH and is_mosaic \
+                and spec.cfa is not CFAPattern.XTRANS:
             return self._lch_bayer(x, clip, spec)
         return jnp.minimum(x, clip)
 

@@ -116,3 +116,41 @@ def test_inpaint_reconstructs_gradient():
     y2 = np.asarray(jax.jit(pipe2.trace_fn())(
         ops_base.pad_to(raw, pipe2.spec_in), pipe2.coeffs()))
     assert y.max() > y2.max() * 1.02
+
+
+def test_laplacian_reconstructs_clipped_gradient():
+    """Guided-laplacian mode rebuilds a clipped highlight from the
+    surrounding gradient (highlights/laplacian.c flow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ansel_tpu.core.types import CFAPattern
+    from ansel_tpu.kernels.highlights_laplacian import laplacian_reconstruct
+
+    h, w = 128, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    # radial hot spot that saturates in the center
+    r2 = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) / (h * h / 4)
+    scene = 1.6 * np.exp(-2.0 * r2).astype(np.float32) + 0.1
+    sel = np.array([[0, 1], [1, 2]])[yy % 2, xx % 2]
+    gains = np.float32([1.0, 0.9, 0.8])
+    mosaic = np.minimum(scene * gains[sel], 1.0).astype(np.float32)
+
+    out = np.asarray(laplacian_reconstruct(
+        jnp.asarray(mosaic), [0.995, 0.995, 0.995], CFAPattern.RGGB,
+        scales_param=5, iterations=15, noise_level=0.0, solid_color=0.0))
+    assert np.isfinite(out).all()
+    clipped = mosaic >= 0.994
+    # reconstruction must rebuild a dome above the clip plateau
+    assert out[clipped].max() > 1.05
+    assert out[clipped].mean() > mosaic[clipped].mean() + 0.003
+    # pixels far from any clipped region stay untouched (the mask is
+    # feathered 5x5 + resized, so only a border ring may blend)
+    dil = clipped.copy()
+    for _ in range(10):
+        d = np.zeros_like(dil)
+        d[1:] |= dil[:-1]; d[:-1] |= dil[1:]
+        d[:, 1:] |= dil[:, :-1]; d[:, :-1] |= dil[:, 1:]
+        dil |= d
+    far = ~dil
+    assert np.abs(out[far] - mosaic[far]).max() < 1e-3
