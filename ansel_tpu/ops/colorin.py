@@ -6,7 +6,8 @@ path (DT_COLORSPACE_ENHANCED_MATRIX/STANDARD_MATRIX) applies the camera
 matrix to XYZ then the working-profile matrix — pure 3x3 linear algebra,
 which we fold into ONE matrix at plan time (the reference keeps LCMS at the
 edges and uses the fast matrix path internally, src/common/colorspaces.c).
-ICC LUT profiles are a later milestone (SURVEY.md §7 hard parts).
+DT_COLORSPACE_FILE loads custom ICC profiles (matrix+TRC and
+mft/mAB LUT forms) through color/icc.py.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from ..core.types import Colorspace, ImageSpec
 from .base import Op, OpPlan, PlanContext, register
 
 # dt_colorspaces_color_profile_type_t (src/common/colorspaces.h:90-130)
+CS_FILE = 0
 CS_SRGB = 1
 CS_ADOBERGB = 2
 CS_LIN_REC709 = 3
@@ -71,17 +73,42 @@ class Colorin(Op):
     input_colorspace = Colorspace.CAMERA_RGB
     mandatory = True
 
+    def _resolve_icc(self, ctx, p):
+        """DT_COLORSPACE_FILE: load the custom ICC named in params
+        (colorspaces.c:2300-2661 LCMS path)."""
+        import os
+
+        from ..color import icc as icc_mod
+
+        name = p.filename
+        if isinstance(name, bytes):
+            name = name.split(b"\0")[0].decode("utf-8", "ignore")
+        name = (name or "").strip("\0")
+        if not name:
+            raise ValueError("colorin: type=FILE but no ICC filename")
+        search = getattr(ctx.meta, "sidecar_dir", "") or "."
+        for cand in (name, os.path.join(search, name),
+                     os.path.join(search, "color", "in", name)):
+            if os.path.exists(cand):
+                return icc_mod.load_icc(cand)
+        raise ValueError(f"colorin: ICC profile '{name}' not found")
+
     def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: ColorinParams) -> OpPlan:
         work = _WORK_NAMES.get(p.type_work, "rec2020")
         ctx.notes["work_profile"] = work
+        fname = p.filename if p.type == CS_FILE else ""
+        if isinstance(fname, bytes):
+            fname = fname.split(b"\0")[0].decode("utf-8", "ignore")
         return OpPlan(
             spec_in=spec_in,
             spec_out=spec_in.with_colorspace(Colorspace.WORK_RGB),
-            static=(p.type, work),
+            static=(p.type, work, fname.strip("\0")),
         )
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: ColorinParams):
         meta = ctx.meta
+        if p.type == CS_FILE:
+            return {"M": np.eye(3, dtype=np.float32)}  # ICC path in apply
         if meta.cam_to_xyz is not None and p.type in (
             CS_STANDARD_MATRIX, CS_ENHANCED_MATRIX
         ):
@@ -94,9 +121,19 @@ class Colorin(Op):
         return {"M": M.astype(np.float32)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        if plan.static[0] == CS_FILE:
+            from ..color import icc as icc_mod
+
+            prof = self._resolve_icc(ctx, ColorinParams(
+                type=CS_FILE, filename=plan.static[2]))
+            to_xyz = icc_mod.profile_to_xyz_fn(prof)
+            # ICC PCS is D50; the pipeline XYZ reference is D50 too
+            return apply_matrix(to_xyz(x), cm.WORK_FROM_XYZ.tolist())
         return apply_matrix(x, c["M"])
 
     def pointwise_spec(self, plan, ctx):
+        if plan.static[0] == CS_FILE:
+            return None  # ICC path: curves + possible CLUT, not fusable
         from .base import PointwiseSpec
 
         return PointwiseSpec(consts=("M",), mats=("M",),

@@ -50,6 +50,15 @@ class Colorout(Op):
     mandatory = True
 
     def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: ColoroutParams) -> OpPlan:
+        if p.type == 0:  # DT_COLORSPACE_FILE: custom ICC output profile
+            fname = p.filename
+            if isinstance(fname, bytes):
+                fname = fname.split(b"\0")[0].decode("utf-8", "ignore")
+            return OpPlan(
+                spec_in=spec_in,
+                spec_out=spec_in.with_colorspace(Colorspace.DISPLAY_RGB),
+                static=("icc", fname.strip("\0")),
+            )
         trc = _TRC.get(p.type, "srgb")
         dst = _WORK_NAMES.get(p.type, "srgb")
         return OpPlan(
@@ -60,11 +69,15 @@ class Colorout(Op):
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: ColoroutParams):
         dst, _ = plan.static
+        if dst == "icc":
+            return {"M": np.eye(3, dtype=np.float32)}
         work = ctx.notes.get("work_profile", cm.WORK_PROFILE)
         M = cm.rgb_to_rgb_matrix(work, dst)
         return {"M": M.astype(np.float32)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        if plan.static[0] == "icc":
+            return self._apply_icc(x, plan.static[1], ctx)
         _, trc = plan.static
         y = apply_matrix(x, c["M"])
         y = jnp.clip(y, 0.0, 1.0)
@@ -74,7 +87,48 @@ class Colorout(Op):
             return y
         return gamma_encode(y, trc[1])
 
+    def _apply_icc(self, x, fname, ctx):
+        """Custom matrix+TRC ICC output profile: work -> XYZ D50 ->
+        inverse profile matrix -> inverse TRC (colorout.c LCMS path for
+        matrix profiles; LUT output profiles use B2A which is still a
+        documented gap)."""
+        import os
+
+        from ..color import icc as icc_mod
+        from ..pixel.curves import MONOTONE_HERMITE, curve_coeffs, eval_curve
+
+        search = getattr(ctx.meta, "sidecar_dir", "") or "."
+        prof = None
+        for cand in (fname, os.path.join(search, fname),
+                     os.path.join(search, "color", "out", fname)):
+            if os.path.exists(cand):
+                prof = icc_mod.load_icc(cand)
+                break
+        if prof is None:
+            raise ValueError(f"colorout: ICC profile '{fname}' not found")
+        if prof.kind != "matrix":
+            raise ValueError(
+                "colorout: LUT (B2A) output profiles are not supported "
+                "yet — use a matrix+TRC profile")
+        xyz = apply_matrix(x, cm.XYZ_FROM_WORK.tolist())
+        lin = apply_matrix(xyz, np.linalg.inv(prof.to_xyz).tolist())
+        lin = jnp.clip(lin, 0.0, 1.0)
+        out = []
+        for ch in range(3):
+            trc = prof.trc[ch]
+            # numeric inverse of the (monotone) TRC; nodes packed toward
+            # 0 where the inverse gamma curve is steep
+            ys = np.linspace(0.0, 1.0, 4096)
+            xs = np.interp(ys, trc, np.linspace(0.0, 1.0, len(trc)))
+            pick = np.unique((np.linspace(0.0, 1.0, 40) ** 2
+                              * 4095).astype(int))
+            coeffs = curve_coeffs(ys[pick], xs[pick], MONOTONE_HERMITE)
+            out.append(eval_curve(lin[ch], *coeffs))
+        return jnp.clip(jnp.stack(out), 0.0, 1.0)
+
     def pointwise_spec(self, plan, ctx):
+        if plan.static[0] == "icc":
+            return None
         from .base import PointwiseSpec
         _, trc = plan.static
 
