@@ -19,9 +19,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import itertools
-import queue
 import threading
-import time
 from typing import Any, Callable, List, Optional
 
 QUEUE_USER_FG = 0
@@ -119,7 +117,11 @@ class JobQueue:
 class Scheduler:
     """Worker pool over the 5 queues + one reserved device worker."""
 
-    def __init__(self, workers: int = 4, signals=None):
+    def __init__(self, workers: int = None, signals=None):
+        from ..core import conf as conf_mod
+
+        if workers is None:
+            workers = conf_mod.get_int("control.workers", 4)
         self.queues = {
             QUEUE_USER_FG: JobQueue(),
             QUEUE_SYSTEM_FG: JobQueue(droppable=True),

@@ -45,6 +45,38 @@ class NNModel:
     def out_channels(self) -> int:
         return int(self.cfg["out_channels"])
 
+    # --- multi-scale ("unet-ms") accessors (nn_model.h:79-84) ---
+
+    @property
+    def has_coarse(self) -> bool:
+        return self.arch == "unet-ms"
+
+    @property
+    def anchor(self) -> int:
+        """Low-band fusion anchor scale (nn_model.c:357-360; unet-ms
+        only)."""
+        return int(self.cfg.get("anchor", 0)) if self.has_coarse else 0
+
+    def bin_for(self, is_xtrans: bool) -> int:
+        if not self.has_coarse:
+            return 1
+        b = self.cfg.get("bin", {})
+        return int(b.get("xtrans" if is_xtrans else "bayer",
+                         6 if is_xtrans else 4))
+
+    def stage(self, name: str) -> "NNModel":
+        """-> the fine/coarse sub-net as a standalone NNModel (tensor
+        names are prefixed "fine."/"coarse." in the file,
+        nn_model.c:178)."""
+        if not self.has_coarse:
+            return self
+        prefix = name + "."
+        return NNModel(
+            cfg=dict(self.cfg[name], arch="unet"),
+            tensors={k[len(prefix):]: v
+                     for k, v in self.tensors.items()
+                     if k.startswith(prefix)})
+
 
 def load_anselnn(path: str) -> NNModel:
     with open(path, "rb") as f:
@@ -117,4 +149,18 @@ def random_unet(base: int = 8, depth: int = 2, in_ch: int = 5,
     put("head", out_ch, base, 3)
     cfg = {"arch": "unet", "base": base, "depth": depth,
            "in_channels": in_ch, "out_channels": out_ch}
+    return NNModel(cfg=cfg, tensors=tensors)
+
+
+def random_unet_ms(base: int = 8, depth: int = 2, seed: int = 0) -> NNModel:
+    """Tiny multi-scale model for tests: fine net (8 in: mosaic + one-hot
+    + sigma + 3 coarse guide planes) + coarse net (6 in: RGB + sigmas,
+    3 out) with "fine."/"coarse." tensor prefixes (nn_model.c:300-380)."""
+    fine = random_unet(base, depth, in_ch=8, out_ch=1, seed=seed)
+    coarse = random_unet(base, depth, in_ch=6, out_ch=3, seed=seed + 1)
+    tensors = {f"fine.{k}": v for k, v in fine.tensors.items()}
+    tensors.update({f"coarse.{k}": v for k, v in coarse.tensors.items()})
+    cfg = {"arch": "unet-ms", "bin": {"bayer": 4, "xtrans": 6},
+           "anchor": 1,
+           "fine": dict(fine.cfg), "coarse": dict(coarse.cfg)}
     return NNModel(cfg=cfg, tensors=tensors)

@@ -145,6 +145,54 @@ def write_pfm(path: str, img_chw: np.ndarray) -> None:
         f.write(x[::-1].astype("<f4").tobytes())
 
 
+def write_exr(path: str, img_chw: np.ndarray) -> None:
+    """Minimal OpenEXR 2.0 writer: half-float RGB, no compression,
+    increasing-Y scanlines (format/exr.cc analog; linear scene data)."""
+    import struct
+
+    x = np.asarray(img_chw, np.float32)
+    _, h, w = x.shape
+    half = x.transpose(1, 2, 0).astype("<f2")  # (h, w, 3)
+
+    def attr(name, typ, payload):
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + struct.pack("<i", len(payload)) + payload)
+
+    # channel list: sorted alphabetically (B, G, R), pixel type 1 = HALF
+    ch = b""
+    for cname in (b"B", b"G", b"R"):
+        ch += cname + b"\0" + struct.pack("<iiii", 1, 0, 1, 1)
+    ch += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = b""
+    header += attr("channels", "chlist", ch)
+    header += attr("compression", "compression", b"\0")  # NONE
+    header += attr("dataWindow", "box2i", box)
+    header += attr("displayWindow", "box2i", box)
+    header += attr("lineOrder", "lineOrder", b"\0")  # increasing Y
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f",
+                   struct.pack("<ff", 0.0, 0.0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    row_bytes = 2 * w  # per channel
+    block = 8 + 3 * row_bytes  # [y, size] prefix + 3 channel rows
+    data_off = 8 + len(header) + 8 * h
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 20000630))        # magic
+        f.write(struct.pack("<B3x", 2))             # version 2, flags 0
+        f.write(header)
+        for y in range(h):
+            f.write(struct.pack("<Q", data_off + y * block))
+        for y in range(h):
+            f.write(struct.pack("<ii", y, 3 * row_bytes))
+            # channels in alphabetical order: B, G, R planes per scanline
+            f.write(half[y, :, 2].tobytes())
+            f.write(half[y, :, 1].tobytes())
+            f.write(half[y, :, 0].tobytes())
+
+
 def write_image(path: str, img_chw: np.ndarray, quality: int = 92,
                 bpp: int = 8, icc: Optional[bytes] = b"srgb",
                 meta=None) -> None:
@@ -159,6 +207,9 @@ def write_image(path: str, img_chw: np.ndarray, quality: int = 92,
 
     if low.endswith(".pfm"):
         write_pfm(path, img_chw)
+        return
+    if low.endswith(".exr"):
+        write_exr(path, img_chw)
         return
     if bpp == 16:
         arr16 = to_uint16(img_chw)

@@ -27,6 +27,8 @@ def crawl(lib: Library, write_back: bool = False) -> CrawlReport:
     """Scan every image; sync history with its sidecar by timestamp."""
     from ..io.xmp import parse_xmp
 
+    from ..core import log as log_mod
+
     report = CrawlReport()
     for imgid in lib.images():
         try:
@@ -43,13 +45,30 @@ def crawl(lib: Library, write_back: bool = False) -> CrawlReport:
         if os.path.exists(xmp):
             mtime = int(os.stat(xmp).st_mtime)
             if mtime > (row["xmp_timestamp"] or 0):
-                doc = parse_xmp(xmp)
-                lib.write_history(imgid, doc.history)
+                with open(xmp, "r", encoding="utf-8",
+                          errors="replace") as fh:
+                    text = fh.read()
+                from ..io.lightroom import (is_lightroom_xmp,
+                                            parse_lightroom_xmp)
+
+                if is_lightroom_xmp(text):
+                    # LR-authored sidecar (develop/lightroom.c import)
+                    imp = parse_lightroom_xmp(text)
+                    lib.write_history(imgid, imp.history)
+                    if imp.rating is not None:
+                        lib.set_rating(imgid, imp.rating)
+                    for tag in imp.tags:
+                        lib.attach_tag(imgid, tag)
+                else:
+                    doc = parse_xmp(xmp)
+                    lib.write_history(imgid, doc.history)
                 lib.con.execute(
                     "UPDATE images SET xmp_timestamp=? WHERE id=?",
                     (mtime, imgid))
                 lib.con.commit()
                 report.reimported.append(imgid)
+                log_mod.log("library", "crawler reimported sidecar",
+                            imgid=imgid)
                 continue
         if write_back and (row["change_timestamp"] or 0) \
                 > (row["xmp_timestamp"] or 0):

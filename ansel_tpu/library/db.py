@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import sqlite3
 import time
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 SCHEMA_VERSION = 1
 

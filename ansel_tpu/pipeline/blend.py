@@ -187,13 +187,12 @@ def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights,
 
     if bp.mask_mode & MASK_RASTER:
         # raster side-band: the mask IS an upstream module's blend mask
-        # (blend.c:_develop_blend_init_raster_mask:509-545); the engine
-        # resolves the source — a missing source is a hard error, never a
-        # silent mask=1.0
+        # (blend.c:_develop_blend_init_raster_mask:509-545).  The engine
+        # resolves the source and hard-errors on a NAMED source that is
+        # missing; an EMPTY source fills the mask (blend.c:540-543).
         if raster is None:
-            raise ValueError(
-                f"raster mask source '{bp.raster_mask_source}' not found "
-                "upstream of this module")
+            fill = 0.0 if bp.raster_mask_invert else 1.0
+            return jnp.full_like(a[0], fill * opacity)
         mask = (1.0 - raster) if bp.raster_mask_invert else raster
         return mask * opacity
 

@@ -61,16 +61,23 @@ def _resolve_params(item: HistoryItem, meta: RawMeta):
     return item.params
 
 
-def resolve_history(meta: RawMeta, history: List[HistoryItem]):
+def resolve_history(meta: RawMeta, history: List[HistoryItem],
+                    order_version: int = None):
     """Merge history with mandatory modules and order the stack
     (reference dt_dev_read_history_ext's default-module injection +
-    iop-order sort)."""
+    iop-order sort).  order_version selects the legacy/v30/v30-jpg/
+    ansel order table (iop_order.h:148-157); defaults to v30."""
+    from ..core import order as order_mod
+
+    version = (order_version if order_version is not None
+               else order_mod.ORDER_V30)
     items = list(history)
     present = {h.op for h in items}
     for name, op in ops_base.all_ops().items():
         if name not in present and op.enabled_by_default(meta):
             items.append(HistoryItem(op=name, enabled=True))
-    items.sort(key=lambda h: sort_key(h.op, h.iop_order, h.multi_priority))
+    items.sort(key=lambda h: sort_key(h.op, h.iop_order,
+                                      h.multi_priority, version))
     return items
 
 
@@ -172,7 +179,7 @@ class Pipeline:
     """A planned (but not yet compiled) pipe for one (image, history)."""
 
     def __init__(self, meta: RawMeta, history: List[HistoryItem],
-                 scale: float = 1.0, forms=None):
+                 scale: float = 1.0, forms=None, order_version=None):
         self.meta = meta
         self.ctx = PlanContext(meta=meta, scale=scale)
         self.stages: List[PlannedOp] = []
@@ -187,10 +194,15 @@ class Pipeline:
         )
         self.spec_in = spec
         history = list(history)
-        if abs(scale - 1.0) > 1e-9 and not any(
-                h.op == "finalscale" for h in history):
+        ops_present = {h.op for h in history}
+        if scale < 1.0 - 1e-9 and "initialscale" not in ops_present:
+            # downscale early: everything after the camera-RGB stage
+            # runs at export resolution (doc/resizing-scaling.md)
+            history.append(HistoryItem("initialscale"))
+        elif abs(scale - 1.0) > 1e-9 \
+                and "finalscale" not in ops_present:
             history.append(HistoryItem("finalscale"))
-        for item in resolve_history(meta, history):
+        for item in resolve_history(meta, history, order_version):
             if not item.enabled:
                 continue
             op = ops_base.get_op(item.op)
@@ -316,9 +328,12 @@ class Pipeline:
             from . import blend as blend_mod
             from ..color import matrices as cmats
 
+            from ..core import conf as conf_mod
+
             fuse = ((_jax.default_backend() == "tpu"
                      or _FORCE_FUSION_INTERPRET)
-                    and not _DISABLE_FUSION)
+                    and not _DISABLE_FUSION
+                    and not conf_mod.get_bool("pipe.disable_fusion"))
             # raster side-band (pixelpipe_raster_masks.c): blend masks of
             # upstream modules, keyed by (op, multi_priority); plus the
             # demosaic-stage raw-detail plane for the details slider
@@ -367,16 +382,22 @@ class Pipeline:
                             src = src.split(b"\0")[0].decode(
                                 "utf-8", "ignore")
                         src = (src or "").strip("\0")
-                        key = (src, s.blend.raster_mask_instance)
-                        raster = raster_masks.get(
-                            key, raster_masks.get((src, None)))
-                        if raster is None:
-                            raise RuntimeError(
-                                f"stage '{s.name}': raster mask source "
-                                f"'{src}' (instance "
-                                f"{s.blend.raster_mask_instance}) has no "
-                                "mask upstream — enable a mask on the "
-                                "source module or drop the raster blend")
+                        if src:
+                            key = (src, s.blend.raster_mask_instance)
+                            raster = raster_masks.get(
+                                key, raster_masks.get((src, None)))
+                            if raster is None:
+                                # a NAMED source that cannot be resolved
+                                # is a hard error (dt_dev_get_raster_mask
+                                # raster_error); an EMPTY source fills
+                                # the mask (blend.c:540-543)
+                                raise RuntimeError(
+                                    f"stage '{s.name}': raster mask "
+                                    f"source '{src}' (instance "
+                                    f"{s.blend.raster_mask_instance}) "
+                                    "has no mask upstream — enable a "
+                                    "mask on the source module or drop "
+                                    "the raster blend")
                     x, m = blend_mod.apply_blend(
                         a_in, y, s.blend, prm, cst, cmats.WORK_Y,
                         drawn=drawn, raster=raster, rawdetail=rawdetail,
@@ -407,12 +428,26 @@ _FORCE_FUSION_INTERPRET = False
 
 class CompiledPipe:
     def __init__(self, pipe: Pipeline):
+        import time
+
+        from ..core import conf as conf_mod
+        from ..core import log as log_mod
+
         self.pipe = pipe
         sig = pipe.signature()
-        fn = _COMPILE_CACHE.get(sig)
+        use_cache = conf_mod.get_bool("pipe.compile_cache", True)
+        fn = _COMPILE_CACHE.get(sig) if use_cache else None
         if fn is None:
+            t0 = time.perf_counter()
             fn = jax.jit(pipe.trace_fn())
-            _COMPILE_CACHE[sig] = fn
+            log_mod.log("pipe", "traced pipeline",
+                        stages=len(pipe.stages),
+                        ms=round((time.perf_counter() - t0) * 1e3, 1))
+            if use_cache:
+                _COMPILE_CACHE[sig] = fn
+        else:
+            log_mod.log("pipe", "plan cache hit",
+                        stages=len(pipe.stages))
         self._fn = fn
         self._coeffs = pipe.coeffs()
 
@@ -436,5 +471,7 @@ class CompiledPipe:
 
 
 def compile_pipeline(meta: RawMeta, history: List[HistoryItem],
-                     scale: float = 1.0, forms=None) -> CompiledPipe:
-    return CompiledPipe(Pipeline(meta, history, scale, forms=forms))
+                     scale: float = 1.0, forms=None,
+                     order_version=None) -> CompiledPipe:
+    return CompiledPipe(Pipeline(meta, history, scale, forms=forms,
+                                 order_version=order_version))

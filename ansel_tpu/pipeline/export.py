@@ -55,14 +55,17 @@ def export_image(
     optionally write the encoded file.  Returns (3, H, W) float32."""
     settings = settings or ExportSettings()
     forms = None
+    order_version = None
     if history is None:
         if xmp_path:
             doc = parse_xmp(xmp_path)
             history, forms = doc.history, doc.masks
+            order_version = doc.iop_order_version
         else:
             history = []
     scale = compute_export_scale(meta, settings)
-    pipe = CompiledPipe(Pipeline(meta, history, scale=scale, forms=forms))
+    pipe = CompiledPipe(Pipeline(meta, history, scale=scale, forms=forms,
+                                 order_version=order_version))
     out = pipe.output_array(raw)
     if output_path:
         encode.write_image(output_path, out, quality=settings.quality,

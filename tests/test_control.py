@@ -106,3 +106,36 @@ def test_scheduler_emits_job_signals():
         assert JobState.FINISHED in events
     finally:
         s.shutdown()
+
+
+def test_conf_resolution_order(tmp_path, monkeypatch):
+    """runtime > env > file > default (common/conf.c semantics)."""
+    from ansel_tpu.core import conf
+
+    conf.register("test.knob", 10)
+    assert conf.get_int("test.knob") == 10
+    rc = tmp_path / "rc"
+    rc.write_text("test.knob=20\n")
+    conf.load_file(str(rc))
+    assert conf.get_int("test.knob") == 20
+    monkeypatch.setenv("ANSEL_TPU_TEST_KNOB", "30")
+    assert conf.get_int("test.knob") == 30
+    conf.set("test.knob", 40)
+    assert conf.get_int("test.knob") == 40
+    conf.save_file(str(tmp_path / "rc2"))
+    assert "test.knob=40" in (tmp_path / "rc2").read_text()
+
+
+def test_structured_log_ring_and_domains(capsys):
+    from ansel_tpu.core import log
+
+    log.clear()
+    log.log("perf", "hidden")         # domain disabled -> ring only
+    log.enable("perf")
+    log.log("perf", "stage timing", op="exposure", ms=1.5)
+    log.disable("perf")
+    recs = log.records("perf")
+    assert len(recs) == 2
+    assert "op=exposure" in recs[1][2]
+    err = capsys.readouterr().err
+    assert "hidden" not in err and "stage timing" in err

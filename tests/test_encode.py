@@ -59,3 +59,48 @@ def test_exif_roundtrip():
 
     b = exif_from_meta(SimpleNamespace(maker="SONY", model="A7", iso=100))
     assert b and b"SONY" in b
+
+
+def test_exr_writer_roundtrip():
+    """Minimal OpenEXR writer (format/exr.cc analog): parse back our own
+    scanline layout and verify the pixel data + offset table."""
+    import struct
+
+    from ansel_tpu.io.encode import write_exr
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.0, 4.0, (3, 12, 20)).astype(np.float32)
+    path = "/tmp/ansel_tpu_test.exr"
+    write_exr(path, x)
+    buf = open(path, "rb").read()
+    assert struct.unpack("<I", buf[:4])[0] == 20000630
+    assert buf[4] == 2
+    # walk attributes to the header end
+    pos = 8
+    attrs = {}
+    while buf[pos] != 0:
+        e = buf.index(b"\0", pos)
+        name = buf[pos:e].decode()
+        pos = e + 1
+        e = buf.index(b"\0", pos)
+        pos = e + 1
+        (alen,) = struct.unpack_from("<i", buf, pos)
+        attrs[name] = buf[pos + 4:pos + 4 + alen]
+        pos += 4 + alen
+    pos += 1
+    assert attrs["compression"] == b"\0"
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"])
+    h, w = y1 - y0 + 1, x1 - x0 + 1
+    assert (h, w) == (12, 20)
+    offsets = struct.unpack_from(f"<{h}Q", buf, pos)
+    pos += 8 * h
+    assert offsets[0] == pos  # first block right after the table
+    out = np.zeros((3, h, w), np.float32)
+    for yy in range(h):
+        o = offsets[yy]
+        line_y, size = struct.unpack_from("<ii", buf, o)
+        assert line_y == yy and size == 3 * 2 * w
+        for k, ch in enumerate((2, 1, 0)):  # B, G, R order on disk
+            row = np.frombuffer(buf, "<f2", w, o + 8 + k * 2 * w)
+            out[ch, yy] = row.astype(np.float32)
+    assert np.allclose(out, x, atol=4e-3)  # half-float quantization

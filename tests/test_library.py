@@ -149,3 +149,99 @@ def test_batch_export_end_to_end(tmp_path):
     assert len(out) == 2
     for p in out:
         assert os.path.exists(p) and p.endswith("-exported.jpg")
+
+
+def test_mipmap_cache_levels_and_lru(tmp_path):
+    """Leveled thumbnail service with disk store (mipmap_cache.c)."""
+    from ansel_tpu.io.rawfile import save_raw
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.library.mipmap import MipmapCache
+
+    roll = tmp_path / "roll_m"
+    roll.mkdir()
+    raw, meta, _ = synth_raw(h=256, w=384)
+    p = str(roll / "shot.npz")
+    save_raw(p, raw, meta)
+
+    cache = MipmapCache(cache_dir=str(tmp_path / "mips"), mem_items=2)
+    t0 = cache.get(p, 0)
+    assert t0.dtype == np.uint8 and t0.shape[0] == 3
+    assert max(t0.shape[1:]) <= 180
+    assert cache.misses == 1
+    # hit from memory
+    _ = cache.get(p, 0)
+    assert cache.hits == 1
+    # disk round-trip after memory eviction
+    _ = cache.get(p, 1)
+    _ = cache.get(p, 2)
+    _ = cache.get(p, 0)   # evicted from mem (mem_items=2) -> disk hit
+    assert cache.hits == 2
+    # invalidation clears both stores
+    cache.invalidate(p)
+    _ = cache.get(p, 0)
+    assert cache.misses == 4
+
+
+def test_initialscale_shrinks_working_size():
+    """Reduced-size exports process downstream ops at export resolution
+    (doc/resizing-scaling.md ROI scaling)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ansel_tpu import HistoryItem
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.pipeline.engine import compile_pipeline
+
+    raw, meta, _ = synth_raw(h=256, w=384)
+    pipe = compile_pipeline(meta, [HistoryItem("exposure",
+                                               {"exposure": 0.5})],
+                            scale=0.25)
+    names = [s.name for s in pipe.pipe.stages]
+    assert "initialscale" in names
+    assert "finalscale" not in names
+    i = names.index("initialscale")
+    st = pipe.pipe.stages[i]
+    assert st.plan.spec_out.width == 96
+    # ops after initialscale plan at the reduced size
+    post = pipe.pipe.stages[i + 1]
+    assert post.plan.spec_in.width == 96
+    out = np.asarray(pipe.output_array(raw))
+    assert out.shape[1:] == (64, 96)
+
+
+def test_presets_autoapply_rules(film):
+    """Module presets with EXIF match rules (common/presets.c)."""
+    from ansel_tpu.library.presets import (apply_auto_presets,
+                                           auto_presets, load_preset,
+                                           save_preset)
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    lib = Library()
+    ids = lib.import_film_roll(film)
+    lib.con.execute(
+        "UPDATE images SET maker='FUJI', model='X-T5', iso=1600 "
+        "WHERE id=?", (ids[0],))
+    save_preset(lib, "punchy", "velvia", {"strength": 50.0})
+    save_preset(lib, "high-iso-nr", "denoiseprofile",
+                {"a": (4e-4,) * 3, "b": (1e-5,) * 3},
+                autoapply=True, iso=(800.0, 1e9))
+    save_preset(lib, "fuji-only", "vibrance", {"amount": 10.0},
+                autoapply=True, maker="%FUJI%")
+    save_preset(lib, "canon-only", "grain", {"strength": 30.0},
+                autoapply=True, maker="%Canon%")
+
+    # explicit load
+    item = load_preset(lib, "punchy", "velvia")
+    from ansel_tpu.core.params import decode_blob
+
+    p = decode_blob("velvia", item.version or 1, item.params)
+    assert abs(p.strength - 50.0) < 1e-6
+
+    auto = {h.op for h in auto_presets(lib, ids[0])}
+    assert auto == {"denoiseprofile", "vibrance"}  # canon rule excluded
+
+    # history merge: explicit items win over presets of the same op
+    hist = [HistoryItem("vibrance", {"amount": 99.0})]
+    merged = apply_auto_presets(lib, ids[0], hist)
+    assert [h.op for h in merged] == ["denoiseprofile", "vibrance"]
+    assert merged[-1].params == {"amount": 99.0}

@@ -113,3 +113,26 @@ def test_exposure_bias_compensation():
     p = ExposureParams(exposure=1.0, compensate_exposure_bias=1)
     # effective exposure = 0 -> scale 1
     assert op._scale(_ctx(meta), p) == pytest.approx(1.0)
+
+
+def test_gaussian_iir_matches_dense_fir():
+    """Deriche IIR (pixel/gaussian.c mirror) ~= dense Gaussian, interior."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.pixel.blur import gaussian_iir
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 64, 128)).astype(np.float32))
+    out = np.asarray(gaussian_iir(x, 10.0))
+    t = np.arange(-50, 51)
+    k = np.exp(-0.5 * (t / 10.0) ** 2)
+    k /= k.sum()
+    ref = np.asarray(x)
+    for ax in (1, 2):
+        ref = np.apply_along_axis(
+            lambda r: np.convolve(np.pad(r, 50, mode="edge"), k,
+                                  "valid")[:len(r)], ax, ref)
+    err = np.abs(out - ref)[:, 12:-12, 12:-12]
+    assert err.max() < 0.02, err.max()
+    # DC preserved
+    assert abs(out.mean() - np.asarray(x).mean()) < 5e-3

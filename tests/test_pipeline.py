@@ -100,3 +100,26 @@ def test_unknown_op_reported(synth_small):
 
     p = Pipeline(meta, [HistoryItem("not_a_real_module", {"x": 1})])
     assert any("not_a_real_module" in u for u in p.unsupported)
+
+
+def test_iop_order_tables_select_by_version():
+    """legacy/v30/v30-jpg order tables (iop_order.c:97-417) change the
+    stack ordering."""
+    from ansel_tpu.core import order as om
+
+    # colorin sits at 27 in legacy, 28 in v30
+    assert om.default_order("colorin", om.ORDER_LEGACY) == 27.0
+    assert om.default_order("colorin", om.ORDER_V30) == 28.0
+    # v30-jpg hoists color ops before the tone stack
+    assert om.default_order("basecurve", om.ORDER_V30_JPG) == 44.0
+    # every table covers every registered op (no 999 fallbacks)
+    from ansel_tpu.ops import base as ob
+
+    gui_only = {"basebuffer", "overexposed", "rawoverexposed",
+                "equalizer", "initialscale", "detailmask", "tonemap"}
+    for ver, table in om.TABLES.items():
+        names = {n for _, n in table}
+        for op in ob.all_ops():
+            if op in gui_only:
+                continue
+            assert op in names, (ver, op)
