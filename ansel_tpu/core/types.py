@@ -124,6 +124,31 @@ class ImageSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class DngGainMap:
+    """One DNG GainMap opcode from OpcodeList2 (opcode id 9).
+
+    Reference: `src/common/dng_opcode.h:46-70` (struct layout) and
+    `src/common/dng_opcode.c:57-130` (big-endian wire parse)."""
+
+    top: int = 0
+    left: int = 0
+    bottom: int = 0
+    right: int = 0
+    plane: int = 0
+    planes: int = 1
+    row_pitch: int = 2
+    col_pitch: int = 2
+    map_points_v: int = 0
+    map_points_h: int = 0
+    map_spacing_v: float = 1.0
+    map_spacing_h: float = 1.0
+    map_origin_v: float = 0.0
+    map_origin_h: float = 0.0
+    map_planes: int = 1
+    map_gain: Tuple[float, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
 class RawMeta:
     """Decoded-raw metadata (the subset of reference `dt_image_t`,
     src/common/image.h:310-380, that the pipeline consumes)."""
@@ -151,3 +176,5 @@ class RawMeta:
     model: str = ""
     # orientation in EXIF terms handled by flip op
     orientation: int = 0
+    # DNG OpcodeList2 GainMaps (flat-field), image.h `dng_gain_maps`
+    gain_maps: Tuple["DngGainMap", ...] = ()

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..core.types import CFAPattern, RawMeta
+from ..core.types import CFAPattern, DngGainMap, RawMeta
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -77,6 +77,98 @@ _CFA_ENUM = {
 }
 
 
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                   9: 4, 10: 8, 11: 4, 12: 8}
+_TAG_SUBIFDS = 330
+_TAG_OPCODE_LIST2 = 51009  # DNG 1.3 OpcodeList2 (raw IFD)
+_OPCODE_ID_GAINMAP = 9
+
+
+def _iter_ifd_entries(buf: bytes, off: int, e: str):
+    """Yield (tag, type, count, payload bytes) for one IFD."""
+    import struct
+
+    if off + 2 > len(buf):
+        return
+    (n,) = struct.unpack_from(e + "H", buf, off)
+    for i in range(n):
+        eo = off + 2 + 12 * i
+        if eo + 12 > len(buf):
+            return
+        tag, typ, cnt = struct.unpack_from(e + "HHI", buf, eo)
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            data = buf[eo + 8 : eo + 8 + size]
+        else:
+            (doff,) = struct.unpack_from(e + "I", buf, eo + 8)
+            data = buf[doff : doff + size]
+        yield tag, typ, cnt, data
+
+
+def parse_opcode_list2(blob: bytes) -> Tuple[DngGainMap, ...]:
+    """Decode the GainMap opcodes out of an OpcodeList2 payload.
+
+    Wire format (always big-endian regardless of TIFF byte order):
+    dng_opcode.c:57-130 — count; then per opcode: id, dng-version,
+    flags, param_size, params.  GainMap params at fixed offsets
+    (dng_opcode.c:82-99): top/left/bottom/right/plane/planes/
+    row_pitch/col_pitch/map_points_v/h (u32), map_spacing_v/h,
+    map_origin_v/h (f64), map_planes (u32), then float gains."""
+    import struct
+
+    if len(blob) < 4:
+        return ()
+    (count,) = struct.unpack_from(">I", blob, 0)
+    off = 4
+    maps = []
+    while count > 0 and off + 16 <= len(blob):
+        opcode_id, _ver, _flags, psize = struct.unpack_from(
+            ">IIII", blob, off)
+        if off + 16 + psize > len(blob):
+            break
+        if opcode_id == _OPCODE_ID_GAINMAP and psize >= 76:
+            p = blob[off + 16 : off + 16 + psize]
+            u = struct.unpack_from(">10I", p, 0)
+            sp = struct.unpack_from(">4d", p, 40)
+            (mp,) = struct.unpack_from(">I", p, 72)
+            n_gain = (psize - 76) // 4
+            gains = struct.unpack_from(f">{n_gain}f", p, 76)
+            maps.append(DngGainMap(
+                top=u[0], left=u[1], bottom=u[2], right=u[3],
+                plane=u[4], planes=u[5], row_pitch=u[6], col_pitch=u[7],
+                map_points_v=u[8], map_points_h=u[9],
+                map_spacing_v=sp[0], map_spacing_h=sp[1],
+                map_origin_v=sp[2], map_origin_h=sp[3],
+                map_planes=mp, map_gain=gains))
+        off += 16 + psize
+        count -= 1
+    return tuple(maps)
+
+
+def parse_gain_maps(buf: bytes) -> Tuple[DngGainMap, ...]:
+    """Find OpcodeList2 (tag 51009) in IFD0 or its SubIFDs and decode
+    the GainMaps (exif.cc:897-911 looks in SubImage1 then IFD0)."""
+    import struct
+
+    if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
+        return ()
+    e = "<" if buf[:2] == b"II" else ">"
+    magic, ifd0 = struct.unpack_from(e + "HI", buf, 2)
+    if magic != 42:
+        return ()
+    ifds = [ifd0]
+    for tag, typ, cnt, data in _iter_ifd_entries(buf, ifd0, e):
+        if tag == _TAG_SUBIFDS and typ == 4:
+            ifds.extend(struct.unpack_from(e + f"{cnt}I", data, 0))
+    for ifd in ifds:
+        for tag, _typ, _cnt, data in _iter_ifd_entries(buf, ifd, e):
+            if tag == _TAG_OPCODE_LIST2:
+                gm = parse_opcode_list2(data)
+                if gm:
+                    return gm
+    return ()
+
+
 def load_dng(path: str) -> Tuple[np.ndarray, RawMeta]:
     """-> (mosaic float32 (H, W) in sensor units, RawMeta)."""
     with open(path, "rb") as f:
@@ -112,5 +204,6 @@ def load_dng(path: str) -> Tuple[np.ndarray, RawMeta]:
         cam_to_xyz=(tuple(cam_to_xyz.reshape(-1))
                     if np.abs(cam_to_xyz).sum() > 1e-9 else None),
         iso=float(info.iso or 100),
+        gain_maps=parse_gain_maps(buf),
     )
     return out.astype(np.float32), meta

@@ -36,6 +36,13 @@ def save_raw(path: str, raw: np.ndarray, meta: RawMeta) -> None:
 
 
 def load_raw(path: str):
+    """Dispatch on container: .npz bundles, or TIFF-based raws (DNG)
+    through the native decoder (`io/dng.py`)."""
+    low = path.lower()
+    if low.endswith((".dng", ".tif", ".tiff")):
+        from .dng import load_dng
+
+        return load_dng(path)
     z = np.load(path, allow_pickle=False)
     raw = np.asarray(z["raw"], np.float32)
     h, w = raw.shape

@@ -196,9 +196,12 @@ def _parse_description(desc, doc: XMPDocument) -> None:
         )
 
 
-def write_xmp(path: str, doc: XMPDocument) -> None:
+def write_xmp(path: str, doc) -> None:
     """Write a modern-format sidecar the reference can read back
-    (dt_exif_xmp_write counterpart)."""
+    (dt_exif_xmp_write counterpart).  `doc` may be an XMPDocument or a
+    plain history list."""
+    if isinstance(doc, (list, tuple)):
+        doc = XMPDocument(history=list(doc))
     for p, uri in NS.items():
         etree.register_namespace(p, uri)
     root = etree.Element(_q("x", "xmpmeta"))

@@ -85,7 +85,8 @@ class MipmapCache:
             out = export_image(
                 raw, meta, xmp_path=xmp_path,
                 settings=ExportSettings(max_width=long_edge,
-                                        max_height=long_edge))
+                                        max_height=long_edge),
+                pipe_type="thumbnail")
         out = np.clip(np.asarray(out), 0.0, 1.0)
         return (out * 255.0 + 0.5).astype(np.uint8)
 

@@ -175,11 +175,37 @@ _CONVERTIBLE = {
 }
 
 
+class PipeType:
+    """The reference's four pipe kinds (dev_pixelpipe.h
+    DT_DEV_PIXELPIPE_*): FULL (interactive full quality), PREVIEW
+    (downscaled navigator), THUMBNAIL (library mipmaps), EXPORT.
+    PREVIEW/THUMBNAIL trade demosaic quality for speed exactly like the
+    reference (fast PPG + early downscale)."""
+
+    FULL = "full"
+    PREVIEW = "preview"
+    THUMBNAIL = "thumbnail"
+    EXPORT = "export"
+
+
 class Pipeline:
     """A planned (but not yet compiled) pipe for one (image, history)."""
 
     def __init__(self, meta: RawMeta, history: List[HistoryItem],
-                 scale: float = 1.0, forms=None, order_version=None):
+                 scale: float = 1.0, forms=None, order_version=None,
+                 pipe_type: str = PipeType.EXPORT):
+        self.pipe_type = pipe_type
+        if pipe_type in (PipeType.PREVIEW, PipeType.THUMBNAIL):
+            # fast-demosaic override (the reference's preview pipes run
+            # PPG/half-size demosaic regardless of the user's choice)
+            history = [
+                (dataclasses.replace(
+                    h, params=dict(h.params or {},
+                                   demosaicing_method=0))
+                 if h.op == "demosaic" and isinstance(h.params,
+                                                     (dict, type(None)))
+                 else h)
+                for h in history]
         self.meta = meta
         self.ctx = PlanContext(meta=meta, scale=scale)
         self.stages: List[PlannedOp] = []
@@ -271,8 +297,19 @@ class Pipeline:
             out.append(s.op.coeffs(ctx, s.plan, s.params))
         return out
 
-    def trace_fn(self):
+    def trace_fn(self, start: int = 0, end: Optional[int] = None,
+                 segmented: bool = False):
+        """Traceable run over stages[start:end].
+
+        With segmented=True the function takes/returns an explicit
+        carry (raster-mask side-band + raw-detail plane) so a very long
+        history can compile as several smaller XLA programs chained on
+        device — the ~60-module reference sidecars otherwise exhaust the
+        XLA compiler's memory in one monolithic program.  Mask keys are
+        string-encoded in the carry ((name, None) and (name, int) tuple
+        keys don't sort as jit pytree dict keys)."""
         stages = self.stages
+        seg_end = len(stages) if end is None else end
         ctx = self.ctx
 
         forms = self.forms
@@ -322,7 +359,7 @@ class Pipeline:
                                     with_pos=with_pos,
                                     interpret=_FORCE_FUSION_INTERPRET)
 
-        def run(x, coeffs):
+        def run(x, coeffs, carry=None):
             import jax as _jax
 
             from . import blend as blend_mod
@@ -339,22 +376,35 @@ class Pipeline:
             # demosaic-stage raw-detail plane for the details slider
             raster_masks = {}
             rawdetail = None
+            if carry is not None:
+                enc_masks, rawdetail = carry
+                for ks, v in enc_masks.items():
+                    name, mp = ks.rsplit("|", 1)
+                    raster_masks[(name,
+                                  None if mp == "None" else int(mp))] = v
+            # over ALL stages: a later segment may consume the plane
             needs_detail = any(
                 s.blend is not None and abs(s.blend.details) > 1e-6
                 for s in stages)
-            i = 0
-            while i < len(stages):
-                s, c = stages[i], coeffs[i]
+            i = start
+            while i < seg_end:
+                s, c = stages[i], coeffs[i - start]
                 spec_pw = (s.op.pointwise_spec(s.plan, ctx)
                            if fuse and fusable(s) else None)
                 if spec_pw is not None:
+                    # cap per-kernel chain length: very long fused chains
+                    # (60-module sidecars) can OOM the Mosaic compiler;
+                    # 0 = unlimited
+                    max_stages = conf_mod.get_int(
+                        "pipe.fusion_max_stages", 0)
                     group = [(s, spec_pw, c)]
                     j = i + 1
-                    while j < len(stages) and fusable(stages[j]):
+                    while j < seg_end and fusable(stages[j]) and (
+                            max_stages <= 0 or len(group) < max_stages):
                         sp = stages[j].op.pointwise_spec(stages[j].plan, ctx)
                         if sp is None:
                             break
-                        group.append((stages[j], sp, coeffs[j]))
+                        group.append((stages[j], sp, coeffs[j - start]))
                         j += 1
                     x = run_fused(x, group)
                     i = j
@@ -413,6 +463,9 @@ class Pipeline:
                           for v in ctx.meta.wb_coeffs[:3]]
                     rawdetail = detail_mod.rawdetail_mask(x, wb)
                 i += 1
+            if segmented:
+                enc = {f"{k[0]}|{k[1]}": v for k, v in raster_masks.items()}
+                return x, (enc, rawdetail)
             return x
 
         return run
@@ -439,7 +492,28 @@ class CompiledPipe:
         fn = _COMPILE_CACHE.get(sig) if use_cache else None
         if fn is None:
             t0 = time.perf_counter()
-            fn = jax.jit(pipe.trace_fn())
+            # very long histories compile as several chained XLA
+            # programs — one monolithic ~60-module program exhausts the
+            # XLA compiler's memory (0 = always one program)
+            max_per = conf_mod.get_int("pipe.max_stages_per_jit", 32)
+            n = len(pipe.stages)
+            if 0 < max_per < n:
+                import math as _math
+
+                nseg = _math.ceil(n / max_per)
+                size = _math.ceil(n / nseg)
+                bounds = [(a, min(a + size, n))
+                          for a in range(0, n, size)]
+                seg_fns = [jax.jit(pipe.trace_fn(a, b, segmented=True))
+                           for a, b in bounds]
+
+                def fn(x, coeffs, _b=bounds, _f=seg_fns):
+                    carry = ({}, None)
+                    for (a, b), f in zip(_b, _f):
+                        x, carry = f(x, coeffs[a:b], carry)
+                    return x
+            else:
+                fn = jax.jit(pipe.trace_fn())
             log_mod.log("pipe", "traced pipeline",
                         stages=len(pipe.stages),
                         ms=round((time.perf_counter() - t0) * 1e3, 1))
@@ -471,7 +545,8 @@ class CompiledPipe:
 
 
 def compile_pipeline(meta: RawMeta, history: List[HistoryItem],
-                     scale: float = 1.0, forms=None,
-                     order_version=None) -> CompiledPipe:
+                     scale: float = 1.0, forms=None, order_version=None,
+                     pipe_type: str = PipeType.EXPORT) -> CompiledPipe:
     return CompiledPipe(Pipeline(meta, history, scale, forms=forms,
-                                 order_version=order_version))
+                                 order_version=order_version,
+                                 pipe_type=pipe_type))

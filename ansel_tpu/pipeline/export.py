@@ -50,6 +50,7 @@ def export_image(
     xmp_path: Optional[str] = None,
     output_path: Optional[str] = None,
     settings: Optional[ExportSettings] = None,
+    pipe_type: str = "export",
 ) -> np.ndarray:
     """raw mosaic + history (explicit or from sidecar) -> display RGB;
     optionally write the encoded file.  Returns (3, H, W) float32."""
@@ -65,7 +66,8 @@ def export_image(
             history = []
     scale = compute_export_scale(meta, settings)
     pipe = CompiledPipe(Pipeline(meta, history, scale=scale, forms=forms,
-                                 order_version=order_version))
+                                 order_version=order_version,
+                                 pipe_type=pipe_type))
     out = pipe.output_array(raw)
     if output_path:
         encode.write_image(output_path, out, quality=settings.quality,

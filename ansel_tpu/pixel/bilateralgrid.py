@@ -35,18 +35,53 @@ def _pool2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     return x.mean(axis=(-3, -1))
 
 
-def _upsample_matrices(n_out: int, n_in: int) -> np.ndarray:
-    """(n_out, n_in) bilinear interpolation matrix for cell-centered grids."""
-    # grid cell k covers [k*s, (k+1)*s); sample at pixel centers
-    s = n_out / n_in
-    pos = (np.arange(n_out) + 0.5) / s - 0.5
-    i0 = np.clip(np.floor(pos), 0, n_in - 1).astype(int)
-    i1 = np.clip(i0 + 1, 0, n_in - 1)
-    f = np.clip(pos - i0, 0.0, 1.0)
-    M = np.zeros((n_out, n_in), np.float32)
-    M[np.arange(n_out), i0] += 1.0 - f
-    M[np.arange(n_out), i1] += f
-    return M
+def _shift_clamped(g: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    """g[k+d] along `axis`, edge-clamped (grid-resolution slices: cheap)."""
+    n = g.shape[axis]
+
+    def sl(a, b):
+        s = [slice(None)] * g.ndim
+        s[axis] = slice(a, b)
+        return g[tuple(s)]
+
+    if d == 0:
+        return g
+    if d > 0:
+        body, edge = sl(d, n), sl(n - 1, n)
+        reps = [1] * g.ndim
+        reps[axis] = d
+        return jnp.concatenate([body, jnp.tile(edge, reps)], axis=axis)
+    body, edge = sl(0, n + d), sl(0, 1)
+    reps = [1] * g.ndim
+    reps[axis] = -d
+    return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
+
+
+def upsample_axis(g: jnp.ndarray, ss: int, axis: int) -> jnp.ndarray:
+    """Cell-centered bilinear upsample by integer factor `ss` along `axis`
+    (n -> n*ss) with NO per-pixel weights: each of the ss phases has a
+    constant (i0-offset, frac), so the result is two shifted-add blends at
+    grid resolution interleaved back via stack+reshape.  Replaces the
+    dense (n_out, n_in) interp matrix — which at sigma_s ~ 1 degenerated
+    to an n_out^2 inline constant (hundreds of MB of MLIR)."""
+    if ss == 1:
+        return g
+    axis = axis % g.ndim
+    pos = (np.arange(ss) + 0.5) / ss - 0.5
+    i0 = np.floor(pos).astype(int)          # -1 or 0
+    f = (pos - i0).astype(np.float32)
+    gm1 = _shift_clamped(g, -1, axis)
+    gp1 = _shift_clamped(g, +1, axis)
+    phases = []
+    for r in range(ss):
+        if i0[r] < 0:
+            phases.append((1.0 - f[r]) * gm1 + f[r] * g)
+        else:
+            phases.append((1.0 - f[r]) * g + f[r] * gp1)
+    st = jnp.stack(phases, axis=axis + 1)   # (..., n, ss, ...)
+    shape = list(g.shape)
+    shape[axis] = g.shape[axis] * ss
+    return st.reshape(shape)
 
 
 def _blur_axis(g: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -102,15 +137,10 @@ def grid_filter(guide: jnp.ndarray, values: jnp.ndarray, sigma_s: float,
     dens = _blur_axis(dens, 0)
     base_grid = nums / jnp.maximum(dens[:, None], 1e-8)  # (D, C, gh, gw)
 
-    gh, gw = dens.shape[-2:]
-    My = jnp.asarray(_upsample_matrices(H + ph, gh))
-    Mx = jnp.asarray(_upsample_matrices(W + pw, gw))
-
     def slice_bin(carry, inp):
         acc = carry
         center, g = inp                       # g: (C, gh, gw)
-        up = jnp.einsum("yh,chw,xw->cyx", My, g, Mx,
-                        preferred_element_type=jnp.float32)
+        up = upsample_axis(upsample_axis(g, ss, -2), ss, -1)
         wk = jnp.maximum(0.0, 1.0 - jnp.abs(gp - center) / step)
         return acc + wk[None] * up, None
 

@@ -33,7 +33,7 @@ def _rational(vals, signed=False):
 
 
 def write_dng(path, mosaic: np.ndarray, bits=16, compression=1,
-              payload=None, black=256.0, white=65535.0):
+              payload=None, black=256.0, white=65535.0, extra_tags=()):
     H, W = mosaic.shape
     if payload is None:
         if bits == 16:
@@ -64,7 +64,7 @@ def write_dng(path, mosaic: np.ndarray, bits=16, compression=1,
                                    0.25, 0.9, -0.15,
                                    0.05, -0.2, 1.1], signed=True)),
         (0xC628, 5, 3, _rational([0.45, 1.0, 0.62])),  # AsShotNeutral
-    ]
+    ] + list(extra_tags)
     n = len(tags) + 2  # + strip offset/count
     ifd_size = 2 + n * 12 + 4
     heap_base = 8 + ifd_size
@@ -234,3 +234,112 @@ def test_dng_through_pipeline(tmp_path):
     pipe = compile_pipeline(meta, [HistoryItem("exposure")])
     out = np.asarray(pipe.output_array(raw))
     assert out.shape[0] == 3 and np.isfinite(out).all()
+
+
+# --- DNG GainMap (OpcodeList2) ----------------------------------------------
+
+def _gainmap_param(top, left, h, w, mv, mh, gains):
+    p = struct.pack(">10I", top, left, h, w, 0, 1, 2, 2, mv, mh)
+    p += struct.pack(">4d", 1.0 / (mv - 1), 1.0 / (mh - 1), 0.0, 0.0)
+    p += struct.pack(">I", 1)
+    p += struct.pack(f">{len(gains)}f", *gains)
+    return p
+
+
+def opcode_list2_blob(h, w, mv, mh, gains4):
+    """OpcodeList2 payload: 4 GainMaps, one per RGGB filter
+    (big-endian wire format, dng_opcode.c:57-130)."""
+    blob = struct.pack(">I", 4)
+    for k, (dy, dx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        param = _gainmap_param(dy, dx, h, w, mv, mh, gains4[k])
+        blob += struct.pack(">IIII", 9, 0x01030000, 1, len(param)) + param
+    return blob
+
+
+def test_gainmap_parse(tmp_path):
+    from ansel_tpu.io.dng import load_dng
+
+    m = _mosaic(h=32, w=48)
+    mv, mh = 3, 5
+    rng = np.random.default_rng(7)
+    gains4 = [rng.uniform(1.0, 2.5, mv * mh).astype(np.float32)
+              for _ in range(4)]
+    blob = opcode_list2_blob(32, 48, mv, mh, gains4)
+    p = str(tmp_path / "gm.dng")
+    write_dng(p, m, extra_tags=[(51009, 7, len(blob), blob)])
+    _, meta = load_dng(p)
+    assert len(meta.gain_maps) == 4
+    g = meta.gain_maps[2]
+    assert (g.top, g.left) == (1, 0)
+    assert g.map_points_v == mv and g.map_points_h == mh
+    assert g.map_spacing_h == pytest.approx(0.25)
+    assert np.allclose(g.map_gain, gains4[2])
+
+
+def test_gainmap_applied_in_rawprepare(tmp_path):
+    """flat_field=EMBEDDED multiplies the bilinear-sampled per-filter
+    gain (numpy mirror of rawprepare.c:564-603)."""
+    from ansel_tpu.core.types import RawMeta
+    from ansel_tpu.io.dng import parse_opcode_list2
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.core.types import CFAPattern, Colorspace, ImageSpec
+    from ansel_tpu.ops.rawprepare import RawPrepare, RawPrepareParams
+
+    H, W, mv, mh = 32, 48, 3, 5
+    rng = np.random.default_rng(11)
+    gains4 = [rng.uniform(1.0, 2.5, mv * mh).astype(np.float32)
+              for _ in range(4)]
+    gm = parse_opcode_list2(opcode_list2_blob(H, W, mv, mh, gains4))
+    meta = RawMeta(width=W, height=H, white_point=1000, gain_maps=gm)
+    op = RawPrepare()
+    p = RawPrepareParams(raw_white_point=1000, flat_field=1)
+    ctx = ob.PlanContext(meta=meta)
+    spec = ImageSpec(width=W, height=H, colorspace=Colorspace.RAW,
+                     channels=1, cfa=CFAPattern.RGGB)
+    plan = op.plan(ctx, spec, p)
+    assert plan.static[2] == (mv, mh)
+    c = op.coeffs(ctx, plan, p)
+    raw = rng.uniform(0, 1000, (spec.pad_h, spec.pad_w)).astype(np.float32)
+    out = np.asarray(op.apply(raw, c, plan, ctx))[:H, :W]
+
+    # numpy mirror of the reference sampling loop
+    maps = {((g.top & 1) << 1) + (g.left & 1):
+            np.asarray(g.map_gain, np.float32).reshape(mv, mh)
+            for g in gm}
+    expected = np.empty((H, W), np.float32)
+    for j in range(H):
+        ym = min(max((j / H) * (mv - 1), 0.0), float(mv))
+        y0 = min(int(ym), mv - 1)
+        y1 = min(y0 + 1, mv - 1)
+        yf = ym - y0
+        for i in range(W):
+            xm = min(max((i / W) * (mh - 1), 0.0), float(mh))
+            x0 = min(int(xm), mh - 1)
+            x1 = min(x0 + 1, mh - 1)
+            xf = xm - x0
+            mp = maps[((j & 1) << 1) + (i & 1)]
+            top = (1 - xf) * mp[y0, x0] + xf * mp[y0, x1]
+            bot = (1 - xf) * mp[y1, x0] + xf * mp[y1, x1]
+            gain = (1 - yf) * top + yf * bot
+            expected[j, i] = raw[j, i] / 1000.0 * gain
+    assert np.allclose(out, expected, atol=1e-5), \
+        np.abs(out - expected).max()
+
+
+def test_gainmap_off_by_default(tmp_path):
+    """flat_field=0 ignores present GainMaps (rawprepare.c FLAT_FIELD_OFF)."""
+    from ansel_tpu.core.types import RawMeta
+    from ansel_tpu.io.dng import parse_opcode_list2
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.core.types import CFAPattern, Colorspace, ImageSpec
+    from ansel_tpu.ops.rawprepare import RawPrepare, RawPrepareParams
+
+    gm = parse_opcode_list2(opcode_list2_blob(
+        32, 48, 2, 2, [np.full(4, 2.0, np.float32)] * 4))
+    meta = RawMeta(width=48, height=32, white_point=1000, gain_maps=gm)
+    op = RawPrepare()
+    ctx = ob.PlanContext(meta=meta)
+    spec = ImageSpec(width=48, height=32, colorspace=Colorspace.RAW,
+                     channels=1, cfa=CFAPattern.RGGB)
+    plan = op.plan(ctx, spec, RawPrepareParams(raw_white_point=1000))
+    assert plan.static[2] is None

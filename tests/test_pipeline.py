@@ -123,3 +123,50 @@ def test_iop_order_tables_select_by_version():
             if op in gui_only:
                 continue
             assert op in names, (ver, op)
+
+
+def test_pipe_types_thumbnail_fast_demosaic():
+    """PREVIEW/THUMBNAIL pipes force fast demosaic like the reference's
+    preview pixelpipes (dev_pixelpipe.h pipe kinds)."""
+    from ansel_tpu.pipeline.engine import Pipeline, PipeType
+
+    raw, meta, _ = synth_raw(h=96, w=128)
+    hist = [HistoryItem("demosaic", {"demosaicing_method": 5})]
+    full = Pipeline(meta, hist, pipe_type=PipeType.EXPORT)
+    thumb = Pipeline(meta, hist, scale=0.25,
+                     pipe_type=PipeType.THUMBNAIL)
+    get = lambda p: next(s for s in p.stages if s.name == "demosaic")
+    assert get(full).plan.static[0] == 5
+    assert get(thumb).plan.static[0] == 0  # PPG override
+    assert "initialscale" in [s.name for s in thumb.stages]
+
+
+def test_segmented_compile_matches_monolithic():
+    """Long histories compile as chained XLA programs; output must be
+    identical, including the raster-mask side-band across the cut."""
+    import numpy as np
+
+    from ansel_tpu.core import conf
+    from ansel_tpu.pipeline import engine
+    from ansel_tpu.pipeline.engine import compile_pipeline
+
+    raw, meta, _ = synth_raw(h=96, w=128)
+    hist = [
+        HistoryItem("exposure", {"exposure": 0.4}),
+        HistoryItem("colorbalancergb", {}),
+        HistoryItem("sharpen", {}),
+        HistoryItem("vibrance", {"amount": 30.0}),
+        HistoryItem("velvia", {}),
+        HistoryItem("soften", {}),
+    ]
+    try:
+        conf.set("pipe.max_stages_per_jit", 0)
+        y1 = compile_pipeline(meta, hist).output_array(raw)
+        conf.set("pipe.max_stages_per_jit", 4)
+        engine._COMPILE_CACHE.clear()
+        y2 = compile_pipeline(meta, hist).output_array(raw)
+    finally:
+        conf.set("pipe.max_stages_per_jit", 32)
+        engine._COMPILE_CACHE.clear()
+    # XLA fuses differently across the segment cut -> last-ulp drift only
+    assert np.allclose(y1, y2, atol=2e-5)
