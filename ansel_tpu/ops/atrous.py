@@ -72,6 +72,7 @@ def _curve_value(p: AtrousParams, ch: int, t: float) -> float:
 @register
 class Atrous(Op):
     name = "atrous"
+    compile_weight = 3
     input_colorspace = Colorspace.LAB
 
     def plan(self, ctx: PlanContext, spec_in, p: AtrousParams) -> OpPlan:

@@ -66,6 +66,9 @@ class Op:
     # mandatory ops are instantiated even without a history entry
     # (reference: modules with `default_enabled`, e.g. rawprepare/demosaic)
     mandatory: bool = False
+    # relative XLA-compiler memory/time cost; the engine packs at most
+    # `pipe.max_stages_per_jit` units of weight into one jit program
+    compile_weight: int = 1
 
     # --- host side ---------------------------------------------------------
     def default_params(self, meta: RawMeta):

@@ -35,6 +35,7 @@ class BilateralParams:
 @register
 class Bilateral(Op):
     name = "bilateral"
+    compile_weight = 3
     # sits right after demosaic in the iop order (camera RGB); the filter
     # is colorspace-agnostic like the reference's IOP_CS_RGB contract
     input_colorspace = None

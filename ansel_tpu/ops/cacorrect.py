@@ -111,6 +111,7 @@ def _eval_quadratic(coef, h, w):
 @register
 class CACorrect(Op):
     name = "cacorrect"
+    compile_weight = 8
     input_colorspace = Colorspace.RAW
 
     def enabled_by_default(self, meta):
@@ -126,8 +127,8 @@ class CACorrect(Op):
         if not bayer:
             return x
         cfa = plan.spec_in.cfa
-        pos = {cfa.color_at(y, xx): (y, xx)
-               for y in range(2) for xx in range(2)}
+
+        import jax
 
         out = x
         for _ in range(iterations):
@@ -136,24 +137,63 @@ class CACorrect(Op):
             th, tw = h // TILE, w // TILE
             if th < 3 or tw < 3:
                 return out
-            ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-            xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-            corrected = {}
+            coefs = {}
             for color, C, G in ((0, R, G_r), (2, B, G_b)):
                 dx_t, dy_t, wgt = _tile_stats(G, C)
-                cx = _fit_quadratic(dx_t, wgt, th, tw)
-                cy = _fit_quadratic(dy_t, wgt, th, tw)
-                sx = jnp.clip(_eval_quadratic(cx, h, w), -BSLIM, BSLIM)
-                sy = jnp.clip(_eval_quadratic(cy, h, w), -BSLIM, BSLIM)
                 # d estimates MINUS the physical shift (C(x) = G(x-s)
                 # => C-G ~ -s*gradG => d = -s); resample C at x - d
-                corrected[color] = _sample_bilinear(
-                    C, jnp.broadcast_to(ys - sy, (h, w)),
-                    jnp.broadcast_to(xs - sx, (h, w)))
-            # re-interleave corrected R/B into the mosaic
-            for color in (0, 2):
-                dy, dxp = pos[color]
-                out = out.at[dy::2, dxp::2].set(
-                    corrected[color][: (out.shape[0] - dy + 1) // 2,
-                                     : (out.shape[1] - dxp + 1) // 2])
+                coefs[color] = (_fit_quadratic(dy_t, wgt, th, tw),
+                                _fit_quadratic(dx_t, wgt, th, tw))
+
+            if jax.default_backend() == "tpu":
+                # Pallas two-pass warp (kernels/warp_pallas) — the XLA
+                # full-plane gather path costs ~150s compile and
+                # ~12ns/elem runtime on TPU
+                qy = jnp.stack([coefs[0][0], coefs[2][0]])
+                qx = jnp.stack([coefs[0][1], coefs[2][1]])
+
+                def quad(q, X, Y):
+                    return jnp.clip(
+                        q[0] + q[1] * X + q[2] * Y + q[3] * X * X
+                        + q[4] * X * Y + q[5] * Y * Y, -BSLIM, BSLIM)
+
+                def coord_fn(y, xx_, ch):
+                    X = (xx_ + 0.5) / w - 0.5
+                    Y = (y + 0.5) / h - 0.5
+                    return (y - quad(qy[ch], X, Y),
+                            xx_ - quad(qx[ch], X, Y))
+
+                from ..kernels.warp_pallas import warp_model
+
+                warped = warp_model(jnp.stack([R, B]), coord_fn,
+                                    BSLIM, BSLIM, per_channel=True)
+                corrected = {0: warped[0], 2: warped[1]}
+            else:
+                ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+                xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+                corrected = {}
+                for color, C in ((0, R), (2, B)):
+                    cy_, cx_ = coefs[color]
+                    sx = jnp.clip(_eval_quadratic(cx_, h, w),
+                                  -BSLIM, BSLIM)
+                    sy = jnp.clip(_eval_quadratic(cy_, h, w),
+                                  -BSLIM, BSLIM)
+                    corrected[color] = _sample_bilinear(
+                        C, jnp.broadcast_to(ys - sy, (h, w)),
+                        jnp.broadcast_to(xs - sx, (h, w)))
+
+            # re-interleave via stack+reshape (2D strided scatter is a
+            # 5x-slower lowering — CLAUDE.md rules)
+            planes = {}
+            for py in range(2):
+                for px in range(2):
+                    color = cfa.color_at(py, px)
+                    planes[(py, px)] = (
+                        corrected[color] if color in corrected
+                        else out[py::2, :][:, px::2])
+            row0 = jnp.stack([planes[(0, 0)], planes[(0, 1)]],
+                             axis=-1).reshape(h, 2 * w)
+            row1 = jnp.stack([planes[(1, 0)], planes[(1, 1)]],
+                             axis=-1).reshape(h, 2 * w)
+            out = jnp.stack([row0, row1], axis=1).reshape(2 * h, 2 * w)
         return out

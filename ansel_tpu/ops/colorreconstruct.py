@@ -42,6 +42,7 @@ class ColorReconstructParams:
 @register
 class ColorReconstruct(Op):
     name = "colorreconstruct"
+    compile_weight = 8
     input_colorspace = Colorspace.LAB
 
     def plan(self, ctx: PlanContext, spec_in, p: ColorReconstructParams):

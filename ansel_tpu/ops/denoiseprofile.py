@@ -97,6 +97,7 @@ def _band_forces(xs, ys, ch: int) -> np.ndarray:
 @register
 class DenoiseProfile(Op):
     name = "denoiseprofile"
+    compile_weight = 3
     input_colorspace = Colorspace.CAMERA_RGB
 
     def plan(self, ctx: PlanContext, spec_in, p: DenoiseProfileParams) -> OpPlan:

@@ -16,8 +16,11 @@ filmicrgb.c:229-259).  Split host/device exactly like the reference:
 All colorscience versions are exact: V1-V3 spline/desaturation paths,
 V4/V5 (v6/v7) norm tone mapping + Kirk Ych gamut mapping
 (filmic_chroma_v4/filmic_v5 + gamut_mapping_simd), and AgX v8 (inset
-inset/outset).  Highlight reconstruction (reconstruct_*) lands with the
-wavelet stack.
+inset/outset).  Highlight reconstruction (filmicrgb.c:1179-1509,
+:2680-2780) runs pre-tone-map: sigmoid clip mask, noise inpaint,
+à-trous wavelet diffusion (RGB pass + high_quality ratio passes),
+statically armed only when the running processed_maximum can reach the
+threshold (otherwise the reference's pixel census is provably empty).
 """
 
 from __future__ import annotations
@@ -498,8 +501,31 @@ class FilmicRGB(Op):
             preserve = METHOD_MAX_RGB
         else:
             version_class = min(version, CSCI_V5)
+        # highlight reconstruction (filmicrgb.c:2680-2780): armed only
+        # when the scene can actually clip past the threshold — the
+        # running processed_maximum bounds the euclidean norm, so when
+        # sqrt(3)*max < (feather-4)/feather * threshold no pixel can
+        # satisfy mask_clipped_pixels' `argument < 4` census
+        # (filmicrgb.c:1196-1203) and the reference path is a no-op.
+        # PREVIEW/THUMBNAIL pipes skip it like the reference's fast mode.
+        rec = None
+        grey_source = p.grey_point_source / 100.0 if p.custom_grey else 0.1845
+        threshold = 2.0 ** (p.white_point_source
+                            + p.reconstruct_threshold) * grey_source
+        feather = 2.0 ** (12.0 / max(p.reconstruct_feather, 1e-3))
+        pm_bound = math.sqrt(3.0) * max(max(ctx.processed_maximum), 1e-6)
+        can_clip = pm_bound > max((feather - 4.0) / feather, 1e-6) * threshold
+        from ..core import conf as _conf
+
+        fast_pipe = ctx.notes.get("pipe_type") in ("preview", "thumbnail")
+        if (can_clip or _conf.get_bool("filmic.force_reconstruct")) \
+                and not fast_pipe:
+            dim = max(spec_in.width, spec_in.height)
+            scales = int(np.clip(math.floor(
+                math.log2(max(2.0 * dim / 20.0 - 1.0, 2.0))), 1, 10))
+            rec = (scales, max(int(p.high_quality_reconstruction), 0))
         static = (version_class, preserve, p.shadows, p.highlights,
-                  p.version)
+                  p.version, rec)
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=static)
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: FilmicParams):
@@ -548,10 +574,26 @@ class FilmicRGB(Op):
             "beta_hue": np.float32(
                 0.5 * (min(max(p.saturation / 100.0, -1.0), 1.0) + 1.0)
             ),
+            # highlight reconstruction (commit_params filmicrgb.c:4028-4036)
+            "rec_threshold": np.float32(
+                2.0 ** (p.white_point_source + p.reconstruct_threshold)
+                * grey_source),
+            "rec_feather": np.float32(
+                2.0 ** (12.0 / max(p.reconstruct_feather, 1e-3))),
+            "rec_gamma": np.float32(
+                (p.reconstruct_structure_vs_texture / 100.0 + 1.0) / 2.0),
+            "rec_delta": np.float32(
+                (p.reconstruct_bloom_vs_details / 100.0 + 1.0) / 2.0),
+            "rec_beta": np.float32(
+                (p.reconstruct_grey_vs_color / 100.0 + 1.0) / 2.0),
+            "noise_level": np.float32(
+                p.noise_level / max(ctx.scale, 1.0)),
         }
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        version, preserve, _, _, raw_version = plan.static
+        version, preserve, _, _, raw_version, rec = plan.static
+        if rec is not None:
+            x = self._reconstruct_highlights(x, c, rec)
         s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
                    M5=None, types=plan.static[2:4])
         gs, bs, dr = c["grey_source"], c["black_source"], c["dynamic_range"]
@@ -684,9 +726,11 @@ class FilmicRGB(Op):
 
     def pointwise_spec(self, plan, ctx):
         """Engine fusion hook — only the AgX route is Pallas-safe today
-        (the spline v1-v3 paths use reshape-broadcast y_weights)."""
-        version, _, _, _, raw_version = plan.static
-        if version != CSCI_AGX_FIRST:
+        (the spline v1-v3 paths use reshape-broadcast y_weights), and
+        only when highlight reconstruction is statically inert (it is a
+        spatial wavelet pass, not per-pixel)."""
+        version, _, _, _, raw_version, rec = plan.static
+        if version != CSCI_AGX_FIRST or rec is not None:
             return None
         from . import filmic_agx as agx
         from .base import PointwiseSpec
@@ -701,6 +745,90 @@ class FilmicRGB(Op):
             consts=self._AGX_CONSTS,
             fn=lambda b, cd: self._agx_pixel(b, cd, s, inset, outset,
                                              input_m, output_m))
+
+    def _wavelets_reconstruct(self, inp, mask, c, scales: int,
+                              rgb_variant: bool):
+        """One wavelet reconstruction pass (reconstruct_highlights,
+        filmicrgb.c:1408-1509): à-trous B-spline decompose; per scale
+        blend inpainted high frequencies (blurred HF), raw texture and
+        achromatic syntheses under the clip mask."""
+        import jax.numpy as jnp
+
+        from ..pixel.wavelets import _sep_blur
+
+        gamma = c["rec_gamma"]
+        gamma_c = 1.0 - gamma
+        beta = c["rec_beta"]
+        beta_c = 1.0 - beta
+        delta = c["rec_delta"]
+        m = mask[None]
+        recon = jnp.maximum(inp * (1.0 - m), 0.0)   # init_reconstruct
+        detail = inp
+        for s in range(scales):
+            LF = jnp.maximum(_sep_blur(detail, s), 0.0)  # clip negatives
+            texture = detail - LF                        # HF backup
+            HF = _sep_blur(texture, 0)                   # inpaint blur
+            # fmaxabsf: value of max |.| (sign kept) via select chains
+            t0, t1, t2 = texture[0], texture[1], texture[2]
+            t01 = jnp.where(jnp.abs(t0) > jnp.abs(t1), t0, t1)
+            grey_texture = jnp.where(jnp.abs(t01) > jnp.abs(t2), t01, t2)
+            grey_details = jnp.mean(HF, axis=0)
+            if rgb_variant:
+                grey_HF = beta_c * (gamma_c * grey_details
+                                    + gamma * grey_texture)
+                details = (gamma_c * HF + gamma * texture) * beta \
+                    + grey_HF[None]
+                if s == scales - 1:
+                    grey_residual = beta_c * jnp.mean(LF, axis=0)
+                    residual = grey_residual[None] + LF * beta
+                else:
+                    residual = 0.0
+            else:
+                grey_HF = gamma_c * grey_details + gamma * grey_texture
+                details = 0.5 * ((gamma_c * HF + gamma * texture)
+                                 + grey_HF[None])
+                residual = LF if s == scales - 1 else 0.0
+            recon = recon + m * (delta * details + residual)
+            detail = LF
+        return recon
+
+    def _reconstruct_highlights(self, x, c, rec):
+        """Pre-tone-map highlight reconstruction (filmicrgb.c process
+        :2680-2780): sigmoid clip mask, noise inpaint, wavelet diffusion
+        (RGB pass + optional ratio passes).  The census gate
+        (`clipped > 9`) is a lax.cond so unclipped frames pay one norm
+        reduction only, like the reference's early-out.  Deviation: jax
+        threefry noise replaces the xoshiro128+ per-pixel generator —
+        the noise only seeds texture for the PDE solver."""
+        import jax
+        import jax.numpy as jnp
+
+        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=0))
+        arg = -norm * (c["rec_feather"] / c["rec_threshold"]) \
+            + c["rec_feather"]
+        mask = jnp.clip(1.0 / (1.0 + jnp.exp2(arg)), 0.0, 1.0)
+        clipped = jnp.sum((arg < 4.0).astype(jnp.int32))
+        scales, hq_iters = rec
+
+        def do(v):
+            sigma = v * (c["noise_level"] / c["rec_threshold"])
+            noise = v + sigma * jax.random.normal(
+                jax.random.PRNGKey(0), v.shape, v.dtype)
+            inp = jnp.maximum(v * (1.0 - mask[None])
+                              + mask[None] * noise, 0.0)
+            recon = self._wavelets_reconstruct(inp, mask, c, scales, True)
+            for _ in range(hq_iters):
+                # EUCLIDEAN_NORM_V1: plain sqrt-sum-squares (:991-992)
+                norms = jnp.maximum(
+                    jnp.sqrt(jnp.sum(jnp.square(recon), axis=0)),
+                    NORM_MIN)
+                ratios = recon / norms[None]
+                rr = self._wavelets_reconstruct(ratios, mask, c, scales,
+                                                False)
+                recon = jnp.clip(rr, 0.0, 1.0) * norms[None]
+            return recon
+
+        return jax.lax.cond(clipped > 9, do, lambda v: v, x)
 
     def _apply_agx(self, x, c, s: Spline, raw_version: int):
         """AgX dispatch: Pallas pointwise-pipeline kernel on TPU (XLA

@@ -95,6 +95,7 @@ def _decode_forms(blob: bytes):
 @register
 class Retouch(Op):
     name = "retouch"
+    compile_weight = 3
     input_colorspace = None
 
     def enabled_by_default(self, meta):

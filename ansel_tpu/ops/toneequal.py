@@ -113,7 +113,8 @@ class ToneEqualizer(Op):
             lum = jnp.sum(a**3, axis=0) / jnp.maximum(
                 jnp.sum(a**2, axis=0), 1e-12)
         elif method == NORM_GEOMEAN:
-            lum = jnp.cbrt(jnp.maximum(jnp.prod(x, axis=0), 0.0))
+            # product of |RGB| (luminance_mask.h:184-199 fabsf)
+            lum = jnp.cbrt(jnp.prod(jnp.abs(x), axis=0))
         else:  # NORM_2
             lum = jnp.sqrt(jnp.sum(x**2, axis=0))
         return jnp.maximum((eb * lum - fulcrum) * cb + fulcrum, MIN_FLOAT)

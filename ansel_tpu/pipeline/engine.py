@@ -212,6 +212,10 @@ class Pipeline:
         self.unsupported: List[str] = []
         self.forms = forms or {}  # drawn-mask forms {id: masks.Form}
         self.ctx.notes["forms"] = self.forms  # ops (spots/retouch) read these
+        # ops may statically trade quality for speed on fast pipes
+        # (filmic skips highlight reconstruction like the reference's
+        # "fast mode" pipes)
+        self.ctx.notes["pipe_type"] = pipe_type
 
         spec = ImageSpec(
             width=meta.width, height=meta.height, colorspace=Colorspace.RAW,
@@ -494,16 +498,23 @@ class CompiledPipe:
             t0 = time.perf_counter()
             # very long histories compile as several chained XLA
             # programs — one monolithic ~60-module program exhausts the
-            # XLA compiler's memory (0 = always one program)
-            max_per = conf_mod.get_int("pipe.max_stages_per_jit", 32)
+            # XLA compiler's memory (0 = always one program).  Packing
+            # is by per-op compile WEIGHT (Op.compile_weight), so known
+            # compiler hogs (cacorrect, colorreconstruct) land in their
+            # own segment instead of inflating a 1/N-by-count chunk.
+            max_per = conf_mod.get_int("pipe.max_stages_per_jit", 12)
             n = len(pipe.stages)
-            if 0 < max_per < n:
-                import math as _math
-
-                nseg = _math.ceil(n / max_per)
-                size = _math.ceil(n / nseg)
-                bounds = [(a, min(a + size, n))
-                          for a in range(0, n, size)]
+            weights = [getattr(s.op, "compile_weight", 1)
+                       for s in pipe.stages]
+            if 0 < max_per < sum(weights):
+                bounds = []
+                a, acc = 0, 0
+                for i, wt in enumerate(weights):
+                    if acc and acc + wt > max_per:
+                        bounds.append((a, i))
+                        a, acc = i, 0
+                    acc += wt
+                bounds.append((a, n))
                 seg_fns = [jax.jit(pipe.trace_fn(a, b, segmented=True))
                            for a, b in bounds]
 

@@ -134,3 +134,68 @@ def test_v4_v5_exact_paths_differ_from_v3():
     def chroma(o):
         return np.abs(o - o.mean(axis=0, keepdims=True)).mean()
     assert chroma(satn) < chroma(sat0)
+
+
+def test_reconstruction_statically_inert_when_unreachable():
+    """With processed_maximum ~1, no pixel can pass the clip census ->
+    plan disarms reconstruction and the AgX fused path stays available."""
+    from ansel_tpu.ops.filmicrgb import FilmicParams, FilmicRGB
+
+    op = FilmicRGB()
+    ctx = ob.PlanContext(meta=RawMeta(width=64, height=48))
+    spec = ImageSpec(width=64, height=48, colorspace=Colorspace.WORK_RGB)
+    plan = op.plan(ctx, spec, FilmicParams())
+    assert plan.static[5] is None
+    assert op.pointwise_spec(plan, ctx) is not None  # AgX default fusable
+
+
+def test_highlight_reconstruction_fills_clipped_plateau():
+    """Armed reconstruction diffuses surroundings into a clipped blob
+    (filmicrgb.c:2680-2780); unclipped pixels pass through unchanged."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.ops.filmicrgb import FilmicParams, FilmicRGB
+
+    H, W = 64, 96
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.1, 1.0, (3, H, W)).astype(np.float32)
+    # white-clipped plateau way past the threshold
+    x[:, 20:40, 30:60] = 60.0
+    p = FilmicParams()
+    op = FilmicRGB()
+    ctx = ob.PlanContext(meta=RawMeta(width=W, height=H),
+                         processed_maximum=(64.0, 64.0, 64.0))
+    spec = ImageSpec(width=W, height=H, colorspace=Colorspace.WORK_RGB)
+    plan = op.plan(ctx, spec, p)
+    rec = plan.static[5]
+    assert rec is not None and rec[0] >= 1
+    c = op.coeffs(ctx, plan, p)
+    y = np.asarray(op._reconstruct_highlights(jnp.asarray(x), c, rec))
+    assert np.isfinite(y).all() and (y >= 0).all()
+    # far-from-clipping pixels are untouched
+    assert np.allclose(y[:, :8, :8], x[:, :8, :8], atol=1e-5)
+    # magnitude is preserved (tone mapping compresses later) but the
+    # flat plateau gains synthesized texture
+    plateau = y[:, 25:35, 40:50]
+    assert abs(plateau.mean() / 60.0 - 1.0) < 0.05
+    assert plateau.std() > 1e-3
+
+
+def test_highlight_reconstruction_census_early_out():
+    """Armed but unclipped frame -> lax.cond false branch: identity."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.ops.filmicrgb import FilmicParams, FilmicRGB
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.0, 1.5, (3, 32, 48)).astype(np.float32)
+    op = FilmicRGB()
+    ctx = ob.PlanContext(meta=RawMeta(width=48, height=32),
+                         processed_maximum=(64.0, 64.0, 64.0))
+    spec = ImageSpec(width=48, height=32, colorspace=Colorspace.WORK_RGB)
+    p = FilmicParams()
+    plan = op.plan(ctx, spec, p)
+    c = op.coeffs(ctx, plan, p)
+    y = np.asarray(op._reconstruct_highlights(jnp.asarray(x), c,
+                                              plan.static[5]))
+    assert np.array_equal(y, x)

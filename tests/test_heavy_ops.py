@@ -119,3 +119,65 @@ def test_diffuse_pallas_matches_xla_path():
         halo = 3 * ((1 << scales) - 1)
         err = np.abs(out - ref)[:, halo:-halo, halo:-halo]
         assert err.max() < 1e-5, (aniso, err.max())
+
+
+def test_diffuse_pde_matches_reference_mirror():
+    """_pde_step vs a scalar numpy transcription of diffuse.c's
+    heat_PDE_diffusion (:760-955) — all three isotropy modes, two
+    dilations."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ansel_tpu.ops.diffuse import Diffuse
+    from tests.mirrors.diffuse_ref import heat_pde_diffusion
+
+    rng = np.random.default_rng(42)
+    C, H, W = 3, 16, 24
+    LF = rng.uniform(0.05, 1.0, (C, H, W)).astype(np.float32)
+    HF = rng.normal(0.0, 0.05, (C, H, W)).astype(np.float32)
+    aniso = np.float32([1.5, 0.0, 0.7, 2.2])
+    modes = (1, 0, 2, 1)   # isophote, isotrope, gradient, isophote
+    ABCD = np.float32([0.05, -0.03, 0.04, 0.02])
+    for s in (0, 1):
+        c = {
+            "aniso": aniso,
+            "ABCD": np.stack([ABCD] * (s + 1)),
+            "strength": np.float32([1.1] * (s + 1)),
+            "norm_reg": np.float32([0.3] * (s + 1)),
+            "variance_threshold": np.float32(0.05),
+        }
+        got = np.asarray(Diffuse()._pde_step(
+            jnp.asarray(HF), jnp.asarray(LF), c, s, modes))
+        want = heat_pde_diffusion(
+            HF.astype(np.float64), LF.astype(np.float64), aniso, modes,
+            0.05, 1 << s, 0.3, ABCD, 1.1)
+        err = np.abs(got - want).max()
+        assert err < 5e-5, (s, err)
+
+
+@pytest.mark.parametrize("method", range(7))
+def test_toneequal_matches_reference_mirror(method):
+    """details=NONE path vs the scalar mirror of luminance_mask.h +
+    apply_toneequalizer (toneequal.c:763-797)."""
+    import numpy as np
+
+    from ansel_tpu.ops.toneequal import (ToneEqualizer, ToneEqualParams,
+                                         solve_factors)
+    from tests.mirrors.toneequal_ref import toneequal_ref
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0.001, 1.2, (3, 12, 16)).astype(np.float32)
+    p = ToneEqualParams(shadows=0.8, blacks=-0.5, midtones=0.3,
+                        highlights=-0.4, details=0, method=method,
+                        exposure_boost=0.5)
+    op = ToneEqualizer()
+    meta = RawMeta(width=16, height=12)
+    ctx = ob.PlanContext(meta=meta)
+    spec = ImageSpec(width=16, height=12, colorspace=Colorspace.WORK_RGB,
+                     channels=3)
+    plan = op.plan(ctx, spec, p)
+    got = np.asarray(op.apply(img, op.coeffs(ctx, plan, p), plan, ctx))
+    want = toneequal_ref(img.astype(np.float64), method,
+                         2.0 ** p.exposure_boost, 0.0, 1.0,
+                         solve_factors(p), p.smoothing)
+    assert np.abs(got - want).max() < 2e-5
