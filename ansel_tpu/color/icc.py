@@ -41,6 +41,9 @@ class ICCProfile:
     lut_matrix: Optional[np.ndarray] = None    # (3,3) pre-matrix (mft)
     pcs: str = "XYZ"               # "XYZ" | "Lab"
     white: Optional[np.ndarray] = None
+    # B2A LUT (PCS -> device), (in_curves, clut, out_curves, matrix,
+    # legacy16) — legacy16 marks mft2's 0xFF00-max Lab encoding
+    b2a: Optional[tuple] = None
 
 
 def _read_tags(buf: bytes):
@@ -170,6 +173,26 @@ def _parse_mab(buf, off, size):
     return curves_at(off_a), clut, curves_at(off_b), matrix
 
 
+def _parse_b2a(data, tags):
+    """B2A0/B2A1 (PCS -> device) in mft1/mft2/'mBA ' form, or None."""
+    for tag in ("B2A0", "B2A1"):
+        if tag not in tags:
+            continue
+        off, size = tags[tag]
+        typ = data[off:off + 4]
+        if typ in (b"mft1", b"mft2"):
+            matrix, inc, clut, outc = _parse_mft(data, off, size,
+                                                 typ == b"mft2")
+            return (inc, clut, outc, matrix, typ == b"mft2")
+        if typ == b"mBA ":
+            # lutBtoAType shares the mAB layout; the 'A' curves sit on
+            # the device side and 'B' on the PCS side, so the roles of
+            # the parsed curve sets swap relative to A2B
+            a_c, clut, b_c, matrix = _parse_mab(data, off, size)
+            return (b_c, clut, a_c, matrix, False)
+    return None
+
+
 def parse_icc(data: bytes) -> ICCProfile:
     if len(data) < 132 or data[36:40] != b"acsp":
         raise ValueError("not an ICC profile")
@@ -208,12 +231,17 @@ def parse_icc(data: bytes) -> ICCProfile:
                                                  typ == b"mft2")
             return ICCProfile(kind="lut", in_curves=inc, clut=clut,
                               out_curves=outc, lut_matrix=matrix,
-                              pcs=pcs, white=white)
+                              pcs=pcs, white=white,
+                              b2a=_parse_b2a(data, tags))
         if typ == b"mAB ":
             inc, clut, outc, matrix = _parse_mab(data, off, size)
             return ICCProfile(kind="lut", in_curves=inc, clut=clut,
                               out_curves=outc, lut_matrix=matrix,
-                              pcs=pcs, white=white)
+                              pcs=pcs, white=white,
+                              b2a=_parse_b2a(data, tags))
+    b2a = _parse_b2a(data, tags)
+    if b2a is not None:
+        return ICCProfile(kind="lut", pcs=pcs, white=white, b2a=b2a)
     raise ValueError("profile has neither matrix+TRC nor supported LUT")
 
 
@@ -282,4 +310,49 @@ def profile_to_xyz_fn(prof: ICCProfile):
                               jnp.asarray([0.9642, 1.0, 0.8249]))
         # PCSXYZ encoding: value * (1 + 32767/32768) ~ [0, 1.99997]
         return out * 1.999969482421875
+    return f
+
+
+def xyz_to_device_fn(prof: ICCProfile):
+    """jax fn: D50 XYZ (3, H, W) -> device values via the B2A LUT
+    (PCS encode -> mft matrix -> input curves -> CLUT -> output curves;
+    lut8/lut16Type processing model, ICC.1 spec §10.9/10.10)."""
+    import jax.numpy as jnp
+
+    from ..pixel.curves import eval_curve
+
+    if prof.b2a is None:
+        raise ValueError("profile has no B2A LUT")
+    inc, clut, outc, matrix, legacy16 = prof.b2a
+    in_coeffs = [_fit_curve(t) for t in (inc or [np.linspace(0, 1, 2)] * 3)]
+    out_coeffs = [_fit_curve(t) for t in (outc
+                                          or [np.linspace(0, 1, 2)] * 3)]
+    grid = clut.shape[0]
+    flat = clut.transpose(2, 1, 0, 3).reshape(-1, 3).astype(np.float32)
+    pcs_lab = prof.pcs.startswith("Lab")
+    # mft2 keeps the legacy 16-bit Lab encoding whose max code is 0xFF00
+    lab_scale = 65280.0 / 65535.0 if legacy16 else 1.0
+
+    def f(xyz):
+        from ..ops.lut3d import lut3d_sample
+
+        if pcs_lab:
+            from .transforms import xyz_to_lab
+
+            lab = xyz_to_lab(xyz, jnp.asarray([0.9642, 1.0, 0.8249]))
+            enc = jnp.stack([lab[0] / 100.0,
+                             (lab[1] + 128.0) / 255.0,
+                             (lab[2] + 128.0) / 255.0]) * lab_scale
+        else:
+            enc = xyz / 1.999969482421875
+            if matrix is not None:
+                from .transforms import apply_matrix
+
+                enc = apply_matrix(enc, matrix.tolist())
+        enc = jnp.clip(enc, 0.0, 1.0)
+        t = jnp.stack([eval_curve(enc[ch], *in_coeffs[ch])
+                       for ch in range(3)])
+        out = lut3d_sample(jnp.clip(t, 0.0, 1.0), flat, grid, 0)
+        return jnp.stack([eval_curve(jnp.clip(out[ch], 0.0, 1.0),
+                                     *out_coeffs[ch]) for ch in range(3)])
     return f

@@ -13,8 +13,9 @@ the reference's serial tile state machine becomes
      d = sum(grad_G * (C - G)) / sum(grad_G^2) on a 32x32 tile grid,
   3. weighted least-squares fit of a quadratic shift field (6 terms per
      axis per channel) solved in-graph (jnp.linalg.solve, 6x6),
-  4. sub-pixel correction of the half-res R/B planes with the packed
-     bilinear sampler, re-interleaved into the mosaic.
+  4. sub-pixel correction of the half-res R/B planes with a hat-basis
+     shifted-view bilinear warp (no gathers), re-interleaved into the
+     mosaic by stack+reshape.
 Shifts are clamped to the reference's +-4 px diagnostic range.
 """
 
@@ -28,7 +29,6 @@ import jax.numpy as jnp
 from ..core.params import cfield, params
 from ..core.types import CFAPattern, Colorspace
 from .base import Op, OpPlan, PlanContext, register
-from .lens import _sample_bilinear
 
 TILE = 32  # half-res tile for the shift diagnostics
 BSLIM = 4.0
@@ -53,8 +53,11 @@ def _halfres_planes(x, cfa: CFAPattern):
     G is the 4-neighbor cross average AT the R/B sites — a diagonal
     2-green average would sit at a (0.25, 0.25) spatial offset and bias
     the shift estimator by exactly that much."""
-    gi = 0.25 * (jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)
-                 + jnp.roll(x, 1, 1) + jnp.roll(x, -1, 1))
+    from ..pixel.shifts import PaddedView
+
+    pvx = PaddedView(x, 1)
+    gi = 0.25 * (pvx.at(-1, 0) + pvx.at(1, 0) + pvx.at(0, -1)
+                 + pvx.at(0, 1))
     pos = {cfa.color_at(y, xx): (y, xx) for y in range(2) for xx in range(2)}
 
     def at(pos_yx, img):
@@ -70,8 +73,11 @@ def _tile_stats(G, C):
     th, tw = h // TILE, w // TILE
     Gc = G[: th * TILE, : tw * TILE]
     Cc = C[: th * TILE, : tw * TILE]
-    gx = 0.5 * (jnp.roll(Gc, -1, 1) - jnp.roll(Gc, 1, 1))
-    gy = 0.5 * (jnp.roll(Gc, -1, 0) - jnp.roll(Gc, 1, 0))
+    from ..pixel.shifts import PaddedView
+
+    pv = PaddedView(Gc, 1)
+    gx = 0.5 * (pv.at(0, 1) - pv.at(0, -1))
+    gy = 0.5 * (pv.at(1, 0) - pv.at(-1, 0))
     diff = Cc - Gc
 
     def tsum(a):
@@ -100,6 +106,29 @@ def _fit_quadratic(field, wgt, th, tw):
     return jnp.linalg.solve(A, rhs)
 
 
+def _hat_warp(C, dy, dx, lim: float):
+    """Bilinear resample of C at (y+dy, x+dx), |d| <= lim, expressed as
+    a (2m+1)^2 hat-basis weighted sum of STATIC shifted views: exact
+    linear interpolation (hat functions partition unity), zero gathers,
+    one fused elementwise pass — both the XLA full-plane gather and the
+    Pallas generic warp cost minutes of TPU compile here, this compiles
+    in seconds and runs VPU-bound."""
+    from ..pixel.shifts import PaddedView
+
+    m = int(lim) + 1
+    pv = PaddedView(C, m)
+    wx = {k: jnp.maximum(0.0, 1.0 - jnp.abs(dx - k))
+          for k in range(-m, m + 1)}
+    out = 0.0
+    for j in range(-m, m + 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - j))
+        row = 0.0
+        for k in range(-m, m + 1):
+            row = row + wx[k] * pv.at(j, k)
+        out = out + wy * row
+    return out
+
+
 def _eval_quadratic(coef, h, w):
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h - 0.5
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w - 0.5
@@ -111,7 +140,7 @@ def _eval_quadratic(coef, h, w):
 @register
 class CACorrect(Op):
     name = "cacorrect"
-    compile_weight = 8
+    compile_weight = 2
     input_colorspace = Colorspace.RAW
 
     def enabled_by_default(self, meta):
@@ -127,9 +156,6 @@ class CACorrect(Op):
         if not bayer:
             return x
         cfa = plan.spec_in.cfa
-
-        import jax
-
         out = x
         for _ in range(iterations):
             R, G_r, B, G_b = _halfres_planes(out, cfa)
@@ -145,42 +171,12 @@ class CACorrect(Op):
                 coefs[color] = (_fit_quadratic(dy_t, wgt, th, tw),
                                 _fit_quadratic(dx_t, wgt, th, tw))
 
-            if jax.default_backend() == "tpu":
-                # Pallas two-pass warp (kernels/warp_pallas) — the XLA
-                # full-plane gather path costs ~150s compile and
-                # ~12ns/elem runtime on TPU
-                qy = jnp.stack([coefs[0][0], coefs[2][0]])
-                qx = jnp.stack([coefs[0][1], coefs[2][1]])
-
-                def quad(q, X, Y):
-                    return jnp.clip(
-                        q[0] + q[1] * X + q[2] * Y + q[3] * X * X
-                        + q[4] * X * Y + q[5] * Y * Y, -BSLIM, BSLIM)
-
-                def coord_fn(y, xx_, ch):
-                    X = (xx_ + 0.5) / w - 0.5
-                    Y = (y + 0.5) / h - 0.5
-                    return (y - quad(qy[ch], X, Y),
-                            xx_ - quad(qx[ch], X, Y))
-
-                from ..kernels.warp_pallas import warp_model
-
-                warped = warp_model(jnp.stack([R, B]), coord_fn,
-                                    BSLIM, BSLIM, per_channel=True)
-                corrected = {0: warped[0], 2: warped[1]}
-            else:
-                ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-                xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-                corrected = {}
-                for color, C in ((0, R), (2, B)):
-                    cy_, cx_ = coefs[color]
-                    sx = jnp.clip(_eval_quadratic(cx_, h, w),
-                                  -BSLIM, BSLIM)
-                    sy = jnp.clip(_eval_quadratic(cy_, h, w),
-                                  -BSLIM, BSLIM)
-                    corrected[color] = _sample_bilinear(
-                        C, jnp.broadcast_to(ys - sy, (h, w)),
-                        jnp.broadcast_to(xs - sx, (h, w)))
+            corrected = {}
+            for color, C in ((0, R), (2, B)):
+                cy_, cx_ = coefs[color]
+                sx = jnp.clip(_eval_quadratic(cx_, h, w), -BSLIM, BSLIM)
+                sy = jnp.clip(_eval_quadratic(cy_, h, w), -BSLIM, BSLIM)
+                corrected[color] = _hat_warp(C, -sy, -sx, BSLIM)
 
             # re-interleave via stack+reshape (2D strided scatter is a
             # 5x-slower lowering — CLAUDE.md rules)

@@ -90,8 +90,8 @@ class Colorout(Op):
     def _apply_icc(self, x, fname, ctx):
         """Custom matrix+TRC ICC output profile: work -> XYZ D50 ->
         inverse profile matrix -> inverse TRC (colorout.c LCMS path for
-        matrix profiles; LUT output profiles use B2A which is still a
-        documented gap)."""
+        matrix profiles) or the profile's B2A LUT pipeline
+        (color/icc.xyz_to_device_fn)."""
         import os
 
         from ..color import icc as icc_mod
@@ -107,9 +107,11 @@ class Colorout(Op):
         if prof is None:
             raise ValueError(f"colorout: ICC profile '{fname}' not found")
         if prof.kind != "matrix":
-            raise ValueError(
-                "colorout: LUT (B2A) output profiles are not supported "
-                "yet — use a matrix+TRC profile")
+            if prof.b2a is None:
+                raise ValueError(
+                    "colorout: LUT output profile has no B2A tag")
+            xyz = apply_matrix(x, cm.XYZ_FROM_WORK.tolist())
+            return jnp.clip(icc_mod.xyz_to_device_fn(prof)(xyz), 0.0, 1.0)
         xyz = apply_matrix(x, cm.XYZ_FROM_WORK.tolist())
         lin = apply_matrix(xyz, np.linalg.inv(prof.to_xyz).tolist())
         lin = jnp.clip(lin, 0.0, 1.0)

@@ -18,6 +18,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_CS_BLOCK = 256
+
+
+def blocked_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive prefix sum via block-triangular matmuls.
+
+    XLA lowers a long-axis cumsum to a log-depth chain of ~log2(n)
+    full-plane shifted adds — ~13 HBM round-trips for a 45MP plane.
+    Here: per-block prefix = one (B, B) triangular matmul on the MXU,
+    plus a tiny cumsum of block totals — two plane passes total.
+    """
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    B = _CS_BLOCK
+    if n <= 2 * B:
+        return jnp.cumsum(x, axis=axis)
+    nb = -(-n // B)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, nb * B - n)
+    xp = jnp.pad(x, pad)
+    shape = list(xp.shape)
+    shape[axis : axis + 1] = [nb, B]
+    xb = xp.reshape(shape)
+    tri = jnp.asarray(np.triu(np.ones((B, B), np.float32)))
+    # prefix[..., i] = sum_{j<=i} x[..., j]  ==  x @ triu
+    pre = jnp.moveaxis(
+        jnp.tensordot(jnp.moveaxis(xb, axis + 1, -1), tri, axes=1),
+        -1, axis + 1)
+    tot = jax.lax.index_in_dim(pre, B - 1, axis=axis + 1, keepdims=False)
+    offs = jnp.cumsum(tot, axis=axis) - tot      # exclusive block offsets
+    out = pre + jnp.expand_dims(offs, axis + 1)
+    shape2 = list(xp.shape)
+    out = out.reshape(shape2)
+    return jax.lax.slice_in_dim(out, 0, n, axis=axis)
+
+
 def box_blur_1d(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
     """Mean over a (2r+1) window via padded cumsum — O(1)/pixel any radius."""
     if radius <= 0:
@@ -26,13 +62,21 @@ def box_blur_1d(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
     pad = [(0, 0)] * x.ndim
     pad[axis] = (radius + 1, radius)
     xp = jnp.pad(x, pad, mode="edge")
-    cs = jnp.cumsum(xp, axis=axis)
+    cs = blocked_cumsum(xp, axis=axis)
     hi = jax.lax.slice_in_dim(cs, 2 * radius + 1, 2 * radius + 1 + n, axis=axis)
     lo = jax.lax.slice_in_dim(cs, 0, n, axis=axis)
     return (hi - lo) / (2 * radius + 1)
 
 
 def box_blur(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    if radius <= 0:
+        return x
+    if radius <= 7 and x.ndim >= 2:
+        # small windows: one fused shifted-add pass beats any prefix sum
+        from .shifts import sep_filter
+
+        n = 2 * radius + 1
+        return sep_filter(x, [1.0 / n] * n)
     return box_blur_1d(box_blur_1d(x, radius, -2), radius, -1)
 
 

@@ -159,3 +159,58 @@ def test_unknown_profile_fails_loudly(tmp_path):
 
     with pytest.raises(ValueError):
         parse_icc(b"not an icc profile at all" * 10)
+
+
+def make_b2a_icc(grid=9):
+    """mft2 B2A0 only: CLUT 'decodes' PCSXYZ (x2) -> device == XYZ."""
+    n_ent = 2
+    head = b"mft2\0\0\0\0" + struct.pack(">BBBB", 3, 3, grid, 0)
+    matrix = struct.pack(">9i", *(int(round(v * 65536)) for v in
+                                  (1, 0, 0, 0, 1, 0, 0, 0, 1)))
+    ent = struct.pack(">HH", n_ent, n_ent)
+    curve = struct.pack(">2H", 0, 65535)
+    g1 = np.linspace(0.0, 1.0, grid)
+    rr, gg, bb = np.meshgrid(g1, g1, g1, indexing="ij")
+    clut = np.clip(np.stack([rr, gg, bb], -1) * 2.0, 0.0, 1.0)
+    clut16 = np.round(clut * 65535).astype(">u2").tobytes()
+    payload = head + matrix + ent + curve * 3 + clut16 + curve * 3
+    return _tagged([(b"wtpt", _xyz_tag((0.9642, 1.0, 0.8249))),
+                    (b"B2A0", payload)])
+
+
+def test_b2a_lut_roundtrip(tmp_path):
+    """xyz_to_device_fn drives the B2A pipeline: with a x2-decoding CLUT
+    the device value equals the XYZ input (PCSXYZ encoding inverts)."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.color.icc import parse_icc, xyz_to_device_fn
+
+    prof = parse_icc(make_b2a_icc())
+    assert prof.b2a is not None
+    rng = np.random.default_rng(2)
+    xyz = rng.uniform(0.0, 0.9, (3, 8, 12)).astype(np.float32)
+    dev = np.asarray(xyz_to_device_fn(prof)(jnp.asarray(xyz)))
+    assert np.abs(dev - xyz).max() < 0.02  # CLUT quantization only
+
+
+def test_colorout_b2a_profile(tmp_path):
+    """colorout CS_FILE with a LUT-only profile renders through B2A."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.core.types import (Colorspace, ImageSpec, RawMeta)
+    from ansel_tpu.ops import base as ob
+    from ansel_tpu.ops.colorout import Colorout, ColoroutParams
+
+    path = tmp_path / "b2a.icc"
+    path.write_bytes(make_b2a_icc())
+    op = Colorout()
+    p = ColoroutParams(type=0, filename=str(path))
+    ctx = ob.PlanContext(meta=RawMeta(width=16, height=8))
+    spec = ImageSpec(width=16, height=8, colorspace=Colorspace.WORK_RGB)
+    plan = op.plan(ctx, spec, p)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.0, 1.0, (3, 8, 16)).astype(np.float32)
+    y = np.asarray(op.apply(jnp.asarray(x), op.coeffs(ctx, plan, p),
+                            plan, ctx))
+    assert y.shape == x.shape and np.isfinite(y).all()
+    assert 0.0 <= y.min() and y.max() <= 1.0
