@@ -20,7 +20,7 @@ import sqlite3
 import time
 from typing import List, Sequence
 
-SCHEMA_VERSION = 1
+SCHEMA_VERSION = 2
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS db_info (key TEXT PRIMARY KEY, value TEXT);
@@ -43,6 +43,7 @@ CREATE TABLE IF NOT EXISTS images (
     import_timestamp INTEGER DEFAULT 0,
     change_timestamp INTEGER DEFAULT 0,
     xmp_timestamp INTEGER DEFAULT 0,
+    latitude REAL, longitude REAL, elevation REAL,
     UNIQUE(film_id, filename, version));
 CREATE TABLE IF NOT EXISTS history (
     imgid INTEGER REFERENCES images(id),
@@ -115,7 +116,18 @@ class Library:
         self.con.commit()
 
     def _migrate(self, from_version: int):
-        # stepwise migrations like database.c _upgrade_* (none yet at v1)
+        # stepwise migrations like database.c _upgrade_*
+        if from_version < 2:
+            for col in ("latitude REAL", "longitude REAL",
+                        "elevation REAL"):
+                try:
+                    self.con.execute(
+                        f"ALTER TABLE images ADD COLUMN {col}")
+                except Exception:
+                    pass  # column already present (fresh schema)
+            self.con.execute(
+                "UPDATE db_info SET value='2' WHERE key='version'")
+            from_version = 2
         if from_version > SCHEMA_VERSION:
             raise RuntimeError(
                 f"library.db version {from_version} is newer than this "

@@ -245,3 +245,122 @@ def test_presets_autoapply_rules(film):
     merged = apply_auto_presets(lib, ids[0], hist)
     assert [h.op for h in merged] == ["denoiseprofile", "vibrance"]
     assert merged[-1].params == {"amount": 99.0}
+
+
+def _write_dummy_raw(path: str):
+    from ansel_tpu.io.rawfile import save_raw
+    from ansel_tpu.io.synthetic import synth_raw
+
+    raw, meta, _ = synth_raw(h=64, w=96)
+    save_raw(path, raw, meta)
+
+
+def test_gpx_geotag(tmp_path):
+    """GPX parse + timestamp interpolation onto library images
+    (common/gpx.c semantics)."""
+    from ansel_tpu.io.gpx import geotag_images, locate, parse_gpx
+    from ansel_tpu.library.db import Library
+
+    gpx = tmp_path / "track.gpx"
+    gpx.write_text("""<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1"><trk><trkseg>
+<trkpt lat="47.0" lon="8.0"><ele>400</ele>
+  <time>2024-06-01T10:00:00Z</time></trkpt>
+<trkpt lat="47.1" lon="8.2"><ele>500</ele>
+  <time>2024-06-01T11:00:00Z</time></trkpt>
+</trkseg></trk></gpx>""")
+    pts = parse_gpx(str(gpx))
+    assert len(pts) == 2
+    import datetime as dt
+
+    mid = dt.datetime(2024, 6, 1, 10, 30,
+                      tzinfo=dt.timezone.utc).timestamp()
+    lat, lon, ele = locate(pts, mid)
+    assert abs(lat - 47.05) < 1e-6 and abs(lon - 8.1) < 1e-6
+    assert abs(ele - 450.0) < 1e-6
+    # through the library
+    lib = Library()
+    img = tmp_path / "a.npz"
+    _write_dummy_raw(str(img))
+    imgid = lib.import_image(str(img))
+    lib.con.execute("UPDATE images SET datetime_taken=? WHERE id=?",
+                    ("2024:06:01 10:30:00", imgid))
+    out = geotag_images(lib, str(gpx))
+    assert imgid in out
+    row = lib.con.execute("SELECT latitude, longitude FROM images "
+                          "WHERE id=?", (imgid,)).fetchone()
+    assert abs(row["latitude"] - 47.05) < 1e-6
+
+
+def test_undo_redo_history_and_rating(tmp_path):
+    """UndoStack + HistoryEditor round-trips (common/undo.c analog)."""
+    from ansel_tpu.library.db import Library
+    from ansel_tpu.library.undo import HistoryEditor
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    lib = Library()
+    img = tmp_path / "b.npz"
+    _write_dummy_raw(str(img))
+    imgid = lib.import_image(str(img))
+    ed = HistoryEditor(lib)
+    ed.write_history(imgid, [HistoryItem("exposure",
+                                         {"exposure": 1.0})])
+    ed.write_history(imgid, [HistoryItem("exposure",
+                                         {"exposure": 2.0})])
+    assert len(lib.read_history(imgid)) == 1
+    ed.set_rating(imgid, 4)
+    assert lib.rating(imgid) == 4
+    assert ed.undo()                   # rating back to 0
+    assert lib.rating(imgid) == 0
+    assert ed.undo()                   # history back to 1.0 version
+    h = lib.read_history(imgid)
+    from ansel_tpu.core.params import params_class
+
+    p = params_class("exposure").codec.decode(h[0].params)
+    assert abs(p.exposure - 1.0) < 1e-6
+    assert ed.redo()
+    p = params_class("exposure").codec.decode(
+        lib.read_history(imgid)[0].params)
+    assert abs(p.exposure - 2.0) < 1e-6
+
+
+def test_schema_v1_migrates_to_v2(tmp_path):
+    """Opening a v1 db adds the geo columns (database.c migrations)."""
+    import sqlite3
+
+    from ansel_tpu.library import db as db_mod
+
+    path = str(tmp_path / "old.db")
+    lib = db_mod.Library(path)
+    lib.con.execute("UPDATE db_info SET value='1' WHERE key='version'")
+    # simulate v1: drop the geo columns
+    for col in ("latitude", "longitude", "elevation"):
+        lib.con.execute(f"ALTER TABLE images DROP COLUMN {col}")
+    lib.con.commit()
+    lib.close()
+    lib2 = db_mod.Library(path)
+    cols = [r[1] for r in lib2.con.execute("PRAGMA table_info(images)")]
+    assert "latitude" in cols and "elevation" in cols
+
+
+def test_gallery_export(tmp_path):
+    """HTML gallery storage (imageio/storage/gallery.c analog)."""
+    import os
+
+    from ansel_tpu.library.db import Library
+    from ansel_tpu.library.gallery import export_gallery
+
+    roll = tmp_path / "roll_g"
+    roll.mkdir()
+    for i in range(2):
+        _write_dummy_raw(str(roll / f"g_{i}.npz"))
+    lib = Library()
+    ids = lib.import_film_roll(str(roll))
+    out = tmp_path / "site"
+    index = export_gallery(lib, ids, str(out), title="Test roll")
+    html_text = open(index).read()
+    assert "Test roll" in html_text
+    assert html_text.count("<figure>") == 2
+    for i in range(2):
+        assert os.path.exists(out / f"g_{i}.jpg")
+        assert os.path.exists(out / "thumbs" / f"g_{i}.jpg")
