@@ -57,16 +57,36 @@ def _shift_clamped(g: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
 
 
+def _upsample_matrix(n_out: int, n_in: int, ss: int) -> np.ndarray:
+    """(n_out, n_in) cell-centered bilinear matrix (small-grid path)."""
+    pos = (np.arange(n_out) + 0.5) / ss - 0.5
+    i0 = np.clip(np.floor(pos), 0, n_in - 1).astype(int)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    f = np.clip(pos - i0, 0.0, 1.0)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), i0] += 1.0 - f
+    M[np.arange(n_out), i1] += f
+    return M
+
+
 def upsample_axis(g: jnp.ndarray, ss: int, axis: int) -> jnp.ndarray:
     """Cell-centered bilinear upsample by integer factor `ss` along `axis`
     (n -> n*ss) with NO per-pixel weights: each of the ss phases has a
     constant (i0-offset, frac), so the result is two shifted-add blends at
     grid resolution interleaved back via stack+reshape.  Replaces the
     dense (n_out, n_in) interp matrix — which at sigma_s ~ 1 degenerated
-    to an n_out^2 inline constant (hundreds of MB of MLIR)."""
+    to an n_out^2 inline constant (hundreds of MB of MLIR).  For LARGE
+    ss the phase unroll is the compile hog instead (ss terms per axis)
+    while the grid is small, so a dense (n*ss, n) matmul wins there."""
     if ss == 1:
         return g
     axis = axis % g.ndim
+    if ss > 16:
+        n_in = g.shape[axis]
+        M = jnp.asarray(_upsample_matrix(n_in * ss, n_in, ss))
+        moved = jnp.moveaxis(g, axis, -1)
+        return jnp.moveaxis(
+            jnp.tensordot(moved, M, axes=((-1,), (1,))), -1, axis)
     pos = (np.arange(ss) + 0.5) / ss - 0.5
     i0 = np.floor(pos).astype(int)          # -1 or 0
     f = (pos - i0).astype(np.float32)

@@ -140,42 +140,78 @@ def _deriche_coeffs(sigma: float, order: int = 0):
     return a0, a1, a2, a3, b1, b2, coefp, coefn
 
 
+_IIR_BLOCK = 128
+
+
 def _iir_pass(x, f, y_init0, y_init1, b1, b2, axis, reverse):
-    """Second-order recurrence y_n = f_n - b1 y_{n-1} - b2 y_{n-2} in
-    log-depth: companion-matrix lax.associative_scan (the same TPU trick
-    as highlights' inpaint recurrence)."""
+    """Second-order recurrence y_n = f_n - b1 y_{n-1} - b2 y_{n-2},
+    block-parallel: within a K-block the zero-state solution is one
+    lower-triangular-Toeplitz matmul (impulse response c_j, MXU work),
+    block-entry states propagate through a tiny lax.scan over n/K
+    2-vectors, and the entry state's contribution is the two
+    host-precomputed homogeneous sequences.  Replaces a full-length
+    companion-matrix associative_scan whose log-depth 2x2 ladder cost
+    ~60s of XLA compile per pass at 24MP."""
     import jax
 
-    # state s = (y_{n-1}, y_{n-2}); per-element affine map s -> A s + v
-    # with constant A = [[-b1, -b2], [1, 0]] and v = (f_n, 0)
-    n = x.shape[axis]
-    shp = [1, 1]
-    A = (jnp.full_like(f, -b1), jnp.full_like(f, -b2),
-         jnp.ones_like(f), jnp.zeros_like(f))
-    v = (f, jnp.zeros_like(f))
+    K = _IIR_BLOCK
+    n = f.shape[axis]
+    axis = axis % f.ndim
 
-    # fold the initial state into the first element (last, if reversed)
-    idx = jnp.arange(n)
-    first = (idx == (n - 1 if reverse else 0))
-    first = jnp.expand_dims(first, tuple(i for i in range(x.ndim)
-                                         if i != axis))
-    add0 = -b1 * y_init0 - b2 * y_init1
-    add1 = y_init0
-    v = (v[0] + jnp.where(first, add0, 0.0), jnp.where(first, add1, 0.0))
-    A = tuple(jnp.where(first, jnp.asarray(c, x.dtype), a)
-              for a, c in zip(A, (0.0, 0.0, 0.0, 0.0)))
+    # impulse response c_j and homogeneous solutions u_j (y_-1=1),
+    # w_j (y_-2=1) of the AR part, host-side
+    c = np.zeros(K, np.float64)
+    u = np.zeros(K + 2, np.float64)
+    w = np.zeros(K + 2, np.float64)
+    c[0] = 1.0
+    if K > 1:
+        c[1] = -b1
+    for j in range(2, K):
+        c[j] = -b1 * c[j - 1] - b2 * c[j - 2]
+    u[0], u[1] = 0.0, 1.0   # u[j+2] = y_j with y_-1=1, y_-2=0
+    w[0], w[1] = 1.0, 0.0
+    for j in range(2, K + 2):
+        u[j] = -b1 * u[j - 1] - b2 * u[j - 2]
+        w[j] = -b1 * w[j - 1] - b2 * w[j - 2]
+    u, w = u[2:], w[2:]
+    T = np.zeros((K, K), np.float32)
+    for i in range(K):
+        T[i, : i + 1] = c[: i + 1][::-1]
+    M = np.float32([[u[K - 1], w[K - 1]], [u[K - 2], w[K - 2]]])
+    uj = jnp.asarray(u.astype(np.float32))
+    wj = jnp.asarray(w.astype(np.float32))
+    Tm = jnp.asarray(T)
 
-    def comb(l, r):
-        (la0, la1, la2, la3), (lv0, lv1) = l
-        (ra0, ra1, ra2, ra3), (rv0, rv1) = r
-        return ((ra0 * la0 + ra1 * la2, ra0 * la1 + ra1 * la3,
-                 ra2 * la0 + ra3 * la2, ra2 * la1 + ra3 * la3),
-                (ra0 * lv0 + ra1 * lv1 + rv0,
-                 ra2 * lv0 + ra3 * lv1 + rv1))
+    fm = jnp.moveaxis(f, axis, -1)
+    if reverse:
+        fm = jnp.flip(fm, -1)
+    nb = -(-n // K)
+    pad = nb * K - n
+    if pad:
+        fm = jnp.pad(fm, [(0, 0)] * (fm.ndim - 1) + [(0, pad)])
+    fb = fm.reshape(fm.shape[:-1] + (nb, K))
+    # zero-state within-block outputs: one triangular-Toeplitz matmul
+    ylocal = jnp.einsum("ik,...bk->...bi", Tm, fb,
+                        preferred_element_type=jnp.float32)
+    d = ylocal[..., -2:][..., ::-1]            # (y_{K-1}, y_{K-2})
 
-    (_, _, _, _), (y, _) = jax.lax.associative_scan(
-        comb, (A, v), axis=axis, reverse=reverse)
-    return y
+    i0 = jnp.moveaxis(y_init0, axis, -1)[..., 0]
+    i1 = jnp.moveaxis(y_init1, axis, -1)[..., 0]
+    s_init = jnp.stack([i0, i1], axis=-1)      # (..., 2)
+
+    def step(s, dm):
+        s_next = jnp.einsum("ij,...j->...i", M, s) + dm
+        return s_next, s                        # emit ENTRY state
+
+    dmoved = jnp.moveaxis(d, -2, 0)            # (nb, ..., 2)
+    _, entries = jax.lax.scan(step, s_init, dmoved)
+    entries = jnp.moveaxis(entries, 0, -2)     # (..., nb, 2)
+
+    y = (ylocal + uj * entries[..., 0:1] + wj * entries[..., 1:2])
+    y = y.reshape(fm.shape[:-1] + (nb * K,))[..., :n]
+    if reverse:
+        y = jnp.flip(y, -1)
+    return jnp.moveaxis(y, -1, axis)
 
 
 def gaussian_iir(x: jnp.ndarray, sigma: float, order: int = 0,
