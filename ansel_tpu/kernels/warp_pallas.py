@@ -116,25 +116,33 @@ def _kernel(img_ref, syx_ref, sx_ref, out_ref, win, syx_win, sem,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pad_y", "pad_x", "interpret"))
+                   static_argnames=("pad_y", "pad_x", "interpret",
+                                    "src_prepadded"))
 def warp_bilinear(img, syx, sx, pad_y: int, pad_x: int,
-                  interpret: bool = False):
+                  interpret: bool = False, src_prepadded: bool = False):
     """Two-pass bilinear warp.
 
-    img: (C, H, W) float32.
+    img: (C, H, W) float32 — or, with src_prepadded=True,
+         (C, H + 2*pad_y, W + 2*pad_x) whose halo carries REAL source
+         data (cross-grid warps: the output grid is a window of a
+         larger source, see ops/_warpcommon).
     syx: (Cc, H, W + 2*pad_x) source ROW per (output row, source column),
          bottleneck-corrected (see module docstring); Cc in {1, C}.
     sx:  (Cc, H, W) source COLUMN per output pixel.
     pad_y/pad_x: static displacement bounds, multiples of 8 / 128.
     """
-    c, h, w = img.shape
-    cc = syx.shape[0]
+    cc, h, w = sx.shape
+    c = img.shape[0]
     nh, nw = -(-h // TILE_H), -(-w // TILE_W)
     hp, wp = nh * TILE_H, nw * TILE_W
     wh, ww = TILE_H + 2 * pad_y, TILE_W + 2 * pad_x
 
-    imgp = jnp.pad(img, ((0, 0), (pad_y, pad_y + hp - h),
-                         (pad_x, pad_x + wp - w)), mode="edge")
+    if src_prepadded:
+        imgp = jnp.pad(img, ((0, 0), (0, hp - h), (0, wp - w)),
+                       mode="edge")
+    else:
+        imgp = jnp.pad(img, ((0, 0), (pad_y, pad_y + hp - h),
+                             (pad_x, pad_x + wp - w)), mode="edge")
     syxp = jnp.pad(syx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
     sxp = jnp.pad(sx, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
@@ -165,17 +173,32 @@ def warp_bilinear(img, syx, sx, pad_y: int, pad_x: int,
 
 def warp_model(img, coord_fn, max_dy: float, max_dx: float,
                per_channel=None, fp_iters: int = 6,
-               interpret: bool = False):
+               interpret: bool = False, out_shape=None,
+               src_offset=(0, 0)):
     """Warp `img` (C, H, W) by a coordinate model.
 
     coord_fn(y, x[, ch]) -> (sy, sx): traced elementwise mapping from
     output to source coordinates (absolute pixels).  `per_channel=True`
     evaluates one coord plane per channel (TCA-style warps).
-    max_dy/max_dx: conservative bounds on |sy - y| / |sx - x|.
+    max_dy/max_dx: conservative bounds on |sy - (y + oy)| etc. where
+    (oy, ox) = src_offset, the static translation between the output
+    grid (out_shape, default img's) and the source; the halo window
+    around the offset grid is cut from REAL source data.
     """
-    c, h, w = img.shape
+    c, hs, ws = img.shape
+    oy, ox = src_offset
+    h, w = out_shape or (hs, ws)
     pad_y = max(8, _round_up(max_dy + 2, 8))
     pad_x = max(128, _round_up(max_dx + 2, 128))
+    # source window rows [oy - pad_y, oy + h + pad_y) with real data,
+    # edge-replicated only beyond the physical source
+    y0, y1 = oy - pad_y, oy + h + pad_y
+    x0, x1 = ox - pad_x, ox + w + pad_x
+    src = jnp.pad(img, ((0, 0),
+                        (max(0, -y0), max(0, y1 - hs)),
+                        (max(0, -x0), max(0, x1 - ws))), mode="edge")
+    src = src[:, y0 + max(0, -y0) : y0 + max(0, -y0) + (h + 2 * pad_y),
+              x0 + max(0, -x0) : x0 + max(0, -x0) + (w + 2 * pad_x)]
     chans = range(c) if per_channel else (None,)
 
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -187,21 +210,23 @@ def warp_model(img, coord_fn, max_dy: float, max_dx: float,
         fn = (lambda y, x, _c=ch: coord_fn(y, x, _c)) if ch is not None \
             else coord_fn
         _, sx = fn(yy, xx)
-        sx = jnp.broadcast_to(sx, (h, w))
-        # row-wise inverse of sx on the extended grid (fixed point)
+        sx = jnp.broadcast_to(sx, (h, w)) - ox
+        # row-wise inverse of sx on the extended grid (fixed point);
+        # hx stays in OUTPUT coords, coord_fn speaks absolute source
         hx = jnp.broadcast_to(xe, (h, xe.shape[1]))
         for _ in range(fp_iters):
             _, sx_at = fn(yy, hx)
-            hx = hx + (xe - sx_at)
+            hx = hx + (xe - (sx_at - ox))
         syx, _ = fn(yy, hx)
-        syx = jnp.broadcast_to(syx, (h, hx.shape[1]))
+        syx = jnp.broadcast_to(syx, (h, hx.shape[1])) - oy
         syx_all.append(jnp.clip(syx, yy - (pad_y - 1.0),
                                 yy + (pad_y - 1.0)))
         sx_all.append(jnp.clip(sx, xx - (pad_x - 1.0),
                                xx + (pad_x - 1.0)))
     syx = jnp.stack(syx_all)
     sx = jnp.stack(sx_all)
-    return warp_bilinear(img, syx, sx, pad_y, pad_x, interpret=interpret)
+    return warp_bilinear(src, syx, sx, pad_y, pad_x, interpret=interpret,
+                         src_prepadded=True)
 
 
 def warp_gather_ref(img, sy, sx):

@@ -164,16 +164,21 @@ class Ashift(Op):
         minv, crop = plan.static
         m = np.asarray(minv).reshape(3, 3)
         H, W = x.shape[-2:]
+
+        def coords(ys, xs, xp=jnp):
+            den = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+            den = xp.where(xp.abs(den) < 1e-9, 1e-9, den)
+            sx = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2]) / den
+            sy = (m[1, 0] * xs + m[1, 1] * ys + m[1, 2]) / den
+            return sy, sx
+
+        from ._warpcommon import warp_static
+
+        out = warp_static(x, lambda y, xx: coords(y, xx, np),
+                          coords, H, W)
         xs = jnp.arange(W, dtype=jnp.float32)[None, :]
         ys = jnp.arange(H, dtype=jnp.float32)[:, None]
-        den = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
-        den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-        src_x = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2]) / den
-        src_y = (m[1, 0] * xs + m[1, 1] * ys + m[1, 2]) / den
-        src_x = jnp.broadcast_to(src_x, (H, W))
-        src_y = jnp.broadcast_to(src_y, (H, W))
+        src_y, src_x = coords(ys, xs)
         inside = ((src_x >= 0) & (src_x <= W - 1)
                   & (src_y >= 0) & (src_y <= H - 1))
-        out = jnp.stack([_sample_bilinear(x[i], src_y, src_x)
-                         for i in range(x.shape[0])])
-        return jnp.where(inside[None], out, 0.0)
+        return jnp.where(jnp.broadcast_to(inside, (H, W))[None], out, 0.0)

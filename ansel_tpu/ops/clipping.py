@@ -313,35 +313,38 @@ class Clipping(Op):
         si, so = plan.spec_in, plan.spec_out
         H, W = si.height, si.width
         oh, ow = so.pad_h, so.pad_w
+
+        def coords(jj, ii, xp=jnp):
+            # inverse map, clipping.c:1015-1038 at scale 1, full buffer
+            px = g["cix"] - g["enlarge_x"] + ii + 0.5
+            py = g["ciy"] - g["enlarge_y"] + jj + 0.5
+            if g["flip"]:
+                px, py = px - g["ty"], py - g["tx"]
+            else:
+                px, py = px - g["tx"], py - g["ty"]
+            # backtransform (:468-473): undo keystone shears, rotate back
+            py = py / (1.0 + px * g["k_h"])
+            px = px / (1.0 + py * g["k_v"])
+            m = g["m"]
+            sx = m[0] * px + m[1] * py + g["tx"]
+            sy = m[2] * px + m[3] * py + g["ty"]
+            if g["k_apply"]:
+                a, b, d, e, h_g, h_h = g["km_px"]
+                xx = sx - g["ksp_px"][0]
+                yy = sy - g["ksp_px"][1]
+                div = (d * xx - a * yy) * h_h + (b * yy - e * xx) * h_g \
+                    + a * e - b * d
+                sx = (e * xx - b * yy) / div + g["kxa_px"]
+                sy = -(d * xx - a * yy) / div + g["kya_px"]
+            return sy - 0.5, sx - 0.5
+
+        from ._warpcommon import warp_static
+
+        out = warp_static(x, lambda y, xx: coords(y, xx, np),
+                          coords, oh, ow)
         ii = jnp.arange(ow, dtype=jnp.float32)[None, :]
         jj = jnp.arange(oh, dtype=jnp.float32)[:, None]
-        # inverse map, clipping.c:1015-1038 at scale 1, roi_in = full buffer
-        px = g["cix"] - g["enlarge_x"] + ii + 0.5
-        py = g["ciy"] - g["enlarge_y"] + jj + 0.5
-        if g["flip"]:
-            px = px - g["ty"]
-            py = py - g["tx"]
-        else:
-            px = px - g["tx"]
-            py = py - g["ty"]
-        px, py = jnp.broadcast_to(px, (oh, ow)), jnp.broadcast_to(py, (oh, ow))
-        # backtransform (:468-473): undo keystone shears, rotate back
-        py = py / (1.0 + px * g["k_h"])
-        px = px / (1.0 + py * g["k_v"])
-        m = g["m"]
-        sx = m[0] * px + m[1] * py + g["tx"]
-        sy = m[2] * px + m[3] * py + g["ty"]
-        if g["k_apply"]:
-            a, b, d, e, h_g, h_h = g["km_px"]
-            xx = sx - g["ksp_px"][0]
-            yy = sy - g["ksp_px"][1]
-            div = (d * xx - a * yy) * h_h + (b * yy - e * xx) * h_g \
-                + a * e - b * d
-            sx = (e * xx - b * yy) / div + g["kxa_px"]
-            sy = -(d * xx - a * yy) / div + g["kya_px"]
-        sx = sx - 0.5
-        sy = sy - 0.5
+        sy, sx = coords(jj, ii)
         inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
-        out = jnp.stack([_sample_bilinear(x[i], sy, sx)
-                         for i in range(x.shape[0])])
+        inside = jnp.broadcast_to(inside, (oh, ow))
         return jnp.where(inside[None], out, 0.0)

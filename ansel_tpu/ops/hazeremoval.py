@@ -28,8 +28,30 @@ W2 = 9  # guided-filter window
 EPS = 0.025  # guided-filter regularization (variance units)
 
 
+def _window_reduce_shifts(x, radius, fn):
+    """Separable (2r+1)^2 running min/max as fused shifted selects —
+    XLA's reduce_window on a single-channel TPU plane pays the 128-lane
+    im2col pad (CLAUDE.md single-channel-conv rule)."""
+    from ..pixel.shifts import PaddedView
+
+    def axis_pass(v, axis):
+        pv = PaddedView(v, radius)
+        out = v
+        for d in range(1, radius + 1):
+            if axis == 0:
+                out = fn(out, fn(pv.at(-d, 0), pv.at(d, 0)))
+            else:
+                out = fn(out, fn(pv.at(0, -d), pv.at(0, d)))
+        return out
+
+    return axis_pass(axis_pass(x, 0), 1)
+
+
 def _window_reduce(x, radius, fn, init):
     """Separable (2r+1)^2 running min/max over the last two dims."""
+    if x.ndim == 2 and radius <= 16:
+        sel = jnp.minimum if init == jnp.inf else jnp.maximum
+        return _window_reduce_shifts(x, radius, sel)
     win = 2 * radius + 1
     y = jax.lax.reduce_window(x, init, fn, (win, 1), (1, 1), "SAME")
     return jax.lax.reduce_window(y, init, fn, (1, win), (1, 1), "SAME")

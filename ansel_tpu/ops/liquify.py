@@ -177,8 +177,15 @@ class Liquify(Op):
         warps = [w for w in warps if abs(w.radius - w.point) >= 1.0]
         if not warps:
             return OpPlan(spec_in=spec_in, spec_out=spec_in, static=None)
+        # static displacement bound: falloff f <= 1, |dx|/R <= 1 inside
+        # the stamp, so each warp contributes at most its strength
+        bound = float(sum(
+            0.5 * abs(w.strength - w.point)
+            * (STAMP_RELOCATION if w.status & STATUS_INTERPOLATED else 1.0)
+            for w in warps)) + 2.0
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
-                      static=(len(warps), hash(bytes(p.nodes))))
+                      static=(len(warps), hash(bytes(p.nodes)),
+                              round(bound, 1)))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: LiquifyParams):
         if plan.static is None:
@@ -205,15 +212,14 @@ class Liquify(Op):
                 "sy": s.imag.astype(np.float32), "poly": poly,
                 "radial": radial, "smag": np.abs(s).astype(np.float32)}
 
-    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        if plan.static is None:
-            return x
+    def _dmap(self, c, yy, xx):
+        """Summed displacement field of all warp stamps at (yy, xx) —
+        analytic in the coordinates, so the Pallas warp's fixed-point
+        inversion can evaluate it on extended grids."""
         import jax
         import jax.numpy as jnp
 
-        H, W = x.shape[-2:]
-        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        shape = jnp.broadcast_shapes(jnp.shape(yy), jnp.shape(xx))
 
         def step(acc, w):
             dx = xx - w["px"]
@@ -223,14 +229,38 @@ class Liquify(Op):
             for k in range(c["poly"].shape[1]):
                 f = f * d + w["poly"][k]
             f = jnp.where(d < 1.0, jnp.clip(f, 0.0, 1.0), 0.0)
-            lin = jnp.stack([f * w["sx"], f * w["sy"]])
+            lin = jnp.stack([jnp.broadcast_to(f * w["sx"], shape),
+                             jnp.broadcast_to(f * w["sy"], shape)])
             rad = jnp.stack([f * w["smag"] * dx / w["R"],
                              f * w["smag"] * dy / w["R"]]) * w["radial"]
+            rad = jnp.broadcast_to(rad, (2,) + shape)
             is_rad = (w["radial"] != 0.0)
             return acc - jnp.where(is_rad, rad, lin), None
 
-        init = jnp.zeros((2, H, W), x.dtype)
+        init = jnp.zeros((2,) + shape, jnp.float32)
         dmap, _ = jax.lax.scan(step, init, c)
+        return dmap
+
+    def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        if plan.static is None:
+            return x
+        import jax
+        import jax.numpy as jnp
+
+        H, W = x.shape[-2:]
+        bound = plan.static[2]
+        if jax.default_backend() == "tpu" and bound <= 400.0:
+            from ..kernels.warp_pallas import warp_model
+
+            def coord_fn(y, xx_):
+                d = self._dmap(c, y, xx_)
+                return y + d[1], xx_ + d[0]
+
+            return warp_model(x, coord_fn, bound, bound)
+
+        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        dmap = self._dmap(c, yy, xx)
         sx = xx + dmap[0]
         sy = yy + dmap[1]
         return jnp.stack([_sample_bilinear(x[i], sy, sx)
