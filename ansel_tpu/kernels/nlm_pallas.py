@@ -1,0 +1,140 @@
+"""Non-local-means as a Pallas TPU kernel.
+
+Behavioral reference: `/root/reference/src/pixel/nlmeans_core.c` (patch-SSD
+weighted average over the search lattice; iop weighting :405, denoiseprofile
+weighting :417-423).  The XLA scan formulation (pixel/nlmeans.py) pays ~9
+full-plane HBM round trips per search offset — 225 offsets x ~2 GB ≈ 450 GB
+of traffic ≈ 1 s/instance at 24 MP.  Here each grid step DMAs one haloed
+tile into VMEM and runs every offset on the resident tile: one HBM read +
+one write total, VPU-bound.
+
+Search offsets (incl. the scatter lattice) are static Python values, so the
+offset loop is fully unrolled with static `pltpu.roll` shifts (wrap garbage
+stays in the discarded halo, the rcd_pallas halo-tile pattern).  Traced
+scalars (sharpness, center-weight) ride the SMEM consts vector.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 64
+TILE_W = 512
+BORDER_W = 128          # lane-aligned halo; max |dx| + P must fit
+
+
+def _round_up(v, m):
+    return -(-int(v) // m) * m
+
+
+def _kernel(consts_ref, off_ref, hbm_ref, o0_ref, o1_ref, o2_ref, tile,
+            sem, *, n_off, P, variant, bh, bw):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    buf_h, buf_w = TILE_H + 2 * bh, TILE_W + 2 * bw
+    copy = pltpu.make_async_copy(
+        hbm_ref.at[:, pl.ds(i * TILE_H, buf_h), pl.ds(j * TILE_W, buf_w)],
+        tile, sem)
+    copy.start()
+    copy.wait()
+    x0, x1, x2 = tile[0], tile[1], tile[2]
+    sharp = consts_ref[0]
+    cp_norm = consts_ref[1]
+    inv1cw = consts_ref[2]
+    norm = (consts_ref[3], consts_ref[4], consts_ref[5])
+
+    # center crop used for the SSD (tile + P ring)
+    ch, cw_ = TILE_H + 2 * P, TILE_W + 2 * P
+    cs = (slice(bh - P, bh - P + ch), slice(bw - P, bw - P + cw_))
+    c0, c1, c2 = x0[cs], x1[cs], x2[cs]
+    ts = (slice(P, P + TILE_H), slice(P, P + TILE_W))
+    ks = (slice(bh, bh + TILE_H), slice(bw, bw + TILE_W))
+
+    # fori_loop with SMEM offsets + dynamic rolls: a fully unrolled
+    # offset loop (up to 225 stamps) blows the kernel's scoped-VMEM
+    # stack; the rolled loop keeps one offset's temporaries live
+    def body(k, carry):
+        acc0, acc1, acc2, wsum = carry
+        dy = off_ref[k, 0]
+        dx = off_ref[k, 1]
+        s0 = pltpu.roll(pltpu.roll(x0, -dy, 0), -dx, 1)
+        s1 = pltpu.roll(pltpu.roll(x1, -dy, 0), -dx, 1)
+        s2 = pltpu.roll(pltpu.roll(x2, -dy, 0), -dx, 1)
+        d2 = (norm[0] * (c0 - s0[cs]) ** 2
+              + norm[1] * (c1 - s1[cs]) ** 2
+              + norm[2] * (c2 - s2[cs]) ** 2)
+        # patch sum, separable static slices (2P+1 taps per axis)
+        r = None
+        for a in range(2 * P + 1):
+            t = d2[a:a + TILE_H, :]
+            r = t if r is None else r + t
+        ssd = None
+        for b in range(2 * P + 1):
+            t = r[:, b:b + TILE_W]
+            ssd = t if ssd is None else ssd + t
+        if variant == 0:      # iop nlmeans (nlmeans_core.c:405)
+            w = jnp.exp2(-ssd * sharp)
+        else:                 # denoiseprofile (nlmeans_core.c:417-423)
+            dis = (ssd + d2[ts] * cp_norm) * inv1cw
+            w = jnp.exp2(-jnp.maximum(0.0, dis * sharp - 2.0))
+        return (acc0 + s0[ks] * w, acc1 + s1[ks] * w,
+                acc2 + s2[ks] * w, wsum + w)
+
+    z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    acc0, acc1, acc2, wsum = jax.lax.fori_loop(
+        0, n_off, body, (z, z, z, z))
+    inv = 1.0 / jnp.maximum(wsum, 1e-12)
+    o0_ref[:] = acc0 * inv
+    o1_ref[:] = acc1 * inv
+    o2_ref[:] = acc2 * inv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "P", "variant", "interpret"))
+def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
+               variant: int, interpret: bool = False):
+    """img (3, H, W); offsets: static tuple of (dy, dx); P: patch radius;
+    norm: per-channel SSD weights (traced ok); sharpness/cp_norm/inv1cw:
+    traced scalars.  -> weighted patch average (3, H, W)."""
+    _, h, w = img.shape
+    m = max((max(abs(o[0]), abs(o[1])) for o in offsets), default=0)
+    bh = _round_up(m + P, 8)
+    bw = BORDER_W
+    assert m + P <= bw, (m, P)
+    nh, nw = -(-h // TILE_H), -(-w // TILE_W)
+    pad_b = nh * TILE_H + 2 * bh - (h + bh)
+    pad_r = nw * TILE_W + 2 * bw - (w + bw)
+    xp = jnp.pad(img, ((0, 0), (bh, pad_b), (bw, pad_r)), mode="edge")
+    nrm = jnp.ravel(jnp.asarray(norm, jnp.float32))[:3]
+    consts = jnp.concatenate([
+        jnp.stack([jnp.asarray(sharpness, jnp.float32),
+                   jnp.asarray(cp_norm, jnp.float32),
+                   jnp.asarray(inv1cw, jnp.float32)]), nrm])
+    off = jnp.asarray(list(offsets), jnp.int32).reshape(len(offsets), 2)
+
+    out_shape = [jax.ShapeDtypeStruct((nh * TILE_H, nw * TILE_W),
+                                      jnp.float32)] * 3
+    out_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, n_off=len(offsets), P=P,
+                             variant=variant, bh=bh, bw=bw)
+    o0, o1, o2 = pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[out_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((3, TILE_H + 2 * bh, TILE_W + 2 * bw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(consts, off, xp)
+    return jnp.stack([o0[:h, :w], o1[:h, :w], o2[:h, :w]])

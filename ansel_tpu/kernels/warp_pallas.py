@@ -171,10 +171,26 @@ def warp_bilinear(img, syx, sx, pad_y: int, pad_x: int,
     return out[:, :h, :w]
 
 
+def _upsample_node(F, cs: int, axis: int, n_out: int):
+    """Node-centered bilinear upsample along `axis`: coarse node j sits
+    at full-res position j*cs; -> first n_out samples.  Phase-unrolled
+    stack+reshape (no gathers)."""
+    axis = axis % F.ndim
+    n = F.shape[axis]
+    F0 = jax.lax.slice_in_dim(F, 0, n - 1, axis=axis)
+    F1 = jax.lax.slice_in_dim(F, 1, n, axis=axis)
+    phases = [F0 * (1.0 - r / cs) + F1 * (r / cs) for r in range(cs)]
+    st = jnp.stack(phases, axis=axis + 1)
+    shape = list(F.shape)
+    shape[axis] = (n - 1) * cs
+    out = st.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, n_out, axis=axis)
+
+
 def warp_model(img, coord_fn, max_dy: float, max_dx: float,
                per_channel=None, fp_iters: int = 6,
                interpret: bool = False, out_shape=None,
-               src_offset=(0, 0)):
+               src_offset=(0, 0), coarse: int = 1):
     """Warp `img` (C, H, W) by a coordinate model.
 
     coord_fn(y, x[, ch]) -> (sy, sx): traced elementwise mapping from
@@ -184,6 +200,11 @@ def warp_model(img, coord_fn, max_dy: float, max_dx: float,
     (oy, ox) = src_offset, the static translation between the output
     grid (out_shape, default img's) and the source; the halo window
     around the offset grid is cut from REAL source data.
+    coarse > 1: evaluate the coord model (and its fixed-point inverse)
+    on a stride-`coarse` grid and bilinearly upsample the coordinate
+    fields — sound for smooth warps (every optical/brush warp here) and
+    removes the per-pixel model cost when coord_fn is expensive
+    (liquify's K-stamp scan).
     """
     c, hs, ws = img.shape
     oy, ox = src_offset
@@ -204,21 +225,35 @@ def warp_model(img, coord_fn, max_dy: float, max_dx: float,
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, :]
     xe = jnp.arange(-pad_x, w + pad_x, dtype=jnp.float32)[None, :]
+    cs = max(int(coarse), 1)
+    if cs > 1:
+        nyc = -(-h // cs) + 1
+        nxc = -(-w // cs) + 1
+        nxec = -(-(w + 2 * pad_x) // cs) + 1
+        yy_c = (jnp.arange(nyc, dtype=jnp.float32) * cs)[:, None]
+        xx_c = (jnp.arange(nxc, dtype=jnp.float32) * cs)[None, :]
+        xe_c = (jnp.arange(nxec, dtype=jnp.float32) * cs - pad_x)[None, :]
+    else:
+        yy_c, xx_c, xe_c = yy, xx, xe
 
     syx_all, sx_all = [], []
     for ch in chans:
         fn = (lambda y, x, _c=ch: coord_fn(y, x, _c)) if ch is not None \
             else coord_fn
-        _, sx = fn(yy, xx)
-        sx = jnp.broadcast_to(sx, (h, w)) - ox
+        _, sx = fn(yy_c, xx_c)
+        sx = jnp.broadcast_to(sx, (yy_c.shape[0], xx_c.shape[1])) - ox
         # row-wise inverse of sx on the extended grid (fixed point);
         # hx stays in OUTPUT coords, coord_fn speaks absolute source
-        hx = jnp.broadcast_to(xe, (h, xe.shape[1]))
+        hx = jnp.broadcast_to(xe_c, (yy_c.shape[0], xe_c.shape[1]))
         for _ in range(fp_iters):
-            _, sx_at = fn(yy, hx)
-            hx = hx + (xe - (sx_at - ox))
-        syx, _ = fn(yy, hx)
-        syx = jnp.broadcast_to(syx, (h, hx.shape[1])) - oy
+            _, sx_at = fn(yy_c, hx)
+            hx = hx + (xe_c - (sx_at - ox))
+        syx, _ = fn(yy_c, hx)
+        syx = jnp.broadcast_to(syx, (yy_c.shape[0], hx.shape[1])) - oy
+        if cs > 1:
+            sx = _upsample_node(_upsample_node(sx, cs, 0, h), cs, 1, w)
+            syx = _upsample_node(_upsample_node(syx, cs, 0, h),
+                                 cs, 1, w + 2 * pad_x)
         syx_all.append(jnp.clip(syx, yy - (pad_y - 1.0),
                                 yy + (pad_y - 1.0)))
         sx_all.append(jnp.clip(sx, xx - (pad_x - 1.0),

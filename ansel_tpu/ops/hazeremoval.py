@@ -65,6 +65,29 @@ def box_max(x, radius):
     return _window_reduce(x, radius, jax.lax.max, -jnp.inf)
 
 
+def _bisect_quantile(v, target_count, lo, hi, mask=None, iters: int = 18):
+    """Smallest t in [lo, hi] with count(v <= t [and mask]) >= target:
+    the quantile the reference extracts by partial sort
+    (hazeremoval.c:415-484 quickselect).  A 24MP `jnp.sort` costs
+    ~70 ms/plane on TPU; 18 bisection rounds of a counting reduction
+    are ~2 ms and converge to range/2^18 — far below the estimator's
+    own noise (it feeds a mean over thousands of pixels)."""
+
+    def body(_, ab):
+        a, b = ab
+        m = 0.5 * (a + b)
+        le = v <= m
+        if mask is not None:
+            le = le & mask
+        cnt = jnp.sum(le)
+        hit = cnt >= target_count
+        return (jnp.where(hit, a, m), jnp.where(hit, m, b))
+
+    _, b = jax.lax.fori_loop(0, iters, body,
+                             (lo * 1.0, hi * 1.0))
+    return b
+
+
 @params(op="hazeremoval", version=1)
 @dataclasses.dataclass
 class HazeRemovalParams:
@@ -86,25 +109,21 @@ class HazeRemoval(Op):
         size = H * W
         dark = box_min(jnp.min(x, axis=0), W1)
 
-        # ambient light A0 (hazeremoval.c:415-484)
-        flat_dark = dark.reshape(-1)
-        sorted_dark = jnp.sort(flat_dark)
-        crit_haze = sorted_dark[int(size * 0.95)]
-        hazy = flat_dark >= crit_haze
+        # ambient light A0 (hazeremoval.c:415-484) — quantiles by value
+        # bisection instead of full sorts (see _bisect_quantile)
+        crit_haze = _bisect_quantile(dark, size * 0.95 + 1.0,
+                                     jnp.min(dark), jnp.max(dark))
+        hazy = dark >= crit_haze
         n_hazy = jnp.sum(hazy)
-        sums = (x[0] + x[1] + x[2]).reshape(-1)
-        # bright quantile among the hazy subset: mask the rest to -inf so
-        # the subset occupies the tail of the sort, then index at
-        # (size - n) + 0.95 n
-        masked = jnp.where(hazy, sums, -jnp.inf)
-        sorted_sums = jnp.sort(masked)
-        idx = jnp.clip(size - n_hazy + (n_hazy * 0.95).astype(jnp.int32),
-                       0, size - 1)
-        crit_bright = sorted_sums[idx]
+        sums = x[0] + x[1] + x[2]
+        # bright quantile among the hazy subset
+        crit_bright = _bisect_quantile(
+            sums, n_hazy.astype(jnp.float32) * 0.95 + 1.0,
+            jnp.min(sums), jnp.max(sums), mask=hazy)
         sel = hazy & (sums >= crit_bright)
         n_sel = jnp.maximum(jnp.sum(sel), 1)
-        A0 = jnp.stack([jnp.sum(jnp.where(sel, x[i].reshape(-1), 0.0))
-                        / n_sel for i in range(3)])
+        A0 = jnp.stack([jnp.sum(jnp.where(sel, x[i], 0.0)) / n_sel
+                        for i in range(3)])
         distance_max = jnp.where(crit_haze > 0,
                                  -1.125 * jnp.log(jnp.maximum(crit_haze,
                                                               1e-30)),

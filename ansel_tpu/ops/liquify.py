@@ -172,27 +172,11 @@ class Liquify(Op):
     def enabled_by_default(self, meta):
         return False
 
-    def plan(self, ctx: PlanContext, spec_in, p: LiquifyParams) -> OpPlan:
+    def _warp_arrays(self, p: LiquifyParams):
         warps = interpolate_paths(decode_nodes(p.nodes))
         warps = [w for w in warps if abs(w.radius - w.point) >= 1.0]
         if not warps:
-            return OpPlan(spec_in=spec_in, spec_out=spec_in, static=None)
-        # static displacement bound: falloff f <= 1, |dx|/R <= 1 inside
-        # the stamp, so each warp contributes at most its strength
-        bound = float(sum(
-            0.5 * abs(w.strength - w.point)
-            * (STAMP_RELOCATION if w.status & STATUS_INTERPOLATED else 1.0)
-            for w in warps)) + 2.0
-        return OpPlan(spec_in=spec_in, spec_out=spec_in,
-                      static=(len(warps), hash(bytes(p.nodes)),
-                              round(bound, 1)))
-
-    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: LiquifyParams):
-        if plan.static is None:
             return None
-        warps = interpolate_paths(decode_nodes(p.nodes))
-        warps = [w for w in warps if abs(w.radius - w.point) >= 1.0]
-        K = len(warps)
         px = np.array([w.point.real for w in warps], np.float32)
         py = np.array([w.point.imag for w in warps], np.float32)
         R = np.array([abs(w.radius - w.point) for w in warps], np.float32)
@@ -211,6 +195,55 @@ class Liquify(Op):
         return {"px": px, "py": py, "R": R, "sx": s.real.astype(np.float32),
                 "sy": s.imag.astype(np.float32), "poly": poly,
                 "radial": radial, "smag": np.abs(s).astype(np.float32)}
+
+    def plan(self, ctx: PlanContext, spec_in, p: LiquifyParams) -> OpPlan:
+        c = self._warp_arrays(p)
+        if c is None:
+            return OpPlan(spec_in=spec_in, spec_out=spec_in, static=None)
+        # measured displacement bounds: the stamp sum evaluated on a
+        # coarse host grid over the stamp-union support (the falloffs
+        # are smooth over R >= 1 px, so a stride-4 grid plus margin is a
+        # sound upper bound — vastly tighter than the strength-sum worst
+        # case, which disabled the Pallas warp for any real brush path)
+        x0 = float((c["px"] - c["R"]).min())
+        x1 = float((c["px"] + c["R"]).max())
+        y0 = float((c["py"] - c["R"]).min())
+        y1 = float((c["py"] + c["R"]).max())
+        gx = np.arange(x0 - 2, x1 + 2, 4.0, dtype=np.float64)
+        gy = np.arange(y0 - 2, y1 + 2, 4.0, dtype=np.float64)
+        XX, YY = np.meshgrid(gx, gy)
+        DX = np.zeros_like(XX)
+        DY = np.zeros_like(YY)
+        for k in range(len(c["R"])):
+            dx = XX - c["px"][k]
+            dy = YY - c["py"][k]
+            d = np.sqrt(dx * dx + dy * dy) / c["R"][k]
+            f = np.polyval(c["poly"][k], d)
+            f = np.where(d < 1.0, np.clip(f, 0.0, 1.0), 0.0)
+            if c["radial"][k] != 0.0:
+                DX -= c["radial"][k] * f * c["smag"][k] * dx / c["R"][k]
+                DY -= c["radial"][k] * f * c["smag"][k] * dy / c["R"][k]
+            else:
+                DX -= f * c["sx"][k]
+                DY -= f * c["sy"][k]
+        bound_x = float(np.abs(DX).max()) * 1.05 + 4.0
+        bound_y = float(np.abs(DY).max()) * 1.05 + 4.0
+        # stamp-union window: d == 0 outside it, so only this region is
+        # warped and pasted back (identity elsewhere)
+        H = spec_in.array_shape[-2]
+        W = spec_in.array_shape[-1]
+        win = (max(int(np.floor(y0)) - 2, 0), min(int(np.ceil(y1)) + 3, H),
+               max(int(np.floor(x0)) - 2, 0), min(int(np.ceil(x1)) + 3, W))
+        if win[1] - win[0] < 8 or win[3] - win[2] < 8:
+            return OpPlan(spec_in=spec_in, spec_out=spec_in, static=None)
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(len(c["R"]), hash(bytes(p.nodes)),
+                              round(bound_y, 1), round(bound_x, 1), win))
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p: LiquifyParams):
+        if plan.static is None:
+            return None
+        return self._warp_arrays(p)
 
     def _dmap(self, c, yy, xx):
         """Summed displacement field of all warp stamps at (yy, xx) —
@@ -247,21 +280,29 @@ class Liquify(Op):
         import jax
         import jax.numpy as jnp
 
-        H, W = x.shape[-2:]
-        bound = plan.static[2]
-        if jax.default_backend() == "tpu" and bound <= 400.0:
+        _k, _h, bound_y, bound_x, win = plan.static
+        y0, y1, x0, x1 = win
+        bh, bw = y1 - y0, x1 - x0
+
+        if jax.default_backend() == "tpu" and max(bound_y,
+                                                  bound_x) <= 480.0:
             from ..kernels.warp_pallas import warp_model
 
             def coord_fn(y, xx_):
-                d = self._dmap(c, y, xx_)
-                return y + d[1], xx_ + d[0]
+                ya, xa = y + y0, xx_ + x0        # absolute coords
+                d = self._dmap(c, ya, xa)
+                return ya + d[1], xa + d[0]
 
-            return warp_model(x, coord_fn, bound, bound)
+            out_w = warp_model(x, coord_fn, bound_y, bound_x,
+                               out_shape=(bh, bw), src_offset=(y0, x0),
+                               coarse=8)
+            return x.at[:, y0:y1, x0:x1].set(out_w)
 
-        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (bh, bw), 1) + x0
+        yy = jax.lax.broadcasted_iota(jnp.float32, (bh, bw), 0) + y0
         dmap = self._dmap(c, yy, xx)
         sx = xx + dmap[0]
         sy = yy + dmap[1]
-        return jnp.stack([_sample_bilinear(x[i], sy, sx)
-                          for i in range(x.shape[0])])
+        out_w = jnp.stack([_sample_bilinear(x[i], sy, sx)
+                           for i in range(x.shape[0])])
+        return x.at[:, y0:y1, x0:x1].set(out_w)

@@ -37,6 +37,7 @@ class Spots(Op):
 
     def plan(self, ctx: PlanContext, spec_in, p: SpotsParams) -> OpPlan:
         from ..pipeline import masks as mk
+        from . import _maskwin
 
         forms = ctx.notes.get("forms", {})
         clones = []
@@ -52,13 +53,15 @@ class Spots(Op):
             dx = int(round((float(form.src[0]) - cx) * spec_in.width))
             dy = int(round((float(form.src[1]) - cy) * spec_in.height))
             algo = p.clone_algo[list(p.clone_id).index(fid)]
+            win = _maskwin.plan_window(form, forms, spec_in, dy, dx)
             clones.append((mk.form_signature(form, forms), fid, dy, dx,
-                           int(algo)))
+                           int(algo), win))
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=tuple(clones))
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         from ..pipeline import masks as mk
+        from . import _maskwin
 
         if not plan.static:
             return x
@@ -66,17 +69,24 @@ class Spots(Op):
         H, W = x.shape[-2:]
         spec = plan.spec_in
         out = x
-        for (_sig, fid, dy, dx, algo) in plan.static:
+        for (_sig, fid, dy, dx, algo, win) in plan.static:
             form = forms.get(fid)
             if form is None:
                 continue
-            m = mk.rasterize(form, forms, H, W,
-                             norm_h=spec.height, norm_w=spec.width)
-            src = jnp.roll(out, (-dy, -dx), axis=(-2, -1))
-            if algo == 2:  # heal (the default)
-                from ..pixel.heal import heal
 
-                out = heal(out, src, m)
-            else:  # clone
-                out = out * (1.0 - m)[None] + src * m[None]
+            def tool(dst, src, m, _algo=algo):
+                if _algo == 2:  # heal (the default)
+                    from ..pixel.heal import heal
+
+                    return heal(dst, src, m)
+                return dst * (1.0 - m)[None] + src * m[None]
+
+            if win is not None:
+                out = _maskwin.apply_windowed(out, form, forms, spec, win,
+                                              tool, dy, dx)
+            else:
+                m = mk.rasterize(form, forms, H, W,
+                                 norm_h=spec.height, norm_w=spec.width)
+                src = jnp.roll(out, (-dy, -dx), axis=(-2, -1))
+                out = tool(out, src, m)
         return out

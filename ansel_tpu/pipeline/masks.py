@@ -105,15 +105,15 @@ def decode_points(mask_type: int, blob: bytes, nb: int) -> List[tuple]:
 # --- device rasterizers ------------------------------------------------------
 
 
-def _grid(H: int, W: int):
-    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+def _grid(H: int, W: int, origin=(0, 0)):
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + float(origin[0])
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + float(origin[1])
     return x, y
 
 
-def _circle_mask(node, H, W, nh, nw):
+def _circle_mask(node, H, W, nh, nw, origin=(0, 0)):
     cx, cy, radius, border = (jnp.float32(v) for v in node[:4])
-    x, y = _grid(H, W)
+    x, y = _grid(H, W, origin)
     mind = float(min(nw, nh))
     l2 = (x - cx * nw) ** 2 + (y - cy * nh) ** 2
     r2 = (radius * mind) ** 2
@@ -122,10 +122,10 @@ def _circle_mask(node, H, W, nh, nw):
     return f * f
 
 
-def _ellipse_mask(node, H, W, nh, nw):
+def _ellipse_mask(node, H, W, nh, nw, origin=(0, 0)):
     cx, cy, r0, r1, rotation, border = (jnp.float32(v) for v in node[:6])
     flags = int(node[6])
-    x, y = _grid(H, W)
+    x, y = _grid(H, W, origin)
     mind = float(min(nw, nh))
     xr = x - cx * nw
     yr = y - cy * nh
@@ -156,11 +156,11 @@ def _ellipse_mask(node, H, W, nh, nw):
     return f * f
 
 
-def _gradient_mask(node, H, W, nh, nw):
+def _gradient_mask(node, H, W, nh, nw, origin=(0, 0)):
     cx, cy, rotation, extent, _steep, curvature = (
         jnp.float32(v) for v in node[:6])
     state = int(node[6])
-    x, y = _grid(H, W)
+    x, y = _grid(H, W, origin)
     hwscale = 1.0 / float(np.hypot(nw, nh))
     v = -rotation / 180.0 * np.pi
     sinv, cosv = jnp.sin(v), jnp.cos(v)
@@ -189,8 +189,11 @@ def _bezier_polyline(nodes, nh, nw, samples_per_seg: int = 20):
         nxt = nodes[(i + 1) % n]
         c2 = np.array(nxt[2:4])               # ctrl1 of next
         p1 = np.array(nxt[0:2])
-        b0 = np.linalg.norm(np.array(nodes[i][6:8]) - p0)
-        b1 = np.linalg.norm(np.array(nxt[6:8]) - p1)
+        # border[0]/border[1] are normalized border RADII (after/before
+        # the node), scaled by MIN(iwd, iht) — polygon.c:801-810,
+        # brush.c:838-847
+        b0 = float(nodes[i][7])
+        b1 = float(nxt[6])
         t = np.linspace(0.0, 1.0, samples_per_seg, endpoint=False)[:, None]
         seg = ((1 - t) ** 3 * p0 + 3 * (1 - t) ** 2 * t * c1
                + 3 * (1 - t) * t ** 2 * c2 + t ** 3 * p1)
@@ -203,10 +206,10 @@ def _bezier_polyline(nodes, nh, nw, samples_per_seg: int = 20):
     return P.astype(np.float32), np.maximum(B, 1e-3).astype(np.float32)
 
 
-def _scan_edges(P, B, H, W, inside_test: bool):
+def _scan_edges(P, B, H, W, inside_test: bool, origin=(0, 0)):
     """lax.scan over polyline edges computing (crossings, min signed
     distance, border width at nearest edge)."""
-    x, y = _grid(H, W)
+    x, y = _grid(H, W, origin)
     P0 = jnp.asarray(P)
     P1 = jnp.roll(P0, -1, axis=0)
     Bv = jnp.asarray(B)
@@ -240,18 +243,19 @@ def _scan_edges(P, B, H, W, inside_test: bool):
     return cross, dmin, bsel
 
 
-def _polygon_mask(nodes, H, W, nh, nw):
+def _polygon_mask(nodes, H, W, nh, nw, origin=(0, 0)):
     """Filled bezier path with per-node feathering (masks/polygon.c) —
     boundary sampled host-side, falloff f^2 over the border width."""
     P, B = _bezier_polyline(nodes, nh, nw)
-    cross, dmin, bsel = _scan_edges(P, B, H, W, inside_test=True)
+    cross, dmin, bsel = _scan_edges(P, B, H, W, inside_test=True,
+                                    origin=origin)
     inside = (cross % 2) == 1
     f = jnp.clip(1.0 - dmin / jnp.maximum(bsel, 1e-3), 0.0, 1.0)
     fall = f * f
     return jnp.where(inside, 1.0, fall)
 
 
-def _brush_mask(nodes, H, W, nh, nw):
+def _brush_mask(nodes, H, W, nh, nw, origin=(0, 0)):
     """Brush stroke: capsule falloff around the sampled bezier centerline
     with per-node radius/hardness/density (masks/brush.c)."""
     # nodes: node2 ctrl1_2 ctrl2_2 border2 density hardness state
@@ -259,7 +263,8 @@ def _brush_mask(nodes, H, W, nh, nw):
     P, B = _bezier_polyline(poly_nodes, nh, nw)
     density = float(np.mean([n[8] for n in nodes])) or 1.0
     hardness = float(np.mean([np.clip(n[9], 0.01, 1.0) for n in nodes]))
-    _cross, dmin, bsel = _scan_edges(P, B, H, W, inside_test=False)
+    _cross, dmin, bsel = _scan_edges(P, B, H, W, inside_test=False,
+                                     origin=origin)
     r_in = bsel * hardness
     f = jnp.clip(1.0 - (dmin - r_in) / jnp.maximum(bsel - r_in, 1e-3),
                  0.0, 1.0)
@@ -268,22 +273,23 @@ def _brush_mask(nodes, H, W, nh, nw):
 
 def rasterize(form: Form, forms: Dict[int, Form], H: int, W: int,
               norm_h: int = 0, norm_w: int = 0,
-              _depth: int = 0) -> jnp.ndarray:
+              _depth: int = 0, origin=(0, 0)) -> jnp.ndarray:
     """-> (H, W) float mask in [0, 1].  (H, W) is the (padded) grid;
     normalized shape coordinates refer to (norm_h, norm_w) — the valid
-    image dims (default: the grid dims)."""
+    image dims (default: the grid dims).  `origin` = (y0, x0) pixel
+    offset of the grid within the image (windowed rasterization)."""
     nh, nw = norm_h or H, norm_w or W
     t = _base_type(form.type)
     if t == MASK_CIRCLE:
-        return _circle_mask(form.nodes[0], H, W, nh, nw)
+        return _circle_mask(form.nodes[0], H, W, nh, nw, origin)
     if t == MASK_ELLIPSE:
-        return _ellipse_mask(form.nodes[0], H, W, nh, nw)
+        return _ellipse_mask(form.nodes[0], H, W, nh, nw, origin)
     if t == MASK_GRADIENT:
-        return _gradient_mask(form.nodes[0], H, W, nh, nw)
+        return _gradient_mask(form.nodes[0], H, W, nh, nw, origin)
     if t == MASK_POLYGON:
-        return _polygon_mask(form.nodes, H, W, nh, nw)
+        return _polygon_mask(form.nodes, H, W, nh, nw, origin)
     if t == MASK_BRUSH:
-        return _brush_mask(form.nodes, H, W, nh, nw)
+        return _brush_mask(form.nodes, H, W, nh, nw, origin)
     if t == MASK_GROUP:
         if _depth > 4:
             return jnp.zeros((H, W), jnp.float32)
@@ -292,7 +298,7 @@ def rasterize(form: Form, forms: Dict[int, Form], H: int, W: int,
             sub = forms.get(formid)
             if sub is None:
                 continue
-            m = rasterize(sub, forms, H, W, nh, nw, _depth + 1)
+            m = rasterize(sub, forms, H, W, nh, nw, _depth + 1, origin)
             if state & STATE_INVERSE:
                 m = 1.0 - m
             m = m * float(opacity)
@@ -311,6 +317,59 @@ def rasterize(form: Form, forms: Dict[int, Form], H: int, W: int,
                 mask = jnp.maximum(mask, m)
         return mask
     return jnp.zeros((H, W), jnp.float32)
+
+
+def form_bbox(form: Optional[Form], forms: Dict[int, Form],
+              nh: int, nw: int, _depth: int = 0):
+    """Host-side support bounding box of a form's mask in pixels:
+    (y0, y1, x0, x1) half-open, UNCLAMPED (may extend past the image), or
+    None when the support is unbounded (gradient, inverted member, depth
+    overflow).  Mirrors the per-shape falloff extents used by the
+    rasterizers above (reference: each shape's *_get_area in
+    src/develop/masks/*.c)."""
+    if form is None or not form.nodes:
+        return None
+    t = _base_type(form.type)
+    mind = float(min(nw, nh))
+    if t == MASK_CIRCLE:
+        cx, cy, radius, border = form.nodes[0][:4]
+        r = (float(radius) + float(border)) * mind
+        return (int(np.floor(cy * nh - r)), int(np.ceil(cy * nh + r)) + 1,
+                int(np.floor(cx * nw - r)), int(np.ceil(cx * nw + r)) + 1)
+    if t == MASK_ELLIPSE:
+        cx, cy, r0, r1, _rot, border = form.nodes[0][:6]
+        flags = int(form.nodes[0][6])
+        if flags & ELLIPSE_PROPORTIONAL:
+            t0, t1 = r0 * (1.0 + border), r1 * (1.0 + border)
+        else:
+            t0, t1 = r0 + border, r1 + border
+        r = max(float(t0), float(t1)) * mind  # rotation-safe outer radius
+        return (int(np.floor(cy * nh - r)), int(np.ceil(cy * nh + r)) + 1,
+                int(np.floor(cx * nw - r)), int(np.ceil(cx * nw + r)) + 1)
+    if t in (MASK_POLYGON, MASK_BRUSH):
+        nodes = form.nodes if t == MASK_POLYGON else [n[:9]
+                                                      for n in form.nodes]
+        P, B = _bezier_polyline(nodes, nh, nw)
+        b = float(np.max(B))
+        return (int(np.floor(P[:, 1].min() - b)),
+                int(np.ceil(P[:, 1].max() + b)) + 1,
+                int(np.floor(P[:, 0].min() - b)),
+                int(np.ceil(P[:, 0].max() + b)) + 1)
+    if t == MASK_GROUP:
+        if _depth > 4:
+            return None
+        box = None
+        for (formid, _parent, state, _opacity) in form.nodes:
+            if state & STATE_INVERSE:
+                return None
+            sub = form_bbox(forms.get(formid), forms, nh, nw, _depth + 1)
+            if sub is None:
+                return None
+            box = sub if box is None else (
+                min(box[0], sub[0]), max(box[1], sub[1]),
+                min(box[2], sub[2]), max(box[3], sub[3]))
+        return box
+    return None  # gradient etc: unbounded support
 
 
 def form_signature(form: Optional[Form], forms: Dict[int, Form]) -> tuple:

@@ -94,6 +94,10 @@ def run_stages(pipe: engine_mod.Pipeline, raw: np.ndarray,
     reports: List[StageReport] = []
     for s, c in zip(pipe.stages, coeffs):
         fn = jax.jit(stage_fn(s))
+        # pin coeffs on device first: the production path ships them
+        # once, and re-shipping a big aux (e.g. the watermark overlay)
+        # through the ~1-35 MB/s tunnel would time the transfer
+        c = jax.device_put(c)
         y = fn(x, c)
         _sync(y)  # warm-up compile
         t0 = time.perf_counter()

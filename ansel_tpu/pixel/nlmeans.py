@@ -48,20 +48,36 @@ def _scatter(scale: float, scattering: float, i1: int, i2: int):
 
 def nlmeans(img: jnp.ndarray, patch_radius: int, search_radius: int,
             sharpness, norm, center_weight: float = -1.0,
-            scattering: float = 0.0, scale: float = 1.0) -> jnp.ndarray:
+            scattering: float = 0.0, scale: float = 1.0,
+            force_xla: bool = False) -> jnp.ndarray:
     """(3, H, W) -> (3, H, W) weighted patch average (not yet blended with
     the input — callers apply luma/chroma blending)."""
     H, W = img.shape[-2:]
+    offsets_py = []
+    for dy in range(-search_radius, search_radius + 1):
+        for dx in range(-search_radius, search_radius + 1):
+            offsets_py.append(_scatter(scale, scattering, dy, dx))
+    m_off = max((max(abs(a), abs(b)) for a, b in offsets_py), default=0)
+
+    if (not force_xla and jax.default_backend() == "tpu"
+            and img.shape[0] == 3
+            and m_off + patch_radius <= 120 and patch_radius <= 4):
+        from ..kernels.nlm_pallas import nlm_pallas
+
+        n = 2 * patch_radius + 1
+        if center_weight >= 0.0:
+            return nlm_pallas(img, tuple(offsets_py), patch_radius, norm,
+                              sharpness, center_weight * n * n,
+                              1.0 / (1.0 + center_weight), variant=1)
+        return nlm_pallas(img, tuple(offsets_py), patch_radius, norm,
+                          sharpness, 0.0, 1.0, variant=0)
+
     norm = jnp.asarray(norm, img.dtype).reshape(3, 1, 1)
     if center_weight >= 0.0:
         n = 2 * patch_radius + 1
         cp_norm = center_weight * n * n
 
-    offsets = []
-    for dy in range(-search_radius, search_radius + 1):
-        for dx in range(-search_radius, search_radius + 1):
-            offsets.append(_scatter(scale, scattering, dy, dx))
-    off = np.asarray(offsets, np.int32)
+    off = np.asarray(offsets_py, np.int32)
     m = int(np.abs(off).max()) if len(off) else 0
     # edge-pad once; per-step shifted views are dynamic slices of this
     pad = jnp.pad(img, ((0, 0), (m, m), (m, m)), mode="edge")

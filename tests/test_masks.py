@@ -44,7 +44,7 @@ def test_gradient_mask_direction():
 def test_polygon_mask_square():
     # axis-aligned square 0.25..0.75 with straight bezier handles
     def node(x, y):
-        return (x, y, x, y, x, y, x + 0.04, y)  # border handle 0.04 away
+        return (x, y, x, y, x, y, 0.04, 0.04)  # border radius 0.04
 
     nodes = [node(0.25, 0.25), node(0.75, 0.25),
              node(0.75, 0.75), node(0.25, 0.75)]
