@@ -86,7 +86,8 @@ def upsample_axis(g: jnp.ndarray, ss: int, axis: int) -> jnp.ndarray:
         M = jnp.asarray(_upsample_matrix(n_in * ss, n_in, ss))
         moved = jnp.moveaxis(g, axis, -1)
         return jnp.moveaxis(
-            jnp.tensordot(moved, M, axes=((-1,), (1,))), -1, axis)
+            jnp.tensordot(moved, M, axes=((-1,), (1,)),
+                          precision=jax.lax.Precision.HIGHEST), -1, axis)
     pos = (np.arange(ss) + 0.5) / ss - 0.5
     i0 = np.floor(pos).astype(int)          # -1 or 0
     f = (pos - i0).astype(np.float32)

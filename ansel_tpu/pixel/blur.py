@@ -42,9 +42,15 @@ def blocked_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     shape[axis : axis + 1] = [nb, B]
     xb = xp.reshape(shape)
     tri = jnp.asarray(np.triu(np.ones((B, B), np.float32)))
-    # prefix[..., i] = sum_{j<=i} x[..., j]  ==  x @ triu
+    # prefix[..., i] = sum_{j<=i} x[..., j]  ==  x @ triu.
+    # HIGHEST precision is load-bearing: the MXU's default bf16 passes
+    # give ~0.4% error on the prefix sums, which integral-image windowed
+    # differences amplify into hugely negative variances downstream
+    # (guided_filter var = E[x^2]-E[x]^2 -> inf -> NaN); seen as the
+    # config-6 colormapping NaN plague on real TPU.
     pre = jnp.moveaxis(
-        jnp.tensordot(jnp.moveaxis(xb, axis + 1, -1), tri, axes=1),
+        jnp.tensordot(jnp.moveaxis(xb, axis + 1, -1), tri, axes=1,
+                      precision=jax.lax.Precision.HIGHEST),
         -1, axis + 1)
     tot = jax.lax.index_in_dim(pre, B - 1, axis=axis + 1, keepdims=False)
     offs = jnp.cumsum(tot, axis=axis) - tot      # exclusive block offsets

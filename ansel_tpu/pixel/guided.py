@@ -20,7 +20,9 @@ def guided_filter(guide: jnp.ndarray, src: jnp.ndarray, radius: int,
     mean_p = box_blur(src, radius)
     corr_ip = box_blur(guide * src, radius)
     corr_ii = box_blur(guide * guide, radius)
-    var_i = corr_ii - mean_i * mean_i
+    # clamp: integral-image fp32 cancellation can push var slightly
+    # negative; with var >= 0 and eps > 0 the quotient can't blow up
+    var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
     cov_ip = corr_ip - mean_i * mean_p
     a = cov_ip / (var_i + eps)
     b = mean_p - a * mean_i
