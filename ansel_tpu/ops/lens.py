@@ -30,6 +30,7 @@ from .base import Op, OpPlan, PlanContext, register
 DIST_NONE = 0
 DIST_POLY3 = 1
 DIST_PTLENS = 2
+DIST_POLY5 = 3
 
 # modify flags (lensfun LF_MODIFY_*)
 MODIFY_TCA = 1
@@ -68,6 +69,51 @@ class LensParams:
     vig_k1: float = dataclasses.field(default=0.0)
     vig_k2: float = dataclasses.field(default=0.0)
     vig_k3: float = dataclasses.field(default=0.0)
+    # TCA per-channel poly3 r/b terms (lensfun: rs = rd(b r^2 + c r + v);
+    # the serialized tca_r/tca_b act as the v terms)
+    tca_cr: float = dataclasses.field(default=0.0)
+    tca_br: float = dataclasses.field(default=0.0)
+    tca_cb: float = dataclasses.field(default=0.0)
+    tca_bb: float = dataclasses.field(default=0.0)
+    # r-normalization: 0 = half-diagonal (hand-entered coeffs, historic
+    # behavior), 1 = half-short-side (lensfun/PanoTools convention, set
+    # by the database resolver)
+    norm_short_side: int = dataclasses.field(default=0)
+
+
+def _resolve_from_db(p: "LensParams") -> "LensParams":
+    """Fill model coefficients from the lensfun database when the params
+    carry a lens identity but no explicit coefficients (the reference
+    resolves at commit time via the lensfun bridge, lens.cc).  Explicit
+    hand-set coefficients always win.  Unresolvable identities warn
+    loudly inside io.lensfun.resolve."""
+    explicit = any(abs(v) > 0.0 for v in (
+        p.dist_a, p.dist_b, p.dist_c, p.vig_k1, p.vig_k2, p.vig_k3))
+    if explicit or not (p.camera or p.lens):
+        return p
+    from ..io import lensfun as lfdb
+
+    c = lfdb.resolve(p.camera, p.lens, p.focal, p.aperture,
+                     p.distance, crop=p.crop)
+    if not c.found_lens:
+        return p
+    upd = dict(norm_short_side=1)
+    if c.have_distortion and (p.modify_flags & MODIFY_DISTORTION):
+        model = {"ptlens": DIST_PTLENS, "poly3": DIST_POLY3,
+                 "poly5": DIST_POLY5}[c.dist_model]
+        if model == DIST_POLY3:
+            upd.update(distortion_model=model, dist_a=c.dist[0])
+        else:
+            upd.update(distortion_model=model, dist_a=c.dist[0],
+                       dist_b=c.dist[1], dist_c=c.dist[2])
+    else:
+        upd.update(distortion_model=DIST_NONE)
+    if c.have_tca and (p.modify_flags & MODIFY_TCA) and not p.tca_override:
+        upd.update(tca_r=c.tca_r[0], tca_cr=c.tca_r[1], tca_br=c.tca_r[2],
+                   tca_b=c.tca_b[0], tca_cb=c.tca_b[1], tca_bb=c.tca_b[2])
+    if c.have_vignetting and (p.modify_flags & MODIFY_VIGNETTING):
+        upd.update(vig_k1=c.vig[0], vig_k2=c.vig[1], vig_k3=c.vig[2])
+    return dataclasses.replace(p, **upd)
 
 
 def _sample_bilinear(plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
@@ -96,49 +142,62 @@ class Lens(Op):
         # host-side displacement bound for the Pallas warp (static)
         import numpy as np
 
-        r = np.linspace(0.0, 1.0, 257)
+        p = _resolve_from_db(p)
+        cy = (spec_in.height - 1) / 2.0
+        cx = (spec_in.width - 1) / 2.0
+        rnorm = (min(cy, cx) if p.norm_short_side
+                 else float(np.sqrt(cx * cx + cy * cy)))
+        rmax = float(np.sqrt(cx * cx + cy * cy)) / max(rnorm, 1e-6)
+        r = np.linspace(0.0, rmax, 257)
         if (p.modify_flags & MODIFY_DISTORTION) \
                 and p.distortion_model != DIST_NONE:
             if p.distortion_model == DIST_POLY3:
                 mult = 1.0 - p.dist_a + p.dist_a * r * r
+            elif p.distortion_model == DIST_POLY5:
+                mult = 1.0 + p.dist_a * r**2 + p.dist_b * r**4
             else:
                 mult = (p.dist_a * r**3 + p.dist_b * r**2 + p.dist_c * r
                         + (1.0 - p.dist_a - p.dist_b - p.dist_c))
         else:
             mult = np.ones_like(r)
         mult = mult / max(p.scale, 1e-3)
-        tcas = ((p.tca_r, 1.0, p.tca_b)
-                if (p.modify_flags & MODIFY_TCA) else (1.0,))
+        if p.modify_flags & MODIFY_TCA:
+            tcas = (p.tca_r + p.tca_cr * r + p.tca_br * r * r,
+                    np.ones_like(r),
+                    p.tca_b + p.tca_cb * r + p.tca_bb * r * r)
+        else:
+            tcas = (np.ones_like(r),)
         max_dev = max(float(np.max(np.abs(mult * t - 1.0) * r))
                       for t in tcas)
-        cy = (spec_in.height - 1) / 2.0
-        cx = (spec_in.width - 1) / 2.0
-        rnorm = float(np.sqrt(cx * cx + cy * cy))
         max_disp = int(np.ceil(max_dev * rnorm)) + 1
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=(p.distortion_model, p.modify_flags,
-                              max_disp))
+                              max_disp, bool(p.norm_short_side)))
 
     def coeffs(self, ctx, plan, p: LensParams):
+        p = _resolve_from_db(p)
         return {"a": p.dist_a, "b": p.dist_b, "c": p.dist_c,
                 "scale": max(p.scale, 1e-3),
-                "tca_r": p.tca_r, "tca_b": p.tca_b,
+                "tca_r": [p.tca_r, p.tca_cr, p.tca_br],
+                "tca_b": [p.tca_b, p.tca_cb, p.tca_bb],
                 "vig": [p.vig_k1, p.vig_k2, p.vig_k3]}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         import math
 
-        model, flags, max_disp = plan.static
+        model, flags, max_disp, short_side = plan.static
         spec = plan.spec_in
         h, w = spec.pad_h, spec.pad_w
         cy, cx = (spec.height - 1) / 2.0, (spec.width - 1) / 2.0
-        rnorm = math.sqrt(cx * cx + cy * cy)
+        rnorm = min(cy, cx) if short_side else math.sqrt(cx * cx + cy * cy)
 
         def mult_of(r):
             # distortion: destination r -> source r multiplier
             if (flags & MODIFY_DISTORTION) and model != DIST_NONE:
                 if model == DIST_POLY3:
                     m = 1.0 - c["a"] + c["a"] * r * r
+                elif model == DIST_POLY5:
+                    m = 1.0 + c["a"] * r**2 + c["b"] * r**4
                 else:  # ptlens: ru = rd*(a rd^3 + b rd^2 + c rd + 1-a-b-c)
                     m = (c["a"] * r**3 + c["b"] * r**2 + c["c"] * r
                          + (1.0 - c["a"] - c["b"] - c["c"]))
@@ -146,14 +205,18 @@ class Lens(Op):
                 m = jnp.ones_like(r)
             return m / c["scale"]
 
-        tcas = ((c["tca_r"], 1.0, c["tca_b"])
-                if (flags & MODIFY_TCA) else (1.0, 1.0, 1.0))
+        def tca_of(r, ch):
+            # per-channel poly3 TCA: rs = rd (v + c r + b r^2)
+            if ch is None or not (flags & MODIFY_TCA) or ch == 1:
+                return 1.0
+            t = c["tca_r"] if ch == 0 else c["tca_b"]
+            return t[0] + t[1] * r + t[2] * r * r
 
         def coord(y, x_, ch=None):
             yn = (y - cy) / rnorm
             xn = (x_ - cx) / rnorm
             r = jnp.sqrt(yn * yn + xn * xn)
-            m = mult_of(r) * (1.0 if ch is None else tcas[ch])
+            m = mult_of(r) * tca_of(r, ch)
             return cy + (y - cy) * m, cx + (x_ - cx) * m
 
         if max_disp <= 1:

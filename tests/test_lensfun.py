@@ -1,0 +1,106 @@
+"""lensfun database bridge: parsing, matching, interpolation, op wiring.
+
+Reference behavior: `/root/reference/src/iop/lens.cc` (lensfun bridge).
+"""
+
+import numpy as np
+import pytest
+
+from ansel_tpu.core import log
+from ansel_tpu.io import lensfun as lf
+from ansel_tpu.ops.lens import LensParams, _resolve_from_db
+
+
+def test_bundled_db_parses():
+    cams, lenses = lf.load_db()
+    assert any("40D" in c.model for c in cams)
+    assert any("100mm" in e.model for e in lenses)
+    e = next(e for e in lenses if "24-105" in e.model)
+    assert len(e.distortion) == 4
+    assert e.distortion[0]["focal"] == 24.0
+
+
+def test_camera_match_fuzzy():
+    c = lf.find_camera("Canon EOS 40D")
+    assert c is not None and c.cropfactor == pytest.approx(1.622)
+    assert lf.find_camera("Frobnitz Z9000") is None
+
+
+def test_lens_match_and_resolve_bench_lens():
+    """The reference benchmark sidecar's lens must resolve (VERDICT r2:
+    silent identity)."""
+    r = lf.resolve("Canon EOS 40D", "Canon EF 100mm f/2.8L Macro IS USM",
+                   focal=100.0, aperture=8.0, distance=3.32)
+    assert r.found_lens
+    assert r.have_distortion and r.dist_model == "ptlens"
+    assert r.have_vignetting
+    # f/8 row should be selected (nearest aperture)
+    assert r.vig[0] == pytest.approx(-0.12)
+    assert r.crop == pytest.approx(1.622)
+
+
+def test_focal_interpolation():
+    r = lf.resolve("Canon EOS 5D Mark IV", "Canon EF 24-105mm f/4L IS USM",
+                   focal=29.5, aperture=4.0)
+    assert r.found_lens and r.dist_model == "ptlens"
+    # halfway between the 24mm and 35mm rows
+    lo_a, hi_a = 0.0205, 0.0085
+    assert r.dist[0] == pytest.approx(0.5 * (lo_a + hi_a))
+
+
+def test_unresolved_lens_warns_loudly():
+    log.clear()
+    r = lf.resolve("Canon EOS 40D", "Imaginary 12mm f/0.5", focal=12.0,
+                   aperture=0.5)
+    assert not r.found_lens
+    recs = [m for _, _, m in log.records("always")]
+    assert any("lensfun" in m and "IDENTITY" in m for m in recs)
+
+
+def test_op_params_resolution():
+    p = LensParams(camera="Canon EOS 40D",
+                   lens="Canon EF 100mm f/2.8L Macro IS USM",
+                   focal=100.0, aperture=8.0, distance=3.32)
+    q = _resolve_from_db(p)
+    assert q.norm_short_side == 1
+    assert q.dist_b != 0.0 or q.dist_c != 0.0
+    assert q.vig_k1 != 0.0
+    assert q.tca_r != 1.0 or q.tca_b != 1.0
+
+
+def test_op_explicit_coeffs_win():
+    p = LensParams(camera="Canon EOS 40D",
+                   lens="Canon EF 100mm f/2.8L Macro IS USM",
+                   dist_a=-0.02)
+    q = _resolve_from_db(p)
+    assert q is p  # untouched: hand-entered coefficients take priority
+
+
+def test_resolved_lens_stage_warps(monkeypatch):
+    """End-to-end: a lens stage with only an identity must move pixels
+    once resolved (the r2 'silently applies no correction' bug)."""
+    import jax
+
+    from ansel_tpu.core.types import ImageSpec
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.ops.base import PlanContext, get_op
+
+    op = get_op("lens")
+    p = LensParams(camera="Canon EOS 40D",
+                   lens="Canon EF 24-105mm f/4L IS USM",
+                   focal=24.0, aperture=4.0)
+    from ansel_tpu.core.types import Colorspace
+
+    spec = ImageSpec(height=96, width=128, channels=3,
+                     colorspace=Colorspace.CAMERA_RGB)
+    _, meta, _ = synth_raw(h=96, w=128)
+    ctx = PlanContext(meta=meta, scale=1.0)
+    plan = op.plan(ctx, spec, p)
+    assert plan.static[2] > 1  # nonzero displacement bound
+    c = op.coeffs(ctx, plan, p)
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.random((3, spec.pad_h, spec.pad_w)), np.float32)
+    y = np.asarray(op.apply(jax.numpy.asarray(x), jax.tree.map(
+        jax.numpy.asarray, c), plan, ctx))
+    assert np.isfinite(y).all()
+    assert np.abs(y - x).max() > 1e-3  # pixels moved / gained
