@@ -6,12 +6,16 @@ implementations in `src/iop/demosaic/{rcd.c, ppg.c, vng.c, markesteijn.c,
 lmmse.c, ...}`.
 
 TPU design: methods are static plan choices dispatching to fused-JAX or
-Pallas kernels in `ansel_tpu.kernels`.  Round 1 ships:
+Pallas kernels in `ansel_tpu.kernels`:
   * BILINEAR — masked 3x3 convolution, pure XLA (also the fallback)
   * PPG      — green gradient-select + chroma interpolation, pure XLA
   * RCD      — ratio-corrected demosaic (kernels/rcd.py), the quality default
-Passthrough modes supported.  AMaZE/LMMSE/VNG4/X-Trans arrive later rounds
-(SURVEY.md §7 step 6).
+  * LMMSE    — Bayer LMMSE (kernels/lmmse.py)
+  * VNG4     — variable-number-of-gradients (kernels/vng.py)
+  * Markesteijn 1/3-pass — X-Trans (kernels/markesteijn*.py)
+  * DUAL     — RCD/VNG4 blend by local gradient
+Passthrough modes supported.  AMaZE aliases to RCD (documented design
+choice, docs/PARITY.md).
 """
 
 from __future__ import annotations
