@@ -39,24 +39,59 @@ def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
 
 
 class BatchPipeline:
-    """vmap'd pipeline over a batch of same-shape raws, dp-sharded over the
-    mesh and row-sharded over the sp axis."""
+    """Production batch-export pipe over the mesh's "dp" axis.
 
-    def __init__(self, meta: RawMeta, history: List[HistoryItem], mesh: Mesh):
-        self.pipe = Pipeline(meta, history)
+    Each device runs the FULL fused pipe (Pallas kernels included) on its
+    local shard of the batch via `lax.map` — the pattern bench.py proves
+    on one chip — wrapped in `shard_map` so the batch axis spreads over
+    dp.  A bare `vmap` cannot do this: Pallas ANY-space refs don't take a
+    batch dimension, so the fused pointwise chain and the halo-tile
+    kernels (RCD, EAW, NLM, warp) would fail to trace.  With shard_map
+    the per-device body is exactly the single-chip program.
+
+    The mesh's "sp" axis must be 1 here: spatial GSPMD sharding and
+    manual-SPMD shard_map don't compose for Pallas bodies (use
+    `spatial_sharded_pipe` for the XLA-only big-image path).
+    """
+
+    def __init__(self, meta: RawMeta, history: List[HistoryItem],
+                 mesh: Mesh, forms=None):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        self.pipe = Pipeline(meta, history, forms=forms)
         self.mesh = mesh
+        assert mesh.shape.get("sp", 1) == 1, \
+            "BatchPipeline shards over dp only; build the mesh spatial=1"
         self._coeffs = self.pipe.coeffs()
         run = self.pipe.trace_fn()
-        in_sharding = NamedSharding(mesh, P("dp", "sp", None))
-        out_sharding = NamedSharding(mesh, P("dp", None, "sp", None))
-        self._fn = jax.jit(
-            jax.vmap(run, in_axes=(0, None)),
-            in_shardings=(in_sharding, None),
-            out_shardings=out_sharding,
-        )
+
+        def per_device(xs, coeffs):
+            return jax.lax.map(lambda x: run(x, coeffs), xs)
+
+        import inspect
+
+        kw = {}
+        sig = inspect.signature(shard_map).parameters
+        # pallas_call bodies don't carry varying-mesh-axis metadata;
+        # replication checking must be off (check_vma on jax>=0.8,
+        # check_rep before)
+        if "check_vma" in sig:
+            kw["check_vma"] = False
+        elif "check_rep" in sig:
+            kw["check_rep"] = False
+        self._fn = jax.jit(shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("dp"), P()),
+            out_specs=P("dp"),
+            **kw,
+        ))
 
     def __call__(self, raw_batch: np.ndarray) -> jax.Array:
-        """raw_batch: (B, H, W) mosaics in sensor units (padded or not)."""
+        """raw_batch: (B, H, W) mosaics in sensor units (padded or not).
+        B must be a multiple of the dp axis size."""
         spec = self.pipe.spec_in
         if raw_batch.shape[1:] != spec.array_shape:
             raw_batch = np.stack(
@@ -64,7 +99,7 @@ class BatchPipeline:
             )
         dev = jax.device_put(
             jnp.asarray(raw_batch),
-            NamedSharding(self.mesh, P("dp", "sp", None)),
+            NamedSharding(self.mesh, P("dp", None, None)),
         )
         return self._fn(dev, self._coeffs)
 
@@ -72,8 +107,14 @@ class BatchPipeline:
 def spatial_sharded_pipe(meta: RawMeta, history: List[HistoryItem],
                          mesh: Mesh):
     """Single-image pipe with the mosaic row-sharded over ALL mesh devices
-    (dp*sp) — the HBM-bound big-image path (45MP+ configs)."""
+    (dp*sp) — the HBM-bound big-image path (45MP+ configs).
+
+    GSPMD partitions the XLA graph and inserts the stencil halo
+    exchanges; Pallas kernels cannot be auto-partitioned, so engine
+    fusion is forced off for this pipe (the XLA twins of every kernel
+    carry the graph)."""
     pipe = Pipeline(meta, history)
+    pipe.disable_fusion = True
     coeffs = pipe.coeffs()
     run = pipe.trace_fn()
     in_sharding = NamedSharding(mesh, P(("dp", "sp"), None))

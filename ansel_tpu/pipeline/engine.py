@@ -374,6 +374,7 @@ class Pipeline:
             fuse = ((_jax.default_backend() == "tpu"
                      or _FORCE_FUSION_INTERPRET)
                     and not _DISABLE_FUSION
+                    and not getattr(self, "disable_fusion", False)
                     and not conf_mod.get_bool("pipe.disable_fusion"))
             # raster side-band (pixelpipe_raster_masks.c): blend masks of
             # upstream modules, keyed by (op, multi_priority); plus the
