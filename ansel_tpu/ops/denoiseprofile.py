@@ -101,9 +101,22 @@ class DenoiseProfile(Op):
     input_colorspace = Colorspace.CAMERA_RGB
 
     def plan(self, ctx: PlanContext, spec_in, p: DenoiseProfileParams) -> OpPlan:
-        # number of visible scales at this zoom (reference computes from roi
-        # scale; full export = all bands that fit the image)
-        max_scale = min(5, BANDS)
+        # number of visible scales at this zoom (process_wavelets,
+        # denoiseprofile.c:1300-1316: largest filter support <= 20% of
+        # the input buffer dimension, adjusted by the roi scale)
+        in_scale = min(ctx.scale, 1.0)
+        supp0 = min(2 * (2 << (BANDS - 1)) + 1,
+                    max(spec_in.height, spec_in.width) * 0.2)
+        i0 = math.log2(max((supp0 - 1.0) * 0.5, 1.0 + 1e-6))
+        max_scale = 0
+        while max_scale < BANDS:
+            supp = 2 * (2 << max_scale) + 1
+            supp_in = supp * (1.0 / in_scale)
+            i_in = math.log2((supp_in - 1) * 0.5) - 1.0
+            if 1.0 - (i_in + 0.5) / i0 < 0.0:
+                break
+            max_scale += 1
+        max_scale = max(max_scale, 1)
         color_mode = p.wavelet_color_mode if p.use_new_vst else MODE_RGB
         nlm = p.mode in (MODE_NLMEANS, MODE_NLMEANS_AUTO)
         P = max(0, int(-(-p.radius * min(ctx.scale, 2.0) // 1)))
@@ -259,7 +272,9 @@ class DenoiseProfile(Op):
             out = jnp.einsum("dc,chw->dhw", jnp.asarray(c["toRGB"]), out)
             denom = 4.0 / (sqrt_a * (2.0 - pexp))
             xx = jnp.maximum(out, 0.0)
-            delta = xx * xx + c["bias"]
+            # bias scaled by wb (backtransform_Y0U0V0 bias_wb,
+            # denoiseprofile.c:1060-1063)
+            delta = xx * xx + c["bias"] * wb
             z1 = (xx + jnp.sqrt(jnp.maximum(delta, 0.0))) / denom
             return z1 ** (1.0 / (1.0 - pexp / 2.0)) - b
         denom = 4.0 / (sqrt_a * (2.0 - pexp))
