@@ -61,12 +61,12 @@ CONFIGS = {
 }
 
 # Fuji X-Trans III 6x6 pattern (color indices)
-XTRANS6 = (1, 0, 2, 1, 2, 0,
-           1, 2, 0, 1, 0, 2,
+XTRANS6 = (1, 2, 0, 1, 0, 2,
            0, 1, 1, 2, 1, 1,
-           1, 2, 0, 1, 0, 2,
-           0, 1, 1, 2, 1, 1,
-           2, 1, 1, 0, 1, 1)
+           2, 1, 1, 0, 1, 1,
+           1, 0, 2, 1, 2, 0,
+           2, 1, 1, 0, 1, 1,
+           0, 1, 1, 2, 1, 1)
 
 
 def main():
