@@ -101,12 +101,31 @@ class ImageSpec:
     pad_h: int = 0
     # CFA phase of pixel (0,0) of *this* buffer (mosaic stages only)
     cfa: Optional[CFAPattern] = None
+    # Backward-ROI windowing (reference modify_roi_in,
+    # dev_pixelpipe.c:564-643): when this spec describes a WINDOW of a
+    # larger logical frame, (org_y, org_x) is the window origin and
+    # full_h/full_w the frame it was cut from.  Position-dependent ops
+    # (lens center, clipping geometry, mask rasterization) must compute
+    # in frame coordinates: absolute = buffer index + org.
+    org_y: int = 0
+    org_x: int = 0
+    full_h: int = 0
+    full_w: int = 0
 
     def __post_init__(self):
         if self.pad_w == 0:
             object.__setattr__(self, "pad_w", round_up(max(self.width, LANE), LANE))
         if self.pad_h == 0:
             object.__setattr__(self, "pad_h", round_up(max(self.height, SUBLANE), SUBLANE))
+        if self.full_h == 0:
+            object.__setattr__(self, "full_h", self.org_y + self.height)
+        if self.full_w == 0:
+            object.__setattr__(self, "full_w", self.org_x + self.width)
+
+    @property
+    def is_window(self) -> bool:
+        return (self.org_y, self.org_x) != (0, 0) \
+            or (self.full_h, self.full_w) != (self.height, self.width)
 
     @property
     def array_shape(self) -> Tuple[int, ...]:

@@ -99,6 +99,39 @@ class Op:
         Return None (default) to opt out."""
         return None
 
+    # --- backward ROI planning (reference modify_roi_in,
+    # src/develop/dev_pixelpipe.c:564-643) ------------------------------
+    # Geometry-preserving stencil support radius; None = this op has not
+    # declared window support (position-dependent or global statistics),
+    # which makes it a full-frame boundary in the backward ROI walk.
+    window_halo: Optional[int] = None
+
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        """Which input window (y0, x0, h, w) of spec_in is needed to
+        produce output window `win` of spec_out?  A full-frame request
+        always passes through; for proper sub-windows the default
+        supports geometry-preserving ops that are either declared
+        stencils (window_halo) or position-independent pointwise stages
+        (pointwise_spec without needs_pos).  Return None to demand the
+        whole frame (stops the upstream shrink at this stage)."""
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        halo = self.window_halo
+        if halo is None:
+            pw = self.pointwise_spec(plan, ctx)
+            if pw is not None and not pw.needs_pos:
+                halo = 0
+        if halo is None:
+            return None
+        if (si.height, si.width) != (so.height, so.width):
+            return None
+        y0 = max(0, win[0] - halo)
+        x0 = max(0, win[1] - halo)
+        y1 = min(si.height, win[0] + win[2] + halo)
+        x1 = min(si.width, win[1] + win[3] + halo)
+        return (y0, x0, y1 - y0, x1 - x0)
+
 
 @dataclasses.dataclass(frozen=True)
 class PointwiseSpec:

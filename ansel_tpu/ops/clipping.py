@@ -289,6 +289,32 @@ def _plan_geometry(p: ClippingParams, W: int, H: int):
                   and out_w == W and out_h == H))
 
 
+def _inverse_coords(g, jj, ii, xp=jnp):
+    """Output frame coords -> source frame coords (inverse map,
+    clipping.c:1015-1038 at scale 1, full buffer)."""
+    px = g["cix"] - g["enlarge_x"] + ii + 0.5
+    py = g["ciy"] - g["enlarge_y"] + jj + 0.5
+    if g["flip"]:
+        px, py = px - g["ty"], py - g["tx"]
+    else:
+        px, py = px - g["tx"], py - g["ty"]
+    # backtransform (:468-473): undo keystone shears, rotate back
+    py = py / (1.0 + px * g["k_h"])
+    px = px / (1.0 + py * g["k_v"])
+    m = g["m"]
+    sx = m[0] * px + m[1] * py + g["tx"]
+    sy = m[2] * px + m[3] * py + g["ty"]
+    if g["k_apply"]:
+        a, b, d, e, h_g, h_h = g["km_px"]
+        xx = sx - g["ksp_px"][0]
+        yy = sy - g["ksp_px"][1]
+        div = (d * xx - a * yy) * h_h + (b * yy - e * xx) * h_g \
+            + a * e - b * d
+        sx = (e * xx - b * yy) / div + g["kxa_px"]
+        sy = -(d * xx - a * yy) / div + g["kya_px"]
+    return sy - 0.5, sx - 0.5
+
+
 @register
 class Clipping(Op):
     name = "clipping"
@@ -298,45 +324,71 @@ class Clipping(Op):
         return False
 
     def plan(self, ctx: PlanContext, spec_in, p: ClippingParams) -> OpPlan:
-        g = _plan_geometry(p, spec_in.width, spec_in.height)
-        spec_out = spec_in.with_size(g["out_w"], g["out_h"])
+        import dataclasses as _dc
+
+        g = _plan_geometry(p, spec_in.full_w, spec_in.full_h)
         if g["identity"]:
             return OpPlan(spec_in=spec_in, spec_out=spec_in, static=None)
         key = tuple(sorted((k, v) for k, v in g.items()
                            if k not in ("out_w", "out_h")))
+        win = ctx.notes.get("_win_out") if spec_in.is_window else None
+        if win is not None and tuple(win) != (0, 0, g["out_h"],
+                                              g["out_w"]):
+            y0, x0, h, w = win
+            spec_out = _dc.replace(
+                spec_in, width=w, height=h, pad_w=0, pad_h=0,
+                org_y=y0, org_x=x0, full_h=g["out_h"],
+                full_w=g["out_w"], cfa=None)
+        else:
+            spec_out = _dc.replace(
+                spec_in.with_size(g["out_w"], g["out_h"]),
+                org_y=0, org_x=0, full_h=g["out_h"], full_w=g["out_w"])
         return OpPlan(spec_in=spec_in, spec_out=spec_out, static=key)
+
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        """Inverse-map the requested output window to the needed input
+        bbox — THE shrink source of the backward-ROI walk: a history
+        crop means upstream stages only compute the cropped region.
+        The inverse map is projective (rotation + keystone), so corner
+        images bound the bbox; +3 px bilinear/rounding margin."""
+        import numpy as np
+
+        si, so = plan.spec_in, plan.spec_out
+        if plan.static is None:  # identity
+            return tuple(win)
+        g = dict(plan.static)
+        W, H = si.full_w, si.full_h
+        y0, x0, h, w = win
+        jj = np.array([y0, y0, y0 + h, y0 + h], np.float64)
+        ii = np.array([x0, x0 + w, x0, x0 + w], np.float64)
+        sy, sx = _inverse_coords(g, jj, ii, np)
+        m = 3
+        ry0 = max(0, int(np.floor(sy.min())) - m)
+        rx0 = max(0, int(np.floor(sx.min())) - m)
+        ry1 = min(si.height + si.org_y, int(np.ceil(sy.max())) + m)
+        rx1 = min(si.width + si.org_x, int(np.ceil(sx.max())) + m)
+        # windows are relative to the stage's input spec frame origin
+        ry0 -= si.org_y
+        rx0 -= si.org_x
+        ry1 -= si.org_y
+        rx1 -= si.org_x
+        ry0, rx0 = max(0, ry0), max(0, rx0)
+        if ry1 <= ry0 or rx1 <= rx0:
+            return None
+        return (ry0, rx0, ry1 - ry0, rx1 - rx0)
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         if plan.static is None:
             return x
         g = dict(plan.static)
         si, so = plan.spec_in, plan.spec_out
-        H, W = si.height, si.width
+        H, W = si.full_h, si.full_w
         oh, ow = so.pad_h, so.pad_w
 
         def coords(jj, ii, xp=jnp):
-            # inverse map, clipping.c:1015-1038 at scale 1, full buffer
-            px = g["cix"] - g["enlarge_x"] + ii + 0.5
-            py = g["ciy"] - g["enlarge_y"] + jj + 0.5
-            if g["flip"]:
-                px, py = px - g["ty"], py - g["tx"]
-            else:
-                px, py = px - g["tx"], py - g["ty"]
-            # backtransform (:468-473): undo keystone shears, rotate back
-            py = py / (1.0 + px * g["k_h"])
-            px = px / (1.0 + py * g["k_v"])
-            m = g["m"]
-            sx = m[0] * px + m[1] * py + g["tx"]
-            sy = m[2] * px + m[3] * py + g["ty"]
-            if g["k_apply"]:
-                a, b, d, e, h_g, h_h = g["km_px"]
-                xx = sx - g["ksp_px"][0]
-                yy = sy - g["ksp_px"][1]
-                div = (d * xx - a * yy) * h_h + (b * yy - e * xx) * h_g \
-                    + a * e - b * d
-                sx = (e * xx - b * yy) / div + g["kxa_px"]
-                sy = -(d * xx - a * yy) / div + g["kya_px"]
-            return sy - 0.5, sx - 0.5
+            # buffer -> frame coords, inverse map, frame -> buffer coords
+            sy, sx = _inverse_coords(g, jj + so.org_y, ii + so.org_x, xp)
+            return sy - si.org_y, sx - si.org_x
 
         from ._warpcommon import warp_static
 
@@ -344,7 +396,7 @@ class Clipping(Op):
                           coords, oh, ow)
         ii = jnp.arange(ow, dtype=jnp.float32)[None, :]
         jj = jnp.arange(oh, dtype=jnp.float32)[:, None]
-        sy, sx = coords(jj, ii)
+        sy, sx = _inverse_coords(g, jj + so.org_y, ii + so.org_x)
         inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
         inside = jnp.broadcast_to(inside, (oh, ow))
         return jnp.where(inside[None], out, 0.0)

@@ -158,6 +158,20 @@ class Demosaic(Op):
                               int(p.lmmse_refine),
                               round(float(p.dual_thrs), 4)))
 
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        """Windowed demosaic: grow by the interpolation support and snap
+        the origin to the 6-row/col CFA super-period so the window's CFA
+        phase equals the frame's (covers Bayer 2 and X-Trans 6)."""
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        halo = 18  # RCD/Markesteijn borders fit in 16; 18 = 6-aligned
+        y0 = max(0, win[0] - halo) // 6 * 6
+        x0 = max(0, win[1] - halo) // 6 * 6
+        y1 = min(si.height, win[0] + win[2] + halo)
+        x1 = min(si.width, win[1] + win[3] + halo)
+        return (y0, x0, y1 - y0, x1 - x0)
+
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DemosaicParams):
         # rcd normalizes by max processed_maximum (rcd.c:283-284) so its eps
         # constants are amplitude-invariant; traced so WB edits don't recompile

@@ -92,6 +92,21 @@ class Highlights(Op):
                               round(float(p.noise_level), 6),
                               round(float(p.solid_color), 6)))
 
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        # CLIP/LCH are local mosaic ops (<= 3x3 support; 6 preserves CFA
+        # window alignment); the multiscale reconstructions need the frame
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        if plan.static[0] not in (MODE_CLIP, MODE_LCH):
+            return None
+        halo = 6
+        y0 = max(0, win[0] - halo)
+        x0 = max(0, win[1] - halo)
+        y1 = min(si.height, win[0] + win[2] + halo)
+        x1 = min(si.width, win[1] + win[3] + halo)
+        return (y0, x0, y1 - y0, x1 - x0)
+
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p):
         return {"clip": ctx.notes["highlights_clip"],
                 "clips": list(ctx.notes["highlights_clips"])}

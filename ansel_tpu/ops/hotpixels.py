@@ -29,6 +29,8 @@ class HotPixelsParams:
 @register
 class HotPixels(Op):
     name = "hotpixels"
+    # +-2 mosaic stencil; 6 keeps window origins CFA-period aligned
+    window_halo = 6
     input_colorspace = Colorspace.RAW
 
     def plan(self, ctx: PlanContext, spec_in, p) -> OpPlan:

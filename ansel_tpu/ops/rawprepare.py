@@ -114,11 +114,31 @@ class RawPrepare(Op):
             raw_white_point=int(meta.white_point),
         )
 
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        # crop-only geometry: input window = output window + crop offset
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        cx, cy = plan.static[0], plan.static[1]
+        return (win[0] + cy, win[1] + cx, win[2], win[3])
+
     def plan(self, ctx: PlanContext, spec_in: ImageSpec, p: RawPrepareParams) -> OpPlan:
-        w = spec_in.width - p.x - p.width
-        h = spec_in.height - p.y - p.height
-        spec_out = spec_in.with_size(w, h, cfa=spec_in.cfa.shifted(p.y, p.x)
-                                     if spec_in.cfa else None)
+        import dataclasses as _dc
+
+        full_w = spec_in.full_w - p.x - p.width
+        full_h = spec_in.full_h - p.y - p.height
+        if spec_in.is_window:
+            # windowed: output covers the same pixels, re-origined to the
+            # cropped frame (engine already delivered win+crop upstream)
+            spec_out = _dc.replace(
+                spec_in, org_y=spec_in.org_y - p.y,
+                org_x=spec_in.org_x - p.x, full_h=full_h, full_w=full_w)
+        else:
+            w = spec_in.width - p.x - p.width
+            h = spec_in.height - p.y - p.height
+            spec_out = spec_in.with_size(
+                w, h, cfa=spec_in.cfa.shifted(p.y, p.x)
+                if spec_in.cfa else None)
         ctx.processed_maximum = (1.0, 1.0, 1.0)
         gm_key = None
         if (p.flat_field == FLAT_FIELD_EMBEDDED and spec_in.cfa is not None
@@ -144,15 +164,18 @@ class RawPrepare(Op):
             g0 = gm[0]
             so = plan.spec_out
             # sensor coords of each output row/col parity class
-            # (rawprepare.c:578,592: coord = roi + crop-shift + j)
+            # (rawprepare.c:578,592: coord = roi + crop-shift + j);
+            # windowed pipes add the window origin
             for pj in range(2):
                 out[f"gm_ay{pj}"] = _interp_matrix(
-                    np.arange(pj, so.pad_h, 2) + cy, mv,
-                    g0.map_spacing_v, g0.map_origin_v, plan.spec_in.height)
+                    np.arange(pj, so.pad_h, 2) + cy + so.org_y, mv,
+                    g0.map_spacing_v, g0.map_origin_v,
+                    plan.spec_in.full_h)
             for pi in range(2):
                 out[f"gm_ax{pi}"] = _interp_matrix(
-                    np.arange(pi, so.pad_w, 2) + cx, mh,
-                    g0.map_spacing_h, g0.map_origin_h, plan.spec_in.width)
+                    np.arange(pi, so.pad_w, 2) + cx + so.org_x, mh,
+                    g0.map_spacing_h, g0.map_origin_h,
+                    plan.spec_in.full_w)
         return out
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
@@ -160,16 +183,23 @@ class RawPrepare(Op):
 
         cx, cy, gm_key = plan.static
         so = plan.spec_out
-        # crop then pad back to the new aligned shape
-        cropped = x[cy : cy + so.height, cx : cx + so.width]
+        si = plan.spec_in
+        # crop then pad back to the new aligned shape (zero offset on
+        # windowed pipes: the engine already delivered win + crop)
+        oy = cy + so.org_y - si.org_y
+        ox = cx + so.org_x - si.org_x
+        cropped = x[oy : oy + so.height, ox : ox + so.width]
         pad_h = so.pad_h - so.height
         pad_w = so.pad_w - so.width
         y = jnp.pad(cropped, ((0, pad_h), (0, pad_w)), mode="edge")
         # position-indexed black/white normalize; the crop shifted the CFA
-        # phase so position index is relative to the *new* origin at
-        # (cy, cx): BL() uses (row + crop_y) & 1 with row in output coords.
-        sub = _bayer.position_select(c["sub"], so.pad_h, so.pad_w, cy, cx)
-        inv = _bayer.position_select(c["inv_div"], so.pad_h, so.pad_w, cy, cx)
+        # phase so position index is relative to the *new* origin:
+        # BL() uses (row + crop_y) & 1 with row in output coords (+ the
+        # window origin on windowed pipes).
+        py, px = cy + so.org_y, cx + so.org_x
+        sub = _bayer.position_select(c["sub"], so.pad_h, so.pad_w, py, px)
+        inv = _bayer.position_select(c["inv_div"], so.pad_h, so.pad_w,
+                                     py, px)
         y = (y - sub) * inv
         if gm_key is not None:
             # GainMap flat field (rawprepare.c:564-603): bilinear-sample
@@ -183,7 +213,7 @@ class RawPrepare(Op):
                 ay = c[f"gm_ay{pj}"]
                 cols = []
                 for pi in range(2):
-                    f = (((pj + cy) & 1) << 1) | ((pi + cx) & 1)
+                    f = (((pj + py) & 1) << 1) | ((pi + px) & 1)
                     g = ay @ maps[f] @ c[f"gm_ax{pi}"].T
                     cols.append(g)
                 half_rows.append(

@@ -30,6 +30,8 @@ class TemperatureParams:
 class Temperature(Op):
     name = "temperature"
     input_colorspace = Colorspace.RAW
+    # per-CFA-position multiply; windows stay CFA-phase aligned
+    window_halo = 0
     mandatory = True
 
     def default_params(self, meta: RawMeta):

@@ -168,6 +168,34 @@ class _ConvertOp(ops_base.Op):
         return None
 
 
+def _rewindow(x, spec_from: ImageSpec, spec_to: ImageSpec):
+    """Slice the producing stage's buffer down to the consuming stage's
+    (possibly smaller) planned window, re-padding to lane shape.  All
+    indices are static; identical windows are a no-op."""
+    if (spec_from.org_y == spec_to.org_y
+            and spec_from.org_x == spec_to.org_x
+            and spec_from.pad_h == spec_to.pad_h
+            and spec_from.pad_w == spec_to.pad_w
+            and spec_from.height == spec_to.height
+            and spec_from.width == spec_to.width):
+        return x
+    y0 = spec_to.org_y - spec_from.org_y
+    x0 = spec_to.org_x - spec_from.org_x
+    assert y0 >= 0 and x0 >= 0, (spec_from, spec_to)
+    # slice as much real data as the source buffer holds (its pad region
+    # is edge-replicated, acceptable haloing), then edge-pad the rest
+    y1 = min(y0 + spec_to.pad_h, spec_from.pad_h)
+    x1 = min(x0 + spec_to.pad_w, spec_from.pad_w)
+    sl = (..., slice(y0, y1), slice(x0, x1))
+    cut = x[sl]
+    py = spec_to.pad_h - (y1 - y0)
+    px = spec_to.pad_w - (x1 - x0)
+    if py or px:
+        pad = [(0, 0)] * (cut.ndim - 2) + [(0, py), (0, px)]
+        cut = jnp.pad(cut, pad, mode="edge")
+    return cut
+
+
 _CONVERT = _ConvertOp()
 _CONVERTIBLE = {
     (Colorspace.WORK_RGB, Colorspace.LAB),
@@ -193,7 +221,9 @@ class Pipeline:
 
     def __init__(self, meta: RawMeta, history: List[HistoryItem],
                  scale: float = 1.0, forms=None, order_version=None,
-                 pipe_type: str = PipeType.EXPORT):
+                 pipe_type: str = PipeType.EXPORT,
+                 out_window: Optional[Tuple[int, int, int, int]] = None,
+                 roi: bool = True):
         self.pipe_type = pipe_type
         if pipe_type in (PipeType.PREVIEW, PipeType.THUMBNAIL):
             # fast-demosaic override (the reference's preview pipes run
@@ -281,14 +311,99 @@ class Pipeline:
             spec = plan.spec_out
         self.spec_out = spec
 
+        # Backward ROI planning (reference modify_roi_in walk,
+        # dev_pixelpipe.c:564-643): find the smallest input window each
+        # stage actually needs to produce the requested output (the full
+        # final frame by default — a history crop still shrinks all
+        # upstream work), then re-plan the windowed suffix of the pipe.
+        self.windowed = False
+        if roi and pipe_type not in (PipeType.PREVIEW, PipeType.THUMBNAIL):
+            wins = self._backward_windows(out_window)
+            if wins is not None:
+                self._replan_windowed(wins)
+                self.windowed = True
+                self.spec_out = self.stages[-1].plan.spec_out
+
+    # --- backward ROI -------------------------------------------------------
+    def _backward_windows(self, out_window):
+        """Per-stage (win_in, win_out) windows, walking the planned pipe
+        backward; None if every window is the full frame (no-op)."""
+        n = len(self.stages)
+        if n == 0:
+            return None
+        so_last = self.stages[-1].plan.spec_out
+        win = (tuple(out_window) if out_window is not None
+               else (0, 0, so_last.height, so_last.width))
+        wins = [None] * n
+        any_proper = False
+        for i in reversed(range(n)):
+            s = self.stages[i]
+            so = s.plan.spec_out
+            si = s.plan.spec_in
+            full_out = (0, 0, so.height, so.width)
+            full_in = (0, 0, si.height, si.width)
+            win_out = tuple(win)
+            proper = win_out != full_out
+            r = None
+            if not proper or s.blend is None:
+                # blends rasterize masks / read the raster side-band in
+                # frame coordinates — windowing them needs org-aware
+                # rasterization (future); full-frame requests pass
+                r = s.op.roi_in(s.plan, self.ctx, win_out)
+            if r is None:
+                # boundary: this stage computes the full frame; the
+                # engine slices between it and its windowed consumer
+                wins[i] = (full_in, full_out)
+                win = full_in
+            else:
+                if tuple(r) != full_in:
+                    any_proper = True
+                wins[i] = (tuple(r), win_out)
+                win = r
+        return wins if any_proper else None
+
+    @staticmethod
+    def _window_spec(spec: ImageSpec, win) -> ImageSpec:
+        y0, x0, h, w = win
+        if (y0, x0, h, w) == (0, 0, spec.height, spec.width):
+            return spec
+        return dataclasses.replace(
+            spec, width=w, height=h, pad_w=0, pad_h=0,
+            org_y=spec.org_y + y0, org_x=spec.org_x + x0,
+            full_h=spec.full_h or spec.height,
+            full_w=spec.full_w or spec.width,
+            cfa=spec.cfa.shifted(y0, x0) if spec.cfa else None)
+
+    def _replan_windowed(self, wins):
+        """Second planning pass with windowed specs (side effects like
+        processed_maximum replay in order)."""
+        ctx = PlanContext(meta=self.meta, scale=self.ctx.scale)
+        ctx.notes.update(self.ctx.notes)
+        new_stages: List[PlannedOp] = []
+        for s, (win_in, win_out) in zip(self.stages, wins):
+            spec_in = self._window_spec(s.plan.spec_in, win_in)
+            ctx.notes["_win_out"] = win_out
+            if s.name == "_convert":
+                plan = _CONVERT.plan_pair(spec_in, s.plan.static[1])
+            else:
+                plan = s.op.plan(ctx, spec_in, s.params)
+            new_stages.append(PlannedOp(
+                s.name, s.op, plan, s.params, blend=s.blend,
+                blend_static=s.blend_static, blend_form=s.blend_form,
+                multi_priority=s.multi_priority))
+        ctx.notes.pop("_win_out", None)
+        self.stages = new_stages
+        self.ctx = ctx
+
     # --- static signature for compile caching --------------------------------
     def signature(self) -> Tuple:
         sig = [self.spec_in.array_shape]
         for s in self.stages:
+            si, so = s.plan.spec_in, s.plan.spec_out
             sig.append((s.name, s.multi_priority,
-                        s.plan.spec_in.array_shape,
-                        s.plan.spec_out.array_shape, s.plan.static,
-                        s.blend_static))
+                        si.array_shape, so.array_shape,
+                        (si.org_y, si.org_x, so.org_y, so.org_x),
+                        s.plan.static, s.blend_static))
         return tuple(sig)
 
     def coeffs(self) -> List[Any]:
@@ -391,9 +506,13 @@ class Pipeline:
             needs_detail = any(
                 s.blend is not None and abs(s.blend.details) > 1e-6
                 for s in stages)
+            cur_spec = (stages[start - 1].plan.spec_out if start > 0
+                        else self.spec_in)
             i = start
             while i < seg_end:
                 s, c = stages[i], coeffs[i - start]
+                x = _rewindow(x, cur_spec, s.plan.spec_in)
+                cur_spec = s.plan.spec_out
                 spec_pw = (s.op.pointwise_spec(s.plan, ctx)
                            if fuse and fusable(s) else None)
                 if spec_pw is not None:
@@ -412,6 +531,7 @@ class Pipeline:
                         group.append((stages[j], sp, coeffs[j - start]))
                         j += 1
                     x = run_fused(x, group)
+                    cur_spec = stages[j - 1].plan.spec_out
                     i = j
                     continue
                 if s.blend is not None:
