@@ -40,7 +40,18 @@ class _RawInfo(ctypes.Structure):
         ("cam_to_xyz", ctypes.c_double * 9),
         ("n_strips", ctypes.c_uint32),
         ("iso", ctypes.c_uint32),
+        ("is_xtrans", ctypes.c_uint32),
+        ("xtrans", ctypes.c_uint32 * 36),
+        ("crop", ctypes.c_uint32 * 4),
+        ("cr2_slices", ctypes.c_uint32 * 3),
+        ("container", ctypes.c_uint32),
+        ("endian_le", ctypes.c_uint32),
+        ("maker", ctypes.c_char * 64),
+        ("model", ctypes.c_char * 64),
     ]
+
+
+CONTAINERS = {0: "dng/tiff", 1: "cr2", 2: "raf", 3: "nef", 4: "arw"}
 
 
 def _lib() -> ctypes.CDLL:
@@ -169,8 +180,12 @@ def parse_gain_maps(buf: bytes) -> Tuple[DngGainMap, ...]:
     return ()
 
 
-def load_dng(path: str) -> Tuple[np.ndarray, RawMeta]:
-    """-> (mosaic float32 (H, W) in sensor units, RawMeta)."""
+def load_raw(path: str) -> Tuple[np.ndarray, RawMeta]:
+    """-> (mosaic float32 (H, W) in sensor units, RawMeta).
+
+    Dispatches by container magic: DNG/TIFF, CR2 (Canon LJ92 + slices),
+    RAF (Fuji, incl. X-Trans pattern), NEF/ARW (packed/LJ92 SubIFD
+    variants; the vendor-entropy codecs report a clear error)."""
     with open(path, "rb") as f:
         buf = f.read()
     lib = _lib()
@@ -179,15 +194,22 @@ def load_dng(path: str) -> Tuple[np.ndarray, RawMeta]:
     cnts = (ctypes.c_uint64 * 64)()
     rc = lib.rawdec_info(buf, len(buf), ctypes.byref(info), offs, cnts)
     if rc != 0:
-        raise ValueError(f"{path}: not a decodable DNG/TIFF (rc={rc})")
+        raise ValueError(f"{path}: not a decodable raw container (rc={rc})")
+    kind = CONTAINERS.get(info.container, "?")
     H, W = info.height, info.width
     out = np.empty((H, W), np.uint16)
     rows_per_strip = (H + max(info.n_strips, 1) - 1) // max(info.n_strips, 1)
     rc = lib.rawdec_decode(
         buf, len(buf), ctypes.byref(info), offs, cnts, rows_per_strip,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc == 30:
+        raise ValueError(f"{path}: NEF vendor-entropy compression (34713) "
+                         "not supported yet — convert to DNG")
+    if rc == 31:
+        raise ValueError(f"{path}: Sony ARW2 compression (32767) not "
+                         "supported yet — convert to DNG")
     if rc != 0:
-        raise ValueError(f"{path}: raw decode failed (rc={rc}, "
+        raise ValueError(f"{path}: {kind} decode failed (rc={rc}, "
                          f"compression={info.compression})")
 
     cfa = _CFA_ENUM.get(tuple(info.cfa), CFAPattern.RGGB)
@@ -196,14 +218,30 @@ def load_dng(path: str) -> Tuple[np.ndarray, RawMeta]:
     wb = np.where(wb > 1e-9, 1.0 / np.maximum(wb, 1e-9), 1.0)
     wb = wb / max(wb[1], 1e-9)
     cam_to_xyz = np.asarray(info.cam_to_xyz, np.float64).reshape(3, 3)
+    crop = tuple(int(v) for v in info.crop)  # (top, left, bottom, right)
+    has_crop = crop[2] > 0 and crop[3] > 0 \
+        and (crop[:2] != (0, 0) or crop[2] < H or crop[3] < W)
     meta = RawMeta(
-        width=W, height=H, cfa=cfa,
+        width=W, height=H,
+        cfa=CFAPattern.XTRANS if info.is_xtrans else cfa,
         black_levels=(float(info.black),) * 4,
         white_point=float(info.white),
+        crop_y=crop[0] if has_crop else 0,
+        crop_x=crop[1] if has_crop else 0,
+        crop_bottom=(H - crop[2]) if has_crop else 0,
+        crop_right=(W - crop[3]) if has_crop else 0,
         wb_coeffs=(float(wb[0]), float(wb[1]), float(wb[2]), 0.0),
         cam_to_xyz=(tuple(cam_to_xyz.reshape(-1))
                     if np.abs(cam_to_xyz).sum() > 1e-9 else None),
+        xtrans=(tuple(int(v) for v in info.xtrans)
+                if info.is_xtrans else None),
         iso=float(info.iso or 100),
-        gain_maps=parse_gain_maps(buf),
+        maker=info.maker.decode("utf-8", "ignore"),
+        model=info.model.decode("utf-8", "ignore"),
+        gain_maps=parse_gain_maps(buf) if info.container == 0 else (),
     )
     return out.astype(np.float32), meta
+
+
+# historic name: the loader originally handled DNG only
+load_dng = load_raw

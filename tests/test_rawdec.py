@@ -1,0 +1,103 @@
+"""native/rawdec container breadth: CR2 / NEF / ARW / RAF round-trips.
+
+Fixtures are synthetic (no camera files exist in this environment) but
+spec-conformant; they exercise every container walk, the LJ92 decoder +
+Canon slice reassembly, packed-bit paths, and metadata extraction.
+Reference decoder-set: /root/reference/src/imageio/imageio_rawspeed.cc:692.
+"""
+
+import numpy as np
+import pytest
+
+from ansel_tpu.core.types import CFAPattern
+from ansel_tpu.io.dng import load_raw
+from rawfixtures import write_arw, write_cr2, write_nef, write_raf
+
+XTRANS6 = ((1, 2, 0, 1, 0, 2),
+           (0, 1, 1, 2, 1, 1),
+           (2, 1, 1, 0, 1, 1),
+           (1, 0, 2, 1, 2, 0),
+           (2, 1, 1, 0, 1, 1),
+           (0, 1, 1, 2, 1, 1))
+
+
+def _mosaic(h, w, bits, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << bits, (h, w), dtype=np.uint16)
+
+
+def test_nef_packed_roundtrip(tmp_path):
+    m = _mosaic(48, 64, 14)
+    p = str(tmp_path / "shot.nef")
+    write_nef(p, m, bits=14)
+    raw, meta = load_raw(p)
+    assert raw.shape == (48, 64)
+    assert np.array_equal(raw, m.astype(np.float32))
+    assert meta.cfa is CFAPattern.RGGB
+    assert meta.black_levels[0] == 600.0
+    assert meta.white_point == (1 << 14) - 1
+    assert meta.maker.startswith("NIKON")
+    assert "D850" in meta.model
+    assert meta.iso == 400.0
+
+
+def test_arw_packed_roundtrip(tmp_path):
+    m = _mosaic(40, 96, 12)
+    p = str(tmp_path / "shot.arw")
+    write_arw(p, m, bits=12)
+    raw, meta = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32))
+    assert meta.maker.startswith("SONY")
+    assert meta.black_levels[0] == 512.0
+    assert meta.white_point == (1 << 12) - 1
+
+
+@pytest.mark.parametrize("n_slices", [1, 3])
+def test_cr2_lj92_slices_roundtrip(tmp_path, n_slices):
+    m = _mosaic(32, 96, 14, seed=n_slices)
+    p = str(tmp_path / "shot.cr2")
+    write_cr2(p, m, bits=14, n_slices=n_slices)
+    raw, meta = load_raw(p)
+    assert raw.shape == m.shape
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.maker == "Canon"
+    assert "40D" in meta.model
+
+
+def test_raf_xtrans_roundtrip(tmp_path):
+    m = _mosaic(48, 60, 16)
+    p = str(tmp_path / "shot.raf")
+    write_raf(p, m, XTRANS6)
+    raw, meta = load_raw(p)
+    assert raw.shape == (48, 60)
+    assert np.array_equal(raw, m.astype(np.float32))
+    assert meta.cfa is CFAPattern.XTRANS
+    assert meta.xtrans == tuple(
+        int(v) for v in np.asarray(XTRANS6).reshape(-1))
+    assert meta.maker == "FUJIFILM"
+    assert "X-T3" in meta.model
+
+
+def test_raf_feeds_xtrans_pipeline(tmp_path):
+    """End-to-end: a RAF fixture runs through the Markesteijn pipe."""
+    import jax
+
+    from ansel_tpu import compile_pipeline
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    yy, xx = np.mgrid[0:48, 0:60]
+    scene = (0.2 + 0.5 * xx / 60 + 0.3 * yy / 48)
+    sel = np.asarray(XTRANS6)[yy % 6, xx % 6]
+    m = (scene * 4000 + 100 * (sel == 1)).astype(np.uint16)
+    p = str(tmp_path / "shot.raf")
+    write_raf(p, m, XTRANS6)
+    raw, meta = load_raw(p)
+    pipe = compile_pipeline(meta, [
+        HistoryItem("demosaic", {"demosaicing_method": 1024 | 1}),
+        HistoryItem("filmicrgb", {}),
+    ])
+    out = pipe.output_array(raw)
+    assert out.shape[0] == 3
+    assert np.isfinite(out).all()
+    assert out.max() > 0.05
