@@ -55,6 +55,8 @@ BLEND_MODE_MASK = 0xFF
  B_VIVIDLIGHT, B_LINEARLIGHT, B_PINLIGHT, B_LIGHTNESS, B_CHROMATICITY,
  B_HUE, B_COLOR) = range(0x14)
 B_COLORADJUST = 0x16
+B_HSV_VALUE = 0x1C
+B_HSV_COLOR = 0x1D
 B_DIFFERENCE2 = 0x17
 B_NORMAL2 = 0x18
 B_BOUNDED = 0x19
@@ -337,11 +339,183 @@ def apply_blend(a, b, bp: BlendParams, prm, cst: int, y_weights,
     return (out, mask2d) if return_mask else out
 
 
+# ---- hue/color-family helpers (blendif_rgb_hsl.c / blendif_lab.c) ----
+
+def _rgb_to_hsl(rgb):
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    l = 0.5 * (mx + mn)
+    d = mx - mn
+    s = jnp.where(d < 1e-9, 0.0,
+                  jnp.where(l > 0.5, d / jnp.maximum(2.0 - mx - mn, 1e-9),
+                            d / jnp.maximum(mx + mn, 1e-9)))
+    dd = jnp.maximum(d, 1e-9)
+    hr = jnp.where(g < b, (g - b) / dd + 6.0, (g - b) / dd)
+    hg = (b - r) / dd + 2.0
+    hb = (r - g) / dd + 4.0
+    h = jnp.where(mx == r, hr, jnp.where(mx == g, hg, hb)) / 6.0
+    h = jnp.where(d < 1e-9, 0.0, h)
+    return jnp.stack([h, s, l])
+
+
+def _hsl_to_rgb(hsl):
+    h, s, l = hsl[0], hsl[1], hsl[2]
+    q = jnp.where(l < 0.5, l * (1.0 + s), l + s - l * s)
+    p = 2.0 * l - q
+
+    def hue2rgb(t):
+        t = jnp.mod(t + 1.0, 1.0)
+        return jnp.where(
+            t < 1.0 / 6.0, p + (q - p) * 6.0 * t,
+            jnp.where(t < 0.5, q,
+                      jnp.where(t < 2.0 / 3.0,
+                                p + (q - p) * (2.0 / 3.0 - t) * 6.0, p)))
+
+    rgb = jnp.stack([hue2rgb(h + 1.0 / 3.0), hue2rgb(h),
+                     hue2rgb(h - 1.0 / 3.0)])
+    return jnp.where(hsl[1:2] < 1e-9, jnp.broadcast_to(l, rgb.shape), rgb)
+
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    dd = jnp.maximum(d, 1e-9)
+    hr = jnp.mod((g - b) / dd, 6.0)
+    hg = (b - r) / dd + 2.0
+    hb = (r - g) / dd + 4.0
+    h = jnp.where(mx == r, hr, jnp.where(mx == g, hg, hb)) / 6.0
+    h = jnp.where(d < 1e-9, 0.0, h)
+    s = jnp.where(mx < 1e-9, 0.0, d / jnp.maximum(mx, 1e-9))
+    return jnp.stack([h, s, mx])
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = jnp.mod(hsv[0], 1.0) * 6.0, hsv[1], hsv[2]
+    i = jnp.floor(h)
+    f = h - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b])
+
+
+def _hue_mix(ha, hb, op):
+    """Blend hue along the shortest distance on the color circle
+    (blendif_rgb_hsl.c:724-727); op = per-pixel opacity."""
+    d = jnp.abs(ha - hb)
+    s = jnp.where(d > 0.5, -op * (1.0 - d) / jnp.maximum(d, 1e-9), op)
+    return jnp.mod(ha * (1.0 - s) + hb * s + 1.0, 1.0)
+
+
+def _lab_to_lch01(lab):
+    """Scaled Lab (L/100, ab/128) -> (L, C, h01) like dt_Lab_2_LCH."""
+    L = lab[0] / 100.0
+    a_ = lab[1] / 128.0
+    b_ = lab[2] / 128.0
+    c = jnp.sqrt(a_ * a_ + b_ * b_)
+    h = jnp.mod(jnp.arctan2(b_, a_) / (2.0 * np.pi) + 1.0, 1.0)
+    return L, c, h
+
+
+def _lch01_to_lab(L, c, h):
+    ang = 2.0 * np.pi * h
+    return jnp.stack([L * 100.0, jnp.cos(ang) * c * 128.0,
+                      jnp.sin(ang) * c * 128.0])
+
+
+def _blend_hue_family(a, b, mode, cst, mask):
+    """HUE / COLOR / COLORADJUST / HSV_VALUE / HSV_COLOR — the opacity
+    acts on the polar components, not as a final lerp (blendif_lab.c:
+    874-977, blendif_rgb_hsl.c:707-858)."""
+    op = mask[0]
+    if cst == CS_LAB:
+        La, Ca, Ha = _lab_to_lch01(a)
+        Lb, Cb, Hb = _lab_to_lch01(b)
+        if mode == B_HUE:
+            return _lch01_to_lab(La, Ca, _hue_mix(Ha, Hb, op))
+        if mode == B_COLOR:
+            return _lch01_to_lab(La, Ca * (1 - op) + Cb * op,
+                                 _hue_mix(Ha, Hb, op))
+        if mode == B_COLORADJUST:
+            return _lch01_to_lab(Lb, Ca * (1 - op) + Cb * op,
+                                 _hue_mix(Ha, Hb, op))
+        # HSV modes are display-RGB only; fall back to the lightness mix
+        if mode == B_HSV_VALUE:
+            return jnp.stack([La * (1 - op) * 100.0 + Lb * op * 100.0,
+                              a[1], a[2]])
+        return jnp.stack([a[0], b[1] * op + a[1] * (1 - op),
+                          b[2] * op + a[2] * (1 - op)])
+    ca = jnp.clip(a, 0.0, 1.0)
+    cb = jnp.clip(b, 0.0, 1.0)
+    if mode in (B_HSV_VALUE, B_HSV_COLOR):
+        ta = _rgb_to_hsv(a)
+        tb = _rgb_to_hsv(b)
+        if mode == B_HSV_VALUE:
+            out = jnp.stack([ta[0], ta[1],
+                             ta[2] * (1 - op) + tb[2] * op])
+        else:
+            xa = ta[1] * jnp.cos(2 * np.pi * ta[0])
+            ya = ta[1] * jnp.sin(2 * np.pi * ta[0])
+            xb = tb[1] * jnp.cos(2 * np.pi * tb[0])
+            yb = tb[1] * jnp.sin(2 * np.pi * tb[0])
+            xc = xa * (1 - op) + xb * op
+            yc = ya * (1 - op) + yb * op
+            h = jnp.mod(jnp.arctan2(yc, xc) / (2 * np.pi) + 1.0, 1.0)
+            out = jnp.stack([h, jnp.sqrt(xc * xc + yc * yc), ta[2]])
+        return _hsv_to_rgb(out)
+    ta = _rgb_to_hsl(ca)
+    tb = _rgb_to_hsl(cb)
+    if mode == B_HUE:
+        out = jnp.stack([_hue_mix(ta[0], tb[0], op), ta[1], ta[2]])
+    elif mode == B_COLOR:
+        out = jnp.stack([_hue_mix(ta[0], tb[0], op),
+                         ta[1] * (1 - op) + tb[1] * op, ta[2]])
+    else:  # B_COLORADJUST: lightness from module output
+        out = jnp.stack([_hue_mix(ta[0], tb[0], op),
+                         ta[1] * (1 - op) + tb[1] * op, tb[2]])
+    return jnp.clip(_hsl_to_rgb(out), 0.0, 1.0)
+
+
+def apply_blend_raw(a, b, bp: BlendParams, drawn=None):
+    """RAW blend colorspace (blend.h:57 DEVELOP_BLEND_CS_RAW,
+    blendif_raw.c): single-channel mosaic, drawn mask + global opacity
+    only (no parametric channels), elementwise mode table."""
+    opacity = min(max(bp.opacity / 100.0, 0.0), 1.0)
+    if bp.mask_mode & MASK_SHAPE and drawn is not None:
+        base = drawn
+        if bp.mask_combine & COMBINE_MASKS_POS:
+            base = 1.0 - base
+    else:
+        base = jnp.ones_like(a)
+    if bp.mask_combine & COMBINE_INV:
+        base = 1.0 - base
+    mask = base * opacity
+    mode = bp.blend_mode & BLEND_MODE_MASK
+    aa, bb = (b, a) if bp.blend_mode & BLEND_REVERSE else (a, b)
+    fn = _mode_fn(mode, bp.blend_parameter, CS_RGB_SCENE)
+    if fn is None:
+        fn = _mode_fn(B_NORMAL2, bp.blend_parameter, CS_RGB_SCENE)
+    return aa * (1.0 - mask) + fn(aa, bb) * mask
+
+
 def _apply_blend_mode(a, b, bp: BlendParams, cst: int, y_weights, mask):
     mode = bp.blend_mode & BLEND_MODE_MASK
     if bp.blend_mode & BLEND_REVERSE:
         a, b = b, a
     p = bp.blend_parameter
+
+    if mode in (B_HUE, B_COLOR, B_COLORADJUST, B_HSV_VALUE, B_HSV_COLOR):
+        return _blend_hue_family(a, b, mode, cst, mask)
 
     # channel-replace modes
     if mode in (B_RGB_R, B_RGB_G, B_RGB_B, B_LAB_L, B_LAB_A, B_LAB_B):

@@ -294,8 +294,7 @@ class Pipeline:
                       if isinstance(item.blend_params, blend_mod.BlendParams)
                       else blend_mod.decode_blend_params(item.blend_params))
                 if (blend_mod.blend_is_active(bp)
-                        and plan.spec_in.array_shape == plan.spec_out.array_shape
-                        and plan.spec_out.colorspace is not Colorspace.RAW):
+                        and plan.spec_in.array_shape == plan.spec_out.array_shape):
                     stage.blend = bp
                     # the full blend blob keys the compile cache: mask
                     # trapezoids/opacity are baked as constants in the trace
@@ -537,9 +536,6 @@ class Pipeline:
                 if s.blend is not None:
                     a_in = x
                     y = s.op.apply(x, c, s.plan, ctx)
-                    cst = (blend_mod.CS_LAB
-                           if s.plan.spec_out.colorspace is Colorspace.LAB
-                           else blend_mod.CS_RGB_SCENE)
                     prm = blend_mod.prepare_parameters(s.blend)
                     drawn = None
                     if s.blend_form is not None:
@@ -550,6 +546,17 @@ class Pipeline:
                             s.blend_form, forms,
                             spec.array_shape[-2], spec.array_shape[-1],
                             norm_h=spec.height, norm_w=spec.width)
+                    if s.plan.spec_out.colorspace is Colorspace.RAW:
+                        # RAW blend colorspace: drawn mask + opacity only
+                        # (blendif_raw.c)
+                        x = blend_mod.apply_blend_raw(a_in, y, s.blend,
+                                                      drawn=drawn)
+                        cur_spec = s.plan.spec_out
+                        i += 1
+                        continue
+                    cst = (blend_mod.CS_LAB
+                           if s.plan.spec_out.colorspace is Colorspace.LAB
+                           else blend_mod.CS_RGB_SCENE)
                     raster = None
                     if s.blend.mask_mode & blend_mod.MASK_RASTER:
                         src = s.blend.raster_mask_source
