@@ -1,0 +1,132 @@
+"""Measured quality bounds for documented algorithm substitutions.
+
+VERDICT r2 #8: each alias must carry a quantified equivalence bound, not
+just a docstring note.  Ground truth comes from the synthetic scene
+BEFORE mosaicking, so the bounds measure absolute reconstruction
+quality of the substitute on AMaZE-class content:
+
+* AMaZE -> RCD (`/root/reference/src/iop/demosaic/amaze.cc:1427` vs
+  `rcd.c`): both are gradient-adaptive Bayer reconstructions; published
+  comparisons (RawTherapee docs, the RCD paper) put them within ~0.5 dB
+  on natural content.  Gate on a brutal diagonal-bar scene: RCD >= 25 dB
+  PSNR with a clear margin over PPG (+1 dB) and bilinear (+3 dB) — the
+  ordering that characterizes the gradient-adaptive class AMaZE
+  belongs to.
+* highlights HARMONIC -> guided-LAPLACIAN
+  (`/root/reference/src/iop/highlights/segmentation.c` ridden by the
+  laplacian path, ops/highlights.py:11): gate the reconstruction of a
+  synthetically clipped highlight against the unclipped truth.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ansel_tpu.core.types import CFAPattern
+
+
+def _scene(h=192, w=256, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # shared-luminance hard edges (diagonal bars + disc) — the content
+    # class gradient-directed demosaicers are built for
+    lum = 0.25 + 0.5 * (((xx + 2 * yy) // 11) % 2)
+    disc = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) < (h / 3) ** 2
+    lum = np.where(disc, 1.0 - lum, lum)
+    r = lum * (0.8 + 0.2 * xx / w)
+    g = lum
+    b = lum * (0.9 - 0.25 * yy / h)
+    rgb = np.clip(np.stack([r, g, b]) + 0.01 * rng.random((3, h, w)),
+                  0.02, 0.98).astype(np.float32)
+    return rgb
+
+
+def _mosaic_rggb(rgb):
+    _, h, w = rgb.shape
+    sel = np.empty((h, w), np.int64)
+    sel[0::2, 0::2] = 0
+    sel[0::2, 1::2] = 1
+    sel[1::2, 0::2] = 1
+    sel[1::2, 1::2] = 2
+    return np.take_along_axis(rgb, sel[None], axis=0)[0]
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def test_amaze_alias_rcd_quality_bound():
+    from ansel_tpu.kernels.rcd import rcd_demosaic
+    from ansel_tpu.ops.demosaic import bilinear_demosaic, ppg_demosaic
+
+    rgb = _scene()
+    mosaic = jnp.asarray(_mosaic_rggb(rgb))
+    m = 8  # ignore borders
+    crop = (slice(None), slice(m, -m), slice(m, -m))
+
+    rcd = np.asarray(rcd_demosaic(mosaic, CFAPattern.RGGB, 1.0))
+    ppg = np.asarray(ppg_demosaic(mosaic, CFAPattern.RGGB))
+    bil = np.asarray(bilinear_demosaic(mosaic, CFAPattern.RGGB))
+    h, w = rgb.shape[1:]
+    p_rcd = _psnr(rcd[:, :h, :w][crop], rgb[crop])
+    p_ppg = _psnr(ppg[:, :h, :w][crop], rgb[crop])
+    p_bil = _psnr(bil[:, :h, :w][crop], rgb[crop])
+
+    # AMaZE-class bound: >= 25 dB on this edge-dense scene, and clearly
+    # better than the simpler reconstructions it substitutes above
+    assert p_rcd >= 25.0, (p_rcd, p_ppg, p_bil)
+    assert p_rcd > p_ppg + 1.0 and p_rcd > p_bil + 3.0, \
+        (p_rcd, p_ppg, p_bil)
+
+
+def test_harmonic_alias_laplacian_reconstruction_bound():
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.ops.base import PlanContext, get_op
+    from ansel_tpu.ops.highlights import MODE_CLIP
+    from ansel_tpu.core.types import Colorspace, ImageSpec
+
+    # unclipped truth with a bright blob; clip the mosaic at 0.75
+    h, w = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    lum = 0.3 + 1.2 * np.exp(-(((yy - 64) ** 2 + (xx - 64) ** 2) / 600.0))
+    rgb = np.stack([lum, 0.9 * lum, 0.8 * lum]).astype(np.float32)
+    mosaic = _mosaic_rggb(rgb)
+    clipped = np.minimum(mosaic, 0.75)
+
+    _, meta, _ = synth_raw(h=h, w=w)
+    op = get_op("highlights")
+    spec = ImageSpec(height=h, width=w, channels=1,
+                     colorspace=Colorspace.RAW, cfa=CFAPattern.RGGB)
+    from ansel_tpu.ops.highlights import MODE_HARMONIC as HARMONIC
+    from ansel_tpu.core.params import params_class
+
+    p = params_class("highlights")(mode=HARMONIC, clip=0.75)
+    ctx = PlanContext(meta=meta, scale=1.0)
+    ctx.processed_maximum = (1.0, 1.0, 1.0)
+    plan = op.plan(ctx, spec, p)
+    c = jax.tree.map(jnp.asarray, op.coeffs(ctx, plan, p))
+    pad = np.zeros((spec.pad_h, spec.pad_w), np.float32)
+    pad[:h, :w] = clipped
+    out = np.asarray(op.apply(jnp.asarray(pad), c, plan, ctx))[:h, :w]
+
+    clip_mask = mosaic > 0.75
+    assert clip_mask.any()
+    # Measured bound (the point of this gate): the guided-laplacian
+    # substitute pushes clipped pixels above the clip point and reduces
+    # the truth error, but on a fully-clipped blob (all 3 channels
+    # lost) it currently recovers only ~1-2% of the lost energy where
+    # the reference's segmentation HARMONIC recovers substantially more
+    # (segmentation.c grows opposed-color estimates into the clipped
+    # region).  The gate records that measured floor so regressions and
+    # future improvements are visible; docs/PARITY.md carries the gap.
+    lost = (mosaic - clipped)[clip_mask]
+    recovered = (out - clipped)[clip_mask]
+    frac = float(recovered.sum() / lost.sum())
+    err_out = float(np.abs(out - mosaic)[clip_mask].mean())
+    err_none = float(np.abs(clipped - mosaic)[clip_mask].mean())
+    assert out.max() > 0.76, out.max()   # exceeds the clip ceiling
+    assert frac > 0.01, frac             # measured floor
+    assert err_out < err_none, (err_out, err_none)
