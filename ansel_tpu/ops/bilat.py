@@ -19,8 +19,10 @@ from ..core.types import Colorspace
 from ..pixel.locallaplacian import local_laplacian
 from .base import Op, OpPlan, PlanContext, register
 
-MODE_BILATERAL = 1
-MODE_LOCAL_LAPLACIAN = 2
+# dt_iop_bilat_mode_t (bilat.c:71-75): 0 = bilateral grid, 1 = local
+# laplacian; default mode is 1 (bilat.c:80)
+MODE_BILATERAL = 0
+MODE_LOCAL_LAPLACIAN = 1
 
 
 @params(op="bilat", version=3)
@@ -46,7 +48,7 @@ class Bilat(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         mode, midtone, sigma_s, sigma_r, detail = plan.static
-        if mode != MODE_LOCAL_LAPLACIAN:
+        if mode == MODE_BILATERAL:
             # bilateral grid on L with detail-boost slicing (bilat.c
             # process -> dt_bilateral_splat/blur/slice_to_output)
             from ..pixel.bilateralgrid import grid_filter

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..core.params import cfield, params
 from ..core.types import Colorspace
-from ..pixel.blur import gaussian_blur
+from ..pixel.blur import gaussian_blur_fast
 from .base import Op, OpPlan, PlanContext, register
 
 PRECEDENCE_NONE = 0
@@ -76,10 +76,10 @@ class ColorReconstruct(Op):
         est = []
         den = None
         for s in (sigma / 4.0, sigma):
-            dd = gaussian_blur(w, s) + 1e-9
-            est.append([gaussian_blur(w * L, s) / dd,
-                        gaussian_blur(w * a, s) / dd,
-                        gaussian_blur(w * b, s) / dd,
+            dd = gaussian_blur_fast(w, s) + 1e-9
+            est.append([gaussian_blur_fast(w * L, s) / dd,
+                        gaussian_blur_fast(w * a, s) / dd,
+                        gaussian_blur_fast(w * b, s) / dd,
                         dd])
         # prefer the tighter scale where it has coverage
         cover = est[0][3] > 1e-4

@@ -55,9 +55,10 @@ class Defringe(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         mode, sigma, small_radius, avg_radius = plan.static
-        blurred = gaussian_blur(x, sigma)
-        da = x[1] - blurred[1]
-        db = x[2] - blurred[2]
+        # only the chroma planes feed the edge detector — don't blur L
+        blurred = gaussian_blur(x[1:3], sigma)
+        da = x[1] - blurred[0]
+        db = x[2] - blurred[1]
         edge = da * da + db * db
 
         if mode == MODE_GLOBAL_AVERAGE:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.params import cfield, params
 from ..core.types import Colorspace
-from ..pixel.blur import gaussian_blur
+from ..pixel.blur import gaussian_blur_fast
 from .base import Op, OpPlan, PlanContext, register
 
 
@@ -55,7 +55,7 @@ class Lowpass(Op):
 
             y = grid_filter(x[0], x, max(sigma, 1.0), 100.0, 0.0, 100.0)
         else:
-            y = gaussian_blur(x, sigma)
+            y = gaussian_blur_fast(x, sigma)
         contrast = jnp.asarray(c["contrast"], x.dtype)
         # negative contrast mirrors the curve (reference ctable semantics)
         L = 50.0 + (y[0] - 50.0) * contrast

@@ -42,7 +42,9 @@ def _hat_blur(x: jnp.ndarray, lev: int) -> jnp.ndarray:
 
 
 def dwt_denoise(img: jnp.ndarray, noise) -> jnp.ndarray:
-    """hat-wavelet soft-threshold denoise of one plane (dwt.c:516-538)."""
+    """hat-wavelet soft-threshold denoise (dwt.c:516-538).  `img` is
+    (..., H, W); `noise` indexes levels on axis 0 and broadcasts any
+    leading axes (so all 4 CFA planes run in ONE batched pass)."""
     accum = jnp.zeros_like(img)
     cur = img
     for lev in range(len(noise)):
@@ -80,15 +82,15 @@ class RawDenoise(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         h, w = x.shape
-        # split into the 4 CFA phase planes, VST, denoise, restore
-        planes = x.reshape(h // 2, 2, w // 2, 2).transpose(1, 3, 0, 2)
-        out_planes = []
-        for py in range(2):
-            row = []
-            for px in range(2):
-                plane = jnp.sqrt(jnp.maximum(planes[py, px], 0.0))
-                den = dwt_denoise(plane, c["noise"][py, px])
-                row.append(den * den)
-            out_planes.append(row)
-        stacked = jnp.stack([jnp.stack(r) for r in out_planes])
-        return stacked.transpose(2, 0, 3, 1).reshape(h, w)
+        # split into the 4 CFA phase planes, VST, denoise all four in one
+        # batched hat-wavelet pass ((4, h/2, w/2) — 4x fewer dispatches
+        # and full VPU lanes), restore
+        planes = x.reshape(h // 2, 2, w // 2, 2).transpose(1, 3, 0, 2) \
+                  .reshape(4, h // 2, w // 2)
+        vst = jnp.sqrt(jnp.maximum(planes, 0.0))
+        # noise: (2, 2, BANDS) -> (BANDS, 4, 1, 1) to broadcast per level
+        nz = jnp.asarray(c["noise"]).reshape(4, -1).T[:, :, None, None]
+        den = dwt_denoise(vst, nz)
+        out = den * den
+        return out.reshape(2, 2, h // 2, w // 2) \
+                  .transpose(2, 0, 3, 1).reshape(h, w)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.params import cfield, params
 from ..core.types import Colorspace
-from ..pixel.blur import gaussian_blur
+from ..pixel.blur import gaussian_blur_fast
 from .base import Op, OpPlan, PlanContext, register
 
 
@@ -81,7 +81,7 @@ class ShadowsHighlights(Op):
             blurred = grid_filter(x[0], x, max(sigma, 1.0), 100.0,
                                   0.0, 100.0)
         else:
-            blurred = gaussian_blur(x, sigma)
+            blurred = gaussian_blur_fast(x, sigma)
         # scale to unit Lab (ta = in/100, tb = inverted blur L)
         ta_L = x[0] / 100.0
         ta_a = x[1] / 128.0

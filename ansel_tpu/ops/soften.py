@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.params import cfield, params
 from ..core.types import Colorspace
-from ..pixel.blur import box_blur
+from ..pixel.blur import gaussian_blur
 from ._hsl import hsl_to_rgb, rgb_to_hsl
 from .base import Op, OpPlan, PlanContext, register
 
@@ -52,7 +52,12 @@ class Soften(Op):
         h, s, l = rgb_to_hsl(jnp.clip(x, 0.0, 1.0))
         glow = hsl_to_rgb(h, jnp.clip(s * c["saturation"], 0.0, 1.0),
                           jnp.clip(l * c["brightness"], 0.0, 1.0))
-        for _ in range(BOX_ITERATIONS):
-            glow = box_blur(glow, plan.static)
+        # the reference's own GPU path replaces the 8 iterated box means
+        # by one Gaussian of the equivalent sigma (soften.c:184:
+        # sigma = sqrt((r*(r+1)*BOX_ITERATIONS + 2) / 3)); one Deriche
+        # IIR pass instead of 8 cumsum boxes
+        r = plan.static
+        sigma = math.sqrt((r * (r + 1.0) * BOX_ITERATIONS + 2.0) / 3.0)
+        glow = gaussian_blur(glow, sigma)
         amt = jnp.asarray(c["amount"], x.dtype)
         return x * (1.0 - amt) + glow * amt

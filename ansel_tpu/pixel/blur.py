@@ -104,6 +104,32 @@ def gaussian_blur(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.nd
     return sep_filter(x, [float(v) for v in k])
 
 
+def gaussian_blur_fast(x: jnp.ndarray, sigma: float,
+                       max_ds: int = 8) -> jnp.ndarray:
+    """Large-sigma Gaussian via block-mean downsample -> IIR Gaussian at
+    sigma/ds -> bilinear upsample.  For sigma >> ds the pre-average is
+    absorbed into the Gaussian (variance ds^2/12 <= sigma^2/3 % error),
+    so the result matches gaussian_blur while the scan work drops by
+    ds^2.  The same trade the reference makes structurally with
+    fast_guided_filter.h and its downscaled preview pipes."""
+    import jax
+
+    if sigma < 16.0:
+        return gaussian_blur(x, sigma)
+    ds = int(min(max_ds, sigma // 8))
+    H, W = x.shape[-2:]
+    Hp, Wp = -(-H // ds) * ds, -(-W // ds) * ds
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
+    xp = jnp.pad(x, pad, mode="edge")
+    lead = xp.shape[:-2]
+    small = xp.reshape(*lead, Hp // ds, ds, Wp // ds, ds).mean((-3, -1))
+    # de-convolve the block mean's variance from the target
+    sig_ds = math.sqrt(max(sigma * sigma - ds * ds / 12.0, 1e-6)) / ds
+    small = gaussian_blur(small, sig_ds)
+    out = jax.image.resize(small, (*lead, Hp, Wp), "linear")
+    return out[..., :H, :W]
+
+
 def fast_gaussian(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """3 iterated box blurs ~ Gaussian (radius from sigma, standard rule);
     preferable for very large sigma (cost independent of radius)."""

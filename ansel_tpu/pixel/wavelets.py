@@ -102,6 +102,15 @@ def eaw_decompose_scale(x: jnp.ndarray, scale: int, sharpen):
     (reference src/pixel/eaw.c eaw_decompose): 25-tap B3 blur with
     per-channel photometric weights w = exp(-diff^2 * sharpen).
     -> (coarse, detail)."""
+    import jax as _jax
+
+    from ..kernels.eaw_pallas import MAX_SCALE, eaw_atrous_coarse_pallas
+
+    if (_jax.default_backend() == "tpu" and scale <= MAX_SCALE
+            and x.ndim == 3 and x.shape[0] == 3):
+        low = eaw_atrous_coarse_pallas(x, scale, sharpen)
+        return low, x - low
+
     from .shifts import PaddedView
 
     d = 1 << scale
