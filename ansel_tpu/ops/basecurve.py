@@ -37,6 +37,53 @@ class BaseCurveParams:
     exposure_bias: float = cfield("f", 1.0)
     preserve_colors: int = cfield("i", 1)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # basecurve.c version ladder (:170-235); CUBIC_SPLINE = 0,
+        # DT_RGB_NORM_NONE = 0
+        n = 3 * MAXNODES * 2
+        if version == 1:  # {x[6], y[6], preset}
+            v = struct.unpack("<12fi", raw[:52])
+            xs, ys = v[:6], v[6:12]
+            curve = []
+            for xx, yy in zip(xs, ys):
+                curve += [xx, yy]
+            curve += [0.0] * (MAXNODES * 2 - 12)
+            curve += ([0.0, 0.0, 1.0, 1.0]
+                      + [0.0] * (MAXNODES * 2 - 4)) * 2
+            return cls(basecurve=tuple(curve), basecurve_nodes=(6, 3, 3),
+                       basecurve_type=(0, 2, 2), exposure_fusion=0,
+                       exposure_stops=1.0, exposure_bias=1.0,
+                       preserve_colors=0)
+        if version == 2:  # {curve, nodes[3], type[3]}
+            v = struct.unpack(f"<{n}f6i", raw[:n * 4 + 24])
+            return cls(basecurve=tuple(v[:n]),
+                       basecurve_nodes=tuple(v[n:n + 3]),
+                       basecurve_type=tuple(v[n + 3:n + 6]),
+                       exposure_fusion=0, exposure_stops=1.0,
+                       exposure_bias=1.0, preserve_colors=0)
+        if version in (3, 4):  # + {fusion(i), stops(f)}
+            v = struct.unpack(f"<{n}f6fif" if False else f"<{n}f6iif",
+                              raw[:n * 4 + 32])
+            fusion, stops = v[n + 6], v[n + 7]
+            if version == 3 and fusion == 0 and stops == 0:
+                stops = 1.0
+            return cls(basecurve=tuple(v[:n]),
+                       basecurve_nodes=tuple(v[n:n + 3]),
+                       basecurve_type=tuple(v[n + 3:n + 6]),
+                       exposure_fusion=fusion, exposure_stops=stops,
+                       exposure_bias=1.0, preserve_colors=0)
+        if version == 5:  # + bias(f)
+            v = struct.unpack(f"<{n}f6iff", raw[:n * 4 + 36])
+            return cls(basecurve=tuple(v[:n]),
+                       basecurve_nodes=tuple(v[n:n + 3]),
+                       basecurve_type=tuple(v[n + 3:n + 6]),
+                       exposure_fusion=v[n + 6], exposure_stops=v[n + 7],
+                       exposure_bias=v[n + 8], preserve_colors=0)
+        return None
+
 LUT_MAX = 16.0  # scene-referred input can exceed 1
 
 

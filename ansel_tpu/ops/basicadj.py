@@ -40,6 +40,22 @@ class BasicAdjParams:
     clip: float = cfield("f", 0.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # basicadj.c v1 = v2 without vibrance (field order differs:
+        # v1 has clip last, v2 inserts vibrance before clip)
+        if version == 1:
+            v = struct.unpack("<5fi4f", raw[:40])
+            return cls(black_point=v[0], exposure=v[1], hlcompr=v[2],
+                       hlcomprthresh=v[3], contrast=v[4],
+                       preserve_colors=v[5], middle_grey=v[6],
+                       brightness=v[7], saturation=v[8], vibrance=0.0,
+                       clip=v[9])
+        return None
+
+
 @register
 class BasicAdj(Op):
     name = "basicadj"

@@ -35,6 +35,23 @@ class BilatParams:
     midtone: float = cfield("f", 0.5)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # bilat.c ladder (:151-178): v1 grid-only, v2 adds mode;
+        # both map to midtone 0.2
+        if version == 1:
+            sr, ss, det = struct.unpack("<3f", raw[:12])
+            return cls(mode=MODE_BILATERAL, sigma_r=sr, sigma_s=ss,
+                       detail=det, midtone=0.2)
+        if version == 2:
+            m, sr, ss, det = struct.unpack("<I3f", raw[:16])
+            return cls(mode=m, sigma_r=sr, sigma_s=ss, detail=det,
+                       midtone=0.2)
+        return None
+
+
 @register
 class Bilat(Op):
     name = "bilat"

@@ -36,6 +36,30 @@ class BordersParams:
     max_border_size: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # borders.c ladder (:151-210)
+        if version == 1:  # {color[3], aspect, size}
+            r, g, b, aspect, size = struct.unpack("<5f", raw[:20])
+            return cls(color=(r, g, b),
+                       aspect=(1.0 / aspect if aspect < 1 else aspect),
+                       aspect_orient=1 if aspect > 1 else 2,
+                       size=abs(size), max_border_size=0)
+        if version == 2:  # current struct minus max_border_size
+            v = struct.unpack("<4f20si2f20sf20s2f3f", raw[:112])
+            return cls(color=tuple(v[0:3]), aspect=v[3],
+                       aspect_text=v[4].split(b"\x00")[0].decode(),
+                       aspect_orient=v[5], size=v[6], pos_h=v[7],
+                       pos_h_text=v[8].split(b"\x00")[0].decode(),
+                       pos_v=v[9],
+                       pos_v_text=v[10].split(b"\x00")[0].decode(),
+                       frame_size=v[11], frame_offset=v[12],
+                       frame_color=tuple(v[13:16]), max_border_size=0)
+        return None
+
+
 @register
 class Borders(Op):
     name = "borders"

@@ -33,6 +33,28 @@ class ChannelMixerParams:
     algorithm_version: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # channelmixer.c v1 {red[7], green[7], blue[7]}: gray slot 6;
+        # RGB mixing slots only carried over when gray is unused
+        if version == 1:
+            v = struct.unpack("<21f", raw[:84])
+            red, green, blue = list(v[0:7]), list(v[7:14]), list(v[14:21])
+            nr = [red[0], red[1], red[2], 1.0, 0.0, 0.0, red[6]]
+            ng = [green[0], green[1], green[2], 0.0, 1.0, 0.0, green[6]]
+            nb = [blue[0], blue[1], blue[2], 0.0, 0.0, 1.0, blue[6]]
+            if red[6] == 0.0 and green[6] == 0.0 and blue[6] == 0.0:
+                for i in range(3):
+                    nr[3 + i] = red[3 + i]
+                    ng[3 + i] = green[3 + i]
+                    nb[3 + i] = blue[3 + i]
+            return cls(red=tuple(nr), green=tuple(ng), blue=tuple(nb),
+                       algorithm_version=0)
+        return None
+
+
 @register
 class ChannelMixer(Op):
     name = "channelmixer"

@@ -54,6 +54,35 @@ class ClippingParams:
     ratio_d: int = cfield("i", -1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # clipping.c ladder (:214-330): v2 packed keystone direction
+        # into bit 30 of k_h; v3 plain k_h/k_v; v4 adds quad + flags
+        if version in (2, 3):
+            a, cx, cy, cw, ch, k_h, k_v = struct.unpack("<7f", raw[:28])
+            if version == 2:
+                (u,) = struct.unpack("<I", struct.pack("<f", k_h))
+                horizontal = bool(u & 0x40000000)
+                (k,) = struct.unpack("<f",
+                                     struct.pack("<I", u & ~0x40000000))
+                k_h, k_v = (k, 0.0) if horizontal else (0.0, k)
+            k_type = 0 if (k_h == 0 and k_v == 0) else 4
+            return cls(angle=a, cx=cx, cy=cy, cw=cw, ch=ch, k_h=k_h,
+                       k_v=k_v, k_type=k_type, k_sym=0, k_apply=0,
+                       crop_auto=1, ratio_n=-2, ratio_d=-2)
+        if version == 4:
+            v = struct.unpack("<15f4i", raw[:76])
+            return cls(angle=v[0], cx=v[1], cy=v[2], cw=v[3], ch=v[4],
+                       k_h=v[5], k_v=v[6], kxa=v[7], kya=v[8],
+                       kxb=v[9], kyb=v[10], kxc=v[11], kyc=v[12],
+                       kxd=v[13], kyd=v[14], k_type=v[15], k_sym=v[16],
+                       k_apply=v[17], crop_auto=v[18],
+                       ratio_n=-2, ratio_d=-2)
+        return None
+
+
 def _keystone_matrix(k_space, kxa, kxb, kxc, kxd, kya, kyb, kyc, kyd):
     """clipping.c:406-437 — homography coefficients mapping the drawn quad
     (relative to its A corner) onto the axis-aligned k_space rectangle."""

@@ -38,6 +38,24 @@ class ColorBalanceParams:
     saturation_out: float = cfield("f", 1.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # colorbalance.c ladder; mode LEGACY = 0
+        if version == 1:  # {lift[4], gamma[4], gain[4]}
+            v = struct.unpack("<12f", raw[:48])
+            return cls(mode=0, lift=tuple(v[0:4]), gamma=tuple(v[4:8]),
+                       gain=tuple(v[8:12]))
+        if version == 2:  # + {mode; saturation, contrast, grey}
+            v = struct.unpack("<i15f", raw[:64])
+            return cls(mode=v[0], lift=tuple(v[1:5]),
+                       gamma=tuple(v[5:9]), gain=tuple(v[9:13]),
+                       saturation=v[13], contrast=v[14], grey=v[15],
+                       saturation_out=1.0)
+        return None
+
+
 def _fold(arr):
     """[master, R, G, B] -> per-channel with master folded
     (reference commit: (v[c]-1) + (v[0]-1) + 1)."""

@@ -38,6 +38,40 @@ class ColorCheckerParams:
     num_patches: int = cfield("i", 0)
 
 
+    # classic 24-patch targets of the v1 module (colorchecker.c:122-156)
+    V1_SOURCE = (
+        (39.19, 13.76, 14.29), (65.18, 19.00, 17.32),
+        (49.46, -4.23, -22.95), (42.85, -13.33, 22.12),
+        (55.18, 9.44, -24.94), (70.36, -32.77, -0.04),
+        (62.92, 35.49, 57.10), (40.75, 11.41, -46.03),
+        (52.10, 48.11, 16.89), (30.67, 21.19, -20.81),
+        (73.08, -23.55, 56.97), (72.43, 17.48, 68.20),
+        (30.97, 12.67, -46.30), (56.43, -40.66, 31.94),
+        (43.40, 50.68, 28.84), (82.45, 2.41, 80.25),
+        (51.98, 50.68, -14.84), (51.02, -27.63, -28.03),
+        (95.97, -0.40, 1.24), (81.10, -0.83, -0.43),
+        (66.81, -1.08, -0.70), (50.98, -0.19, -0.30),
+        (35.72, -0.69, -1.11), (21.46, 0.06, -0.95))
+
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # colorchecker.c v1 {target_L/a/b[24]} with the fixed v1 source
+        if version == 1:
+            v = struct.unpack("<72f", raw[:288])
+            pad = (0.0,) * (MAX_PATCHES - 24)
+            return cls(
+                source_L=tuple(p[0] for p in cls.V1_SOURCE) + pad,
+                source_a=tuple(p[1] for p in cls.V1_SOURCE) + pad,
+                source_b=tuple(p[2] for p in cls.V1_SOURCE) + pad,
+                target_L=tuple(v[0:24]) + pad,
+                target_a=tuple(v[24:48]) + pad,
+                target_b=tuple(v[48:72]) + pad,
+                num_patches=24)
+        return None
+
+
 def _phi(r2):
     return r2 * np.log(np.maximum(r2, 1e-8))
 

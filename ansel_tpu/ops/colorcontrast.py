@@ -26,6 +26,18 @@ class ColorContrastParams:
     unbound: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # colorcontrast.c v1 = v2 without unbound (clipped behavior)
+        if version == 1:
+            a_s, a_o, b_s, b_o = struct.unpack("<4f", raw[:16])
+            return cls(a_steepness=a_s, a_offset=a_o, b_steepness=b_s,
+                       b_offset=b_o, unbound=0)
+        return None
+
+
 @register
 class ColorContrast(Op):
     name = "colorcontrast"

@@ -41,6 +41,18 @@ class ColorizeParams:
     version: int = cfield("i", 2)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # colorize.c v1 -> v2 keeps values, tags version=1 (old L mix)
+        if version == 1:
+            h, s, mix, l = struct.unpack("<4f", raw[:16])
+            return cls(hue=h, saturation=s, source_lightness_mix=mix,
+                       lightness=l, version=1)
+        return None
+
+
 @register
 class Colorize(Op):
     name = "colorize"

@@ -43,6 +43,29 @@ class ColoroutParams:
     intent: int = cfield("i", 0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        def cut(b):
+            return b.split(b"\x00")[0].decode("utf-8", "replace")
+
+        # colorout.c ladder (:120-210): named-profile strings -> types
+        names = {"sRGB": 0, "linear_rec709_rgb": 4, "linear_rgb": 4,
+                 "linear_rec2020_rgb": 5, "adobergb": 1,
+                 "X profile": -2}
+        if version in (2, 3):
+            v = struct.unpack("<100s100s2i", raw[:208])
+            prof = cut(v[0])
+            if prof in names:
+                return cls(type=names[prof], intent=v[2])
+            return cls(type=99, filename=prof, intent=v[2])
+        if version == 4:
+            v = struct.unpack("<i100si", raw[:108])
+            return cls(type=v[0], filename=cut(v[1]), intent=v[2])
+        return None
+
+
 @register
 class Colorout(Op):
     name = "colorout"

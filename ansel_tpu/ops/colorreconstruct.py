@@ -39,6 +39,22 @@ class ColorReconstructParams:
     precedence: int = cfield("i", PRECEDENCE_NONE)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # colorreconstruction.c v1/v2 -> hue 0.66 default
+        if version == 1:
+            t, s, r = struct.unpack("<3f", raw[:12])
+            return cls(threshold=t, spatial=s, range_ext=r,
+                       precedence=0, hue=0.66)
+        if version == 2:
+            t, s, r, p = struct.unpack("<3fi", raw[:16])
+            return cls(threshold=t, spatial=s, range_ext=r,
+                       precedence=p, hue=0.66)
+        return None
+
+
 @register
 class ColorReconstruct(Op):
     name = "colorreconstruct"

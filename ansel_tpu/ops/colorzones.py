@@ -38,6 +38,67 @@ class ColorZonesParams:
     splines_version: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # colorzones.c version ladder (:186-330); CATMULL_ROM = 1,
+        # MODE_SMOOTH = 0, SPLINES_V1 = 0, old BANDS = 6 (v1) / 8 (v2+)
+        def build(channel, nodes_per_curve, strength=0.0, mode=0):
+            curve = []
+            for c in range(3):
+                pairs = nodes_per_curve[c]
+                pairs = pairs + [(0.0, 0.0)] * (MAXNODES - len(pairs))
+                for xx, yy in pairs:
+                    curve += [xx, yy]
+            return cls(channel=channel, curve=tuple(curve),
+                       curve_num_nodes=(8, 8, 8),
+                       curve_type=(1, 1, 1), strength=strength,
+                       mode=mode, splines_version=0)
+
+        if version == 1:  # {channel, x[3][6], y[3][6]} -> 8-node curves
+            v = struct.unpack("<i36f", raw[:148])
+            ch = v[0]
+            xs = [v[1 + c * 6:1 + c * 6 + 6] for c in range(3)]
+            ys = [v[19 + c * 6:19 + c * 6 + 6] for c in range(3)]
+            curves = []
+            for c in range(3):
+                pts = [(xs[c][0], ys[c][0])]
+                for k in range(6):
+                    if k == 0:
+                        px = xs[c][k] + 0.001
+                    elif k == 5:
+                        px = xs[c][k] - 0.001
+                    else:
+                        px = xs[c][k]
+                    pts.append((px, ys[c][k]))
+                pts.append((xs[c][5], ys[c][5]))
+                curves.append(pts)
+            return build(ch, curves)
+        if version in (2, 3):  # {channel, x[3][8], y[3][8][, strength]}
+            n = 48
+            if version == 2:
+                v = struct.unpack("<i48f", raw[:196])
+                strength = 0.0
+            else:
+                v = struct.unpack("<i49f", raw[:200])
+                strength = v[49]
+            ch = v[0]
+            xs = [v[1 + c * 8:1 + c * 8 + 8] for c in range(3)]
+            ys = [v[25 + c * 8:25 + c * 8 + 8] for c in range(3)]
+            curves = [list(zip(xs[c], ys[c])) for c in range(3)]
+            return build(ch, curves, strength)
+        if version == 4:  # {channel, curve[3][20], nodes, type, strength, mode}
+            n = 3 * MAXNODES * 2
+            v = struct.unpack(f"<i{n}f6ifi", raw[:4 + n * 4 + 32])
+            return cls(channel=v[0], curve=tuple(v[1:1 + n]),
+                       curve_num_nodes=tuple(v[1 + n:4 + n]),
+                       curve_type=tuple(v[4 + n:7 + n]),
+                       strength=v[7 + n], mode=v[8 + n],
+                       splines_version=0)
+        return None
+
+
 @register
 class ColorZones(Op):
     name = "colorzones"

@@ -51,6 +51,15 @@ class CrystGrainParams:
     colorspace_saturation: float = cfield("f", 67.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        # crystgrain.c: versions 1/8/9 share the layout (legacy_params
+        # is an identity copy); this module is registered v1 here
+        if version in (8, 9):
+            return cls.codec.decode(raw)
+        return None
+
+
 def _coverage_patch(radius_f, vertices, rotation, r):
     """Dense (2r+1, 2r+1) partial-coverage footprint
     (_crystal_coverage: regular-polygon signed distance + 0.5)."""

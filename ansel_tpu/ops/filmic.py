@@ -53,6 +53,37 @@ class FilmicLegacyParams:
     preserve_color: int = cfield("i", 0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # filmic.c ladder (INTROSPECTION is v3 in ansel; the layout is
+        # identical to the darktable-era v4 registered here)
+        if version == 1:  # no preserve_color/global_saturation
+            v = struct.unpack("<12fi", raw[:52])
+            return cls(grey_point_source=v[0], black_point_source=v[1],
+                       white_point_source=v[2], security_factor=v[3],
+                       grey_point_target=v[4], black_point_target=v[5],
+                       white_point_target=v[6], output_power=v[7],
+                       latitude_stops=v[8], contrast=v[9],
+                       saturation=v[10], balance=v[11],
+                       interpolator=v[12], preserve_color=0,
+                       global_saturation=100.0)
+        if version == 2:  # + preserve_color, still no global_saturation
+            v = struct.unpack("<12f2i", raw[:56])
+            return cls(grey_point_source=v[0], black_point_source=v[1],
+                       white_point_source=v[2], security_factor=v[3],
+                       grey_point_target=v[4], black_point_target=v[5],
+                       white_point_target=v[6], output_power=v[7],
+                       latitude_stops=v[8], contrast=v[9],
+                       saturation=v[10], balance=v[11],
+                       interpolator=v[12], preserve_color=v[13],
+                       global_saturation=100.0)
+        if version == 3:  # ansel's current layout == v4 here
+            return cls.codec.decode(raw)
+        return None
+
+
 @register
 class FilmicLegacy(Op):
     name = "filmic"

@@ -31,6 +31,19 @@ class FlipParams:
     orientation: int = cfield("i", ORIENTATION_NULL)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # flip.c v1 {orientation}; the reference merges with the image's
+        # EXIF orientation (merge_two_orientations with base NONE is the
+        # identity); headless replay applies EXIF orientation separately
+        if version == 1:
+            (o,) = struct.unpack("<i", raw[:4])
+            return cls(orientation=o)
+        return None
+
+
 @register
 class Flip(Op):
     name = "flip"

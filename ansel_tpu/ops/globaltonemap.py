@@ -33,6 +33,18 @@ class GlobalTonemapParams:
     detail: float = cfield("f", 0.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # globaltonemap.c v1/v2 -> appended detail = 0
+        if version in (1, 2):
+            op, bias, maxl = struct.unpack("<i2f", raw[:12])
+            return cls(operator=op, drago_bias=bias,
+                       drago_max_light=maxl, detail=0.0)
+        return None
+
+
 @register
 class GlobalTonemap(Op):
     name = "globaltonemap"

@@ -30,6 +30,19 @@ class GrainParams:
     midtones_bias: float = cfield("f", 100.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # grain.c v1 {channel, scale, strength}; midtones_bias = 0
+        # reproduces the old output exactly (grain.c legacy_params)
+        if version == 1:
+            ch, sc, st = struct.unpack("<i2f", raw[:12])
+            return cls(channel=ch, scale=sc, strength=st,
+                       midtones_bias=0.0)
+        return None
+
+
 @register
 class Grain(Op):
     name = "grain"

@@ -23,6 +23,19 @@ class InvertParams:
     color: tuple = cfield("4f", (1.0, 1.0, 1.0, 1.0))
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # invert.c v1 {color[3]} -> 4th channel NaN (4Bayer CYGM path
+        # needs the camera matrix; headless keeps NaN like the
+        # reference's non-4bayer branch)
+        if version == 1:
+            r, g, b = struct.unpack("<3f", raw[:12])
+            return cls(color=(r, g, b, float("nan")))
+        return None
+
+
 @register
 class Invert(Op):
     name = "invert"

@@ -61,6 +61,29 @@ class LensParams:
     tca_r: float = cfield("f", 1.0)
     tca_b: float = cfield("f", 1.0)
     modified: int = cfield("i", 0)
+
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # lens.cc version ladder: v2 (52-char names), v3 (128-char),
+        # v4 (+modified); ALL old versions had tca R and B swapped
+        def cut(b):
+            return b.split(b"\x00")[0].decode("utf-8", "replace")
+
+        if version == 2:
+            v = struct.unpack("<2i5fi52s52si2f", raw[:148])
+        elif version == 3:
+            v = struct.unpack("<2i5fi128s128si2f", raw[:300])
+        elif version == 4:
+            v = struct.unpack("<2i5fi128s128si2fi", raw[:304])
+        else:
+            return None
+        return cls(modify_flags=v[0], inverse=v[1], scale=v[2],
+                   crop=v[3], focal=v[4], aperture=v[5], distance=v[6],
+                   target_geom=v[7], camera=cut(v[8]), lens=cut(v[9]),
+                   tca_override=v[10], tca_r=v[12], tca_b=v[11],
+                   modified=1 if version < 4 else v[13])
     # --- python-only correction coefficients (not serialized) ---
     distortion_model: int = dataclasses.field(default=DIST_PTLENS)
     dist_a: float = dataclasses.field(default=0.0)

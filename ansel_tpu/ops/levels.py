@@ -27,6 +27,17 @@ class LevelsParams:
     levels: tuple = cfield("3f", (0.0, 0.5, 1.0))
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # levels.c v1 {levels[3], levels_preset} -> v2 defaults + levels
+        if version == 1:
+            l0, l1, l2, _preset = struct.unpack("<3fi", raw[:16])
+            return cls(levels=(l0, l1, l2))
+        return None
+
+
 @register
 class Levels(Op):
     name = "levels"

@@ -31,6 +31,27 @@ class LowpassParams:
     unbound: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # lowpass.c version ladder; algo from radius sign
+        if version in (1, 2, 3):
+            if version == 1:   # {order, radius, contrast, saturation}
+                o, r, con, sat = struct.unpack("<i3f", raw[:16])
+                bri, unb = 0.0, 0
+            elif version == 2:  # + brightness
+                o, r, con, bri, sat = struct.unpack("<i4f", raw[:20])
+                unb = 0
+            else:               # + unbound
+                o, r, con, bri, sat, unb = struct.unpack("<i4fi",
+                                                         raw[:24])
+            return cls(order=o, radius=abs(r), contrast=con,
+                       brightness=bri, saturation=sat,
+                       lowpass_algo=1 if r < 0.0 else 0, unbound=unb)
+        return None
+
+
 @register
 class Lowpass(Op):
     name = "lowpass"

@@ -43,6 +43,27 @@ class Lut3DParams:
     lutname: str = cfield("s:128", "")
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        def cut(b):
+            return b.split(b"\x00")[0].decode("utf-8", "replace")
+
+        # lut3d.c ladder: v1 {path[512], cs, interp};
+        # v2 adds keypoints + c_clut (lutname appended in v3)
+        if version == 1:
+            v = struct.unpack("<512s2i", raw[:520])
+            return cls(filepath=cut(v[0]), colorspace=v[1],
+                       interpolation=v[2], nb_keypoints=0)
+        if version == 2:
+            v = struct.unpack("<512s3i12288s", raw[:12812])
+            return cls(filepath=cut(v[0]), colorspace=v[1],
+                       interpolation=v[2], nb_keypoints=v[3],
+                       c_clut=cut(v[4]))
+        return None
+
+
 def _gamma709(x):
     return jnp.where(x < 0.018, 4.5 * x,
                      1.099 * jnp.maximum(x, 1e-9) ** 0.45 - 0.099)

@@ -28,6 +28,17 @@ class MonochromeParams:
     highlights: float = cfield("f", 0.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # monochrome.c v1 = v2 minus trailing highlights (set to 0)
+        if version == 1:
+            a, b, size = struct.unpack("<3f", raw[:12])
+            return cls(a=a, b=b, size=size, highlights=0.0)
+        return None
+
+
 def _color_filter(a, b, fa, fb, sigma2):
     return jnp.exp(-jnp.clip(((a - fa) ** 2 + (b - fb) ** 2) / (2.0 * sigma2),
                              0.0, 30.0))

@@ -38,6 +38,20 @@ class NegadoctorParams:
     exposure: float = cfield("f", 0.9245)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # negadoctor.c v1 = v2 (identical layout, field-by-field copy)
+        if version == 1:
+            v = struct.unpack("<i12f6f", raw[:76])
+            return cls(film_stock=v[0], Dmin=tuple(v[1:5]),
+                       wb_high=tuple(v[5:9]), wb_low=tuple(v[9:13]),
+                       D_max=v[13], offset=v[14], black=v[15],
+                       gamma=v[16], soft_clip=v[17], exposure=v[18])
+        return None
+
+
 @register
 class Negadoctor(Op):
     name = "negadoctor"

@@ -27,6 +27,18 @@ class NLMeansParams:
     chroma: float = cfield("f", 1.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # nlmeans.c v1 {luma, chroma} -> radius 3, strength 100
+        if version == 1:
+            luma, chroma = struct.unpack("<2f", raw[:8])
+            return cls(radius=3.0, strength=100.0, luma=luma,
+                       chroma=chroma)
+        return None
+
+
 @register
 class NLMeans(Op):
     name = "nlmeans"

@@ -35,6 +35,17 @@ class ProfileGammaParams:
     security_factor: float = cfield("f", 0.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # profile_gamma.c v1 {linear, gamma} -> mode GAMMA (= 0)
+        if version == 1:
+            lin, gam = struct.unpack("<2f", raw[:8])
+            return cls(mode=0, linear=lin, gamma=gam)
+        return None
+
+
 @register
 class ProfileGamma(Op):
     name = "profile_gamma"

@@ -34,6 +34,17 @@ class RawDenoiseParams:
     y: tuple = cfield(f"{4 * BANDS}f", (0.5,) * (4 * BANDS))
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # rawdenoise.c v1 {threshold} -> default flat force curves
+        if version == 1:
+            (t,) = struct.unpack("<f", raw[:4])
+            return cls(threshold=t)
+        return None
+
+
 def _hat_blur(x: jnp.ndarray, lev: int) -> jnp.ndarray:
     """separable dilated [1,2,1]/4 (the dwt.c hat transform), fused."""
     from ..pixel.shifts import sep_filter

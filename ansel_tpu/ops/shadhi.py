@@ -35,9 +35,40 @@ class ShadHiParams:
     low_approximation: float = cfield("f", 0.000001)
     shadhi_algo: int = cfield("i", 0)
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # shadhi.c version ladder (:222-320); algo from radius sign
+        if version == 1:
+            o, r, sh, res1, hi, res2, comp = struct.unpack("<i6f",
+                                                           raw[:28])
+            return cls(order=o, radius=abs(r), shadows=0.5 * sh,
+                       whitepoint=res1, reserved2=res2,
+                       highlights=-0.5 * hi, compress=comp,
+                       shadows_ccorrect=100.0, highlights_ccorrect=0.0,
+                       flags=0, low_approximation=0.01,
+                       shadhi_algo=1 if r < 0.0 else 0)
+        if version in (2, 3, 4):
+            n = {2: 9, 3: 9, 4: 10}[version]
+            fmt = {2: "<i8f", 3: "<i8fI", 4: "<i8fIf"}[version]
+            sz = {2: 36, 3: 40, 4: 44}[version]
+            v = struct.unpack(fmt, raw[:sz])
+            flags = v[9] if version >= 3 else 0
+            low = v[10] if version == 4 else 0.01
+            return cls(order=v[0], radius=abs(v[1]), shadows=v[2],
+                       whitepoint=v[3], highlights=v[4],
+                       reserved2=v[5], compress=v[6],
+                       shadows_ccorrect=v[7], highlights_ccorrect=v[8],
+                       flags=flags, low_approximation=low,
+                       shadhi_algo=1 if v[1] < 0.0 else 0)
+        return None
+
 
 def _sign(v):
     return 1.0 if v > 0 else (-1.0 if v < 0 else 0.0)
+
+
 
 
 @register

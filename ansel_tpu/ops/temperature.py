@@ -26,6 +26,17 @@ class TemperatureParams:
     g2: float = cfield("f", float("nan"))
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # temperature.c legacy v2 {temp_out, coeffs[3]} -> v3 (g2 = NaN)
+        if version == 2:
+            _t, r, g, b = struct.unpack("<4f", raw[:16])
+            return cls(red=r, green=g, blue=b, g2=float("nan"))
+        return None
+
+
 @register
 class Temperature(Op):
     name = "temperature"

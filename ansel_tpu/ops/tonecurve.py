@@ -38,6 +38,46 @@ class ToneCurveParams:
     preserve_colors: int = cfield("i", 3)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # tonecurve.c version ladder (:273-331); CUBIC_SPLINE = 0
+        def flat(curves):
+            out = []
+            for nodes in curves:
+                pairs = list(nodes) + [(0.0, 0.0)] * (MAXNODES - len(nodes))
+                for xx, yy in pairs:
+                    out += [xx, yy]
+            return tuple(out)
+
+        if version == 1:  # {x[6], y[6], preset}
+            v = struct.unpack("<12fi", raw[:52])
+            xs, ys, preset = v[:6], v[6:12], v[12]
+            curves = [list(zip(xs, ys)),
+                      [(0.0, 0.0), (0.5, 0.5), (1.0, 1.0)],
+                      [(0.0, 0.0), (0.5, 0.5), (1.0, 1.0)]]
+            return cls(tonecurve=flat(curves), tonecurve_nodes=(6, 3, 3),
+                       tonecurve_type=(0, 2, 2), tonecurve_autoscale_ab=1,
+                       tonecurve_preset=preset, tonecurve_unbound_ab=0,
+                       preserve_colors=0)
+        if version in (3, 4):
+            n = 3 * MAXNODES * 2
+            fmt = f"<{n}f8i" if version == 3 else f"<{n}f9i"
+            sz = n * 4 + (32 if version == 3 else 36)
+            v = struct.unpack(fmt, raw[:sz])
+            curve = tuple(v[:n])
+            ints = v[n:]
+            return cls(tonecurve=curve, tonecurve_nodes=tuple(ints[0:3]),
+                       tonecurve_type=tuple(ints[3:6]),
+                       tonecurve_autoscale_ab=ints[6],
+                       tonecurve_preset=ints[7],
+                       tonecurve_unbound_ab=(ints[8] if version == 4
+                                             else 0),
+                       preserve_colors=0)
+        return None
+
+
 @register
 class ToneCurve(Op):
     name = "tonecurve"

@@ -64,6 +64,25 @@ class ToneEqualParams:
     iterations: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # toneequal.c v1: {9 zones, blending, feathering,
+        # contrast_boost, exposure_boost, details, iterations, method}
+        # -> quantization 0.01, smoothing sqrt(2)
+        if version == 1:
+            v = struct.unpack("<13f3i", raw[:64])
+            return cls(noise=v[0], ultra_deep_blacks=v[1],
+                       deep_blacks=v[2], blacks=v[3], shadows=v[4],
+                       midtones=v[5], highlights=v[6], whites=v[7],
+                       speculars=v[8], blending=v[9], feathering=v[10],
+                       contrast_boost=v[11], exposure_boost=v[12],
+                       details=v[13], iterations=v[14], method=v[15],
+                       quantization=0.01, smoothing=math.sqrt(2.0))
+        return None
+
+
 def solve_factors(p: ToneEqualParams) -> np.ndarray:
     """RBF least-squares: 9 user EV gains -> 8 center factors."""
     gains = np.exp2([p.noise, p.ultra_deep_blacks, p.deep_blacks, p.blacks,

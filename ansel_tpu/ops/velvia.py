@@ -24,6 +24,17 @@ class VelviaParams:
     bias: float = cfield("f", 1.0)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # velvia.c v1 {saturation, vibrance, luminance, clarity}
+        if version == 1:
+            sat, vib, lum = struct.unpack("<3f", raw[:12])
+            return cls(strength=sat * vib / 100.0, bias=lum)
+        return None
+
+
 @register
 class Velvia(Op):
     name = "velvia"

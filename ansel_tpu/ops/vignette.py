@@ -35,6 +35,39 @@ class VignetteParams:
     unbound: int = cfield("i", 1)
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        # vignette.c version ladder (vignette.c:222-280)
+        if version == 1:  # doubles-era params
+            (scale, falloff, strength, _unif, bsratio, inv_f, inv_s,
+             cx, cy) = struct.unpack("<5d2i2d", raw[:64])
+            brightness = -(1.0 - max(bsratio, 0.0)) * strength / 100.0
+            saturation = -(1.0 + min(bsratio, 0.0)) * strength / 100.0
+            if inv_s:
+                saturation *= -2.0
+            if inv_f:
+                brightness = -brightness
+            return cls(scale=scale, falloff_scale=falloff,
+                       brightness=brightness, saturation=saturation,
+                       center_x=cx, center_y=cy, autoratio=1,
+                       whratio=1.0, shape=1.0, dithering=0, unbound=0)
+        if version == 2:
+            v = struct.unpack("<6fi2f", raw[:36])
+            return cls(scale=v[0], falloff_scale=v[1], brightness=v[2],
+                       saturation=v[3], center_x=v[4], center_y=v[5],
+                       autoratio=v[6], whratio=v[7], shape=v[8],
+                       dithering=0, unbound=0)
+        if version == 3:
+            v = struct.unpack("<6fi2fi", raw[:40])
+            return cls(scale=v[0], falloff_scale=v[1], brightness=v[2],
+                       saturation=v[3], center_x=v[4], center_y=v[5],
+                       autoratio=v[6], whratio=v[7], shape=v[8],
+                       dithering=v[9], unbound=0)
+        return None
+
+
 @register
 class Vignette(Op):
     name = "vignette"

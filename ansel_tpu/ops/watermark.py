@@ -44,6 +44,41 @@ class WatermarkParams:
     font: str = cfield("s:64", "DejaVu Sans 10")
 
 
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        def cut(b):
+            return b.split(b"\x00")[0].decode("utf-8", "replace")
+
+        # watermark.c ladder (:139-260)
+        if version == 1:  # {opacity, scale, xoff, yoff, align, file[64]}
+            v = struct.unpack("<4fi64s", raw[:84])
+            return cls(opacity=v[0], scale=v[1], xoffset=v[2],
+                       yoffset=v[3], alignment=v[4], rotate=0.0,
+                       sizeto=0, filename=cut(v[5]), text="",
+                       color=(0.0, 0.0, 0.0), font="DejaVu Sans 10")
+        if version == 2:  # + sizeto
+            v = struct.unpack("<4f2i64s", raw[:88])
+            return cls(opacity=v[0], scale=v[1], xoffset=v[2],
+                       yoffset=v[3], alignment=v[4], rotate=0.0,
+                       sizeto=v[5], filename=cut(v[6]), text="",
+                       color=(0.0, 0.0, 0.0), font="DejaVu Sans 10")
+        if version == 3:  # + rotate
+            v = struct.unpack("<4fifi64s", raw[:92])
+            return cls(opacity=v[0], scale=v[1], xoffset=v[2],
+                       yoffset=v[3], alignment=v[4], rotate=v[5],
+                       sizeto=v[6], filename=cut(v[7]), text="",
+                       color=(0.0, 0.0, 0.0), font="DejaVu Sans 10")
+        if version == 4:  # + text[64]/color[3]/font[64]
+            v = struct.unpack("<4fifi64s64s3f64s", raw[:232])
+            return cls(opacity=v[0], scale=v[1], xoffset=v[2],
+                       yoffset=v[3], alignment=v[4], rotate=v[5],
+                       sizeto=v[6], filename=cut(v[7]), text=cut(v[8]),
+                       color=tuple(v[9:12]), font=cut(v[12]))
+        return None
+
+
 def _find_svg(name: str):
     for d in (os.environ.get("ANSEL_TPU_WATERMARK_DIR"),
               os.path.join(os.path.dirname(os.path.dirname(__file__)),
