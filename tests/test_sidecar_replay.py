@@ -60,3 +60,29 @@ def test_render_bench_34_finite():
     assert y.ndim == 3 and y.shape[0] == 3
     assert np.isfinite(y).all()
     assert y.max() > 0.01
+
+
+# Pixel-statistics golden for the 3.4 sidecar render (128x192 "gradients"
+# synthetic raw, hermetic CPU path).  Guards against silently-wrong renders
+# (e.g. a module decoding but applying identity): the per-channel
+# distribution of the full 60-module output is pinned, not just finiteness.
+GOLDEN_34 = {
+    "r": dict(mean=0.5164, p05=0.1411, p50=0.3439, p95=1.0),
+    "g": dict(mean=0.4063, p05=0.0660, p50=0.1552, p95=1.0),
+    "b": dict(mean=0.4179, p05=0.0775, p50=0.1807, p95=1.0),
+}
+
+
+def test_render_bench_34_pixel_statistics_golden():
+    doc = parse_xmp(os.path.join(BENCH_DIR, SIDECARS[0]))
+    raw, meta, _ = synth_raw(h=128, w=192, kind="gradients")
+    cp = CompiledPipe(Pipeline(meta, doc.history, forms=doc.masks))
+    y = np.asarray(cp.output_array(raw))
+    for c, name in enumerate("rgb"):
+        ch, want = y[c], GOLDEN_34[name]
+        got = dict(mean=float(ch.mean()),
+                   p05=float(np.percentile(ch, 5)),
+                   p50=float(np.percentile(ch, 50)),
+                   p95=float(np.percentile(ch, 95)))
+        for k in want:
+            assert abs(got[k] - want[k]) < 0.02, (name, k, got[k], want[k])
