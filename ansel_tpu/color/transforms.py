@@ -67,8 +67,9 @@ _LAB_KAPPA = 24389.0 / 27.0
 
 
 def xyz_to_lab(xyz: jnp.ndarray, white_XYZ) -> jnp.ndarray:
-    wn = jnp.asarray(np.asarray(white_XYZ), dtype=xyz.dtype).reshape(3, 1, 1)
-    r = xyz / wn
+    # per-channel white divide (no (3,1,1) reshape-broadcast: Pallas-safe)
+    w = [float(v) for v in np.asarray(white_XYZ).reshape(-1)]
+    r = jnp.stack([xyz[i] / w[i] for i in range(3)])
     f = jnp.where(r > _LAB_EPS, jnp.cbrt(jnp.maximum(r, 1e-12)),
                   (_LAB_KAPPA * r + 16.0) / 116.0)
     L = 116.0 * f[1] - 16.0
@@ -78,13 +79,13 @@ def xyz_to_lab(xyz: jnp.ndarray, white_XYZ) -> jnp.ndarray:
 
 
 def lab_to_xyz(lab: jnp.ndarray, white_XYZ) -> jnp.ndarray:
-    wn = jnp.asarray(np.asarray(white_XYZ), dtype=lab.dtype).reshape(3, 1, 1)
+    w = [float(v) for v in np.asarray(white_XYZ).reshape(-1)]
     fy = (lab[0] + 16.0) / 116.0
     fx = fy + lab[1] / 500.0
     fz = fy - lab[2] / 200.0
     f = jnp.stack([fx, fy, fz])
     r = jnp.where(f**3 > _LAB_EPS, f**3, (116.0 * f - 16.0) / _LAB_KAPPA)
-    return r * wn
+    return jnp.stack([r[i] * w[i] for i in range(3)])
 
 
 def delta_e_76(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:

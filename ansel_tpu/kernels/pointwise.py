@@ -89,6 +89,16 @@ def atan_pos(y, x):
     return jnp.where(y > x, math.pi / 2.0 - theta, theta)
 
 
+def atan2_full(y, x):
+    """Full-range atan2(y, x) from the first-quadrant poly: quadrant fold
+    by the signs of x and y.  Pallas-safe; |err| < 2e-7 rad."""
+    import math
+
+    t = atan_pos(jnp.abs(y), jnp.abs(x))
+    t = jnp.where(x < 0.0, math.pi - t, t)
+    return jnp.where(y < 0.0, -t, t)
+
+
 class ConstPack:
     """Helper to pack/unpack named traced scalars into the consts vector."""
 
@@ -113,3 +123,11 @@ class ConstPack:
         if n == 1:
             return consts_ref[off]
         return jnp.stack([consts_ref[off + k] for k in range(n)])
+
+    def get_list(self, consts_ref, name: str):
+        """Python list of traced SMEM scalars — the Mosaic-friendly form
+        for per-segment unrolled math (curve knots): no vector build, each
+        knot is a scalar FMA operand."""
+        i = self.names.index(name)
+        off, n = self.offsets[i], self.sizes[i]
+        return [consts_ref[off + k] for k in range(n)]

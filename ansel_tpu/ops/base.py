@@ -143,6 +143,9 @@ class PointwiseSpec:
     consts: tuple
     fn: Any
     mats: tuple = ()
+    # subset of consts delivered as flat Python lists of traced scalars
+    # (curve knot vectors: keeps Mosaic on scalar FMAs, no vector build)
+    lists: tuple = ()
     # fn also takes (yy, xx) absolute pixel coords as trailing args
     needs_pos: bool = False
 

@@ -104,8 +104,18 @@ class BaseCurve(Op):
         return {"cx": cx, "cy": cy, "cm": cmv,
                 "y_weights": np.float32(cm.WORK_Y)}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("cx", "cy", "cm", "y_weights"),
+            lists=("cx", "cy", "cm", "y_weights"),
+            fn=lambda b, cd: self._pixel(b, cd, plan.static))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        preserve = plan.static
+        return self._pixel(x, c, plan.static)
+
+    def _pixel(self, x, c, preserve):
         if preserve != 0:
             n = jnp.maximum(rgb_norm(x, preserve, c["y_weights"]), 1e-9)
             mapped = curves.eval_curve(n, c["cx"], c["cy"], c["cm"])

@@ -51,6 +51,13 @@ class Colisa(Op):
             "saturation": jnp.float32(p.saturation + 1.0),
         }
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("contrast", "m1sq", "scale", "gamma", "saturation"),
+            fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         (linear_contrast,) = plan.static
         t = x[0] / 100.0

@@ -83,26 +83,40 @@ class ColorBalance(Op):
         }
 
     def _saturate(self, x, amount, yw):
-        lum = jnp.sum(x * yw.reshape(3, 1, 1), axis=0, keepdims=True)
-        return lum + amount * (x - lum)
+        # per-channel FMA lum (no (3,1,1) reshape-broadcast: Pallas-safe)
+        lum = yw[0] * x[0] + yw[1] * x[1] + yw[2] * x[2]
+        return lum[None] + amount * (x - lum[None])
+
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("lift", "gamma", "gain", "saturation",
+                    "saturation_out", "contrast", "grey", "y"),
+            lists=("lift", "gamma", "gain", "y"),
+            fn=lambda b, cd: self._pixel(b, cd, plan.static))
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        mode = plan.static
-        yw = jnp.asarray(c["y"])
+        return self._pixel(x, c, plan.static)
+
+    def _pixel(self, x, c, mode):
+        yw = c["y"]
         v = jnp.maximum(self._saturate(x, c["saturation"], yw), 0.0)
-        lift = jnp.asarray(c["lift"]).reshape(3, 1, 1)
-        gamma = jnp.asarray(c["gamma"]).reshape(3, 1, 1)
-        gain = jnp.asarray(c["gain"]).reshape(3, 1, 1)
-        if mode == SLOPE_OFFSET_POWER:
-            # ASC CDL: (in * slope + offset)^power, with the dt mapping
-            # slope=gain, offset=lift-1, power=gamma inverted
-            out = jnp.maximum(v * gain + (lift - 1.0), 0.0) \
-                ** (1.0 / jnp.maximum(gamma, 1e-6))
-        else:
+        lift, gamma, gain = c["lift"], c["gamma"], c["gain"]
+
+        def chan(i):
+            ig = 1.0 / jnp.maximum(gamma[i], 1e-6)
+            if mode == SLOPE_OFFSET_POWER:
+                # ASC CDL: (in * slope + offset)^power, with the dt
+                # mapping slope=gain, offset=lift-1, power=gamma inverted
+                return jnp.maximum(v[i] * gain[i] + (lift[i] - 1.0),
+                                   0.0) ** ig
             # lift gamma gain: gain*(in + lift*(1 - in)) ^ (1/gamma)
-            out = jnp.maximum(
-                gain * (v + (lift - 1.0) * (1.0 - v)), 0.0
-            ) ** (1.0 / jnp.maximum(gamma, 1e-6))
+            return jnp.maximum(
+                gain[i] * (v[i] + (lift[i] - 1.0) * (1.0 - v[i])), 0.0
+            ) ** ig
+
+        out = jnp.stack([chan(i) for i in range(3)])
         # contrast around the grey fulcrum (log-space slope)
         grey = c["grey"]
         out = grey * jnp.maximum(out / grey, 1e-9) ** c["contrast"]

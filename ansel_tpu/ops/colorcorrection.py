@@ -36,6 +36,13 @@ class ColorCorrection(Op):
                 "b_scale": (p.hib - p.lob) / 100.0, "b_base": p.lob,
                 "saturation": p.saturation}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("a_scale", "a_base", "b_scale", "b_base", "saturation"),
+            fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         sat = jnp.asarray(c["saturation"], x.dtype)
         a = sat * (x[1] + x[0] * c["a_scale"] + c["a_base"])

@@ -66,8 +66,14 @@ class Colorize(Op):
                 "Lmlmix": np.float32(p.lightness - mix * 100.0 / 2.0),
                 "mix": np.float32(mix)}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("Lmlmix", "mix", "a", "b"),
+                             fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         L = c["Lmlmix"] + x[0] * c["mix"]
-        shape = L.shape
-        return jnp.stack([L, jnp.full(shape, c["a"], x.dtype),
-                          jnp.full(shape, c["b"], x.dtype)])
+        # broadcast-by-FMA (Pallas-safe; c["a"]/c["b"] may be traced)
+        zero = jnp.zeros_like(L)
+        return jnp.stack([L, zero + c["a"], zero + c["b"]])

@@ -27,6 +27,7 @@ from ..pixel.guided import fast_guided_filter
 from .base import Op, OpPlan, PlanContext, register
 
 HISTN = 1 << 11
+KNOTS = 129  # device-side gather-free LUT resolution
 MAXN = 5
 FLAG_HAS_SOURCE = 1
 FLAG_HAS_TARGET = 2
@@ -115,11 +116,16 @@ class ColorMapping(Op):
             mapio[ki] = int(dist.argmin())
         var_ratio = np.where(tvar > 0, svar[mapio] / np.maximum(tvar, 1e-12),
                              0.0)
-        # composed L LUT: source_ihist[target_hist[L]]
+        # composed L LUT: source_ihist[target_hist[L]] — subsampled to
+        # KNOTS uniform knots so the device side evaluates it gather-free
+        # (a 24MP gather into the 2048-bin LUT was a ~190ms stage; the
+        # histogram-matching curve is smooth+monotone, 129 knots are
+        # visually lossless)
         th = np.clip(np.asarray(p.target_hist, np.int64), 0, HISTN - 1)
         lut = np.asarray(p.source_ihist, np.float32)[th]
+        kidx = np.round(np.linspace(0, HISTN - 1, KNOTS)).astype(int)
         return {
-            "lut": jnp.asarray(lut),
+            "lut": jnp.asarray(lut[kidx]),
             "tmean": jnp.asarray(tmean, jnp.float32),
             "smean": jnp.asarray(smean[mapio], jnp.float32),
             "var_ratio": jnp.asarray(var_ratio, jnp.float32),
@@ -131,8 +137,15 @@ class ColorMapping(Op):
         if not active:
             return x
         L, a, b = x[0], x[1], x[2]
-        idx = jnp.clip((HISTN * L / 100.0).astype(jnp.int32), 0, HISTN - 1)
-        matched = c["lut"][idx]
+        # gather-free uniform-knot linear interp (unrolled masked FMAs)
+        lut = c["lut"]
+        pos = jnp.clip(L / 100.0, 0.0, 1.0) * (KNOTS - 1)
+        matched = jnp.zeros_like(L) + lut[0]
+        for k in range(KNOTS - 1):
+            u = jnp.clip(pos - k, 0.0, 1.0)
+            matched = jnp.where(pos >= k,
+                                lut[k] * (1.0 - u) + lut[k + 1] * u,
+                                matched)
         eq = c["equalization"]
         corr = 0.5 * ((L * (1.0 - eq) + matched * eq) - L) + 50.0
         corr = jnp.clip(corr, 0.0, 100.0)

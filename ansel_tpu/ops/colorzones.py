@@ -105,7 +105,10 @@ class ColorZones(Op):
     input_colorspace = Colorspace.LAB
 
     def plan(self, ctx: PlanContext, spec_in, p) -> OpPlan:
-        return OpPlan(spec_in=spec_in, spec_out=spec_in, static=p.channel)
+        nodes = tuple(max(2, min(int(p.curve_num_nodes[ch]), MAXNODES))
+                      for ch in range(3))
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(p.channel, nodes))
 
     def coeffs(self, ctx, plan, p: ColorZonesParams):
         import numpy as np
@@ -120,11 +123,32 @@ class ColorZones(Op):
         return {"c0": cs[0], "c1": cs[1], "c2": cs[2],
                 "mix": np.float32(1.0 + p.strength / 100.0)}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        select, nodes = plan.static
+
+        def fn(b, cd):
+            def curve(ch):
+                v, n = cd[f"c{ch}"], nodes[ch]
+                return v[:n], v[n:2 * n], v[2 * n:3 * n]
+
+            c = {"c0": curve(0), "c1": curve(1), "c2": curve(2),
+                 "mix": cd["mix"]}
+            return self._pixel(b, c, select)
+
+        return PointwiseSpec(consts=("c0", "c1", "c2", "mix"),
+                             lists=("c0", "c1", "c2"), fn=fn)
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        select = plan.static
+        return self._pixel(x, c, plan.static[0])
+
+    def _pixel(self, x, c, select):
+        from ..kernels.pointwise import atan2_full
+
         L, a, b = x[0], x[1], x[2]
         C = jnp.sqrt(a * a + b * b)
-        h = jnp.arctan2(b, a) / (2.0 * math.pi) + 0.5
+        h = atan2_full(b, a) / (2.0 * math.pi) + 0.5
         if select == SELECT_L:
             t = jnp.clip(L / 100.0, 0.0, 1.0)
         elif select == SELECT_C:

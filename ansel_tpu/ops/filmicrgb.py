@@ -473,8 +473,10 @@ def _pixel_norm(rgb, variant: int, y_weights):
     if variant == METHOD_MAX_RGB:
         return jnp.max(rgb, axis=0)
     if variant == METHOD_LUMINANCE or variant == METHOD_NONE:
-        w = jnp.asarray(y_weights, rgb.dtype).reshape(3, 1, 1)
-        return jnp.sum(rgb * w, axis=0)
+        # per-channel FMA (no (3,1,1) reshape-broadcast: Pallas-safe, and
+        # y_weights may be a Python list of traced SMEM scalars)
+        w = y_weights
+        return w[0] * rgb[0] + w[1] * rgb[1] + w[2] * rgb[2]
     if variant == METHOD_POWER_NORM:
         a = jnp.abs(rgb)
         return jnp.sum(a**3, axis=0) / jnp.maximum(jnp.sum(a**2, axis=0), 1e-12)
@@ -594,8 +596,15 @@ class FilmicRGB(Op):
         version, preserve, _, _, raw_version, rec = plan.static
         if rec is not None:
             x = self._reconstruct_highlights(x, c, rec)
+        return self._tonemap_pixel(x, c, plan.static)
+
+    def _tonemap_pixel(self, x, c, static):
+        """Per-pixel tone mapping, all color sciences — Pallas-safe (also
+        the fused-kernel body for the spline v1-v5 paths; coeff vectors
+        may be Python lists of traced SMEM scalars)."""
+        version, preserve, _, _, raw_version, _rec = static
         s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
-                   M5=None, types=plan.static[2:4])
+                   M5=None, types=static[2:4])
         gs, bs, dr = c["grey_source"], c["black_source"], c["dynamic_range"]
 
         def curve(v):
@@ -611,7 +620,9 @@ class FilmicRGB(Op):
             # :2227-2283, gamut_mapping_simd :1965-2010)
             from . import filmic_agx as agx
 
-            input_m, output_m = agx.agx_matrices()
+            # nested Python lists: apply_matrix unrolls them to scalar
+            # FMAs, so this body is Pallas-safe for the fused chain
+            input_m, output_m = (m.tolist() for m in agx.agx_matrices())
 
             def rgb_tone_map(v):
                 # RGB_tone_mapping_v4 (filmicrgb.c:2113-2128)
@@ -652,8 +663,8 @@ class FilmicRGB(Op):
         if preserve == METHOD_NONE:
             # filmic_split_v2_v3 (filmicrgb.c:1551-1588)
             temp = _log_tonemapping(jnp.maximum(x, NORM_MIN), gs, bs, dr)
-            w = c["y_weights"].reshape(3, 1, 1)
-            lum = jnp.sum(temp * w, axis=0)
+            w = c["y_weights"]
+            lum = w[0] * temp[0] + w[1] * temp[1] + w[2] * temp[2]
             if version == CSCI_V1:
                 desat = _desaturate_v1(lum, c["sigma_toe"],
                                        c["sigma_shoulder"], c["saturation"])
@@ -724,27 +735,41 @@ class FilmicRGB(Op):
                              input_m, output_m, c["display_black"],
                              c["display_white"])
 
+    # spline-path consts (every color science v1-v5 reads a subset)
+    _SPLINE_CONSTS = ("M1", "M2", "M3", "M4", "M5", "lat_min", "lat_max",
+                      "y0", "y4", "output_power", "grey_source",
+                      "black_source", "dynamic_range", "y_weights",
+                      "sigma_toe", "sigma_shoulder", "saturation",
+                      "norm_min", "norm_max", "display_black",
+                      "display_white")
+
     def pointwise_spec(self, plan, ctx):
-        """Engine fusion hook — only the AgX route is Pallas-safe today
-        (the spline v1-v3 paths use reshape-broadcast y_weights), and
-        only when highlight reconstruction is statically inert (it is a
-        spatial wavelet pass, not per-pixel)."""
+        """Engine fusion hook — every color science fuses (the AgX route
+        and the spline v1-v5 tone-map paths are all per-pixel), except
+        when highlight reconstruction is active (a spatial wavelet pass,
+        not per-pixel)."""
         version, _, _, _, raw_version, rec = plan.static
-        if version != CSCI_AGX_FIRST or rec is not None:
+        if rec is not None:
             return None
-        from . import filmic_agx as agx
         from .base import PointwiseSpec
 
-        inset, outset = agx.prepare_bracket(raw_version)
-        input_m, output_m = agx.agx_matrices()
-        inset, outset = inset.tolist(), outset.tolist()
-        input_m, output_m = input_m.tolist(), output_m.tolist()
-        s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
-                   M5=None, types=plan.static[2:4])
+        if version == CSCI_AGX_FIRST:
+            from . import filmic_agx as agx
+
+            inset, outset = agx.prepare_bracket(raw_version)
+            input_m, output_m = agx.agx_matrices()
+            inset, outset = inset.tolist(), outset.tolist()
+            input_m, output_m = input_m.tolist(), output_m.tolist()
+            s = Spline(x=None, y=None, M1=None, M2=None, M3=None, M4=None,
+                       M5=None, types=plan.static[2:4])
+            return PointwiseSpec(
+                consts=self._AGX_CONSTS,
+                fn=lambda b, cd: self._agx_pixel(b, cd, s, inset, outset,
+                                                 input_m, output_m))
         return PointwiseSpec(
-            consts=self._AGX_CONSTS,
-            fn=lambda b, cd: self._agx_pixel(b, cd, s, inset, outset,
-                                             input_m, output_m))
+            consts=self._SPLINE_CONSTS,
+            lists=("M1", "M2", "M3", "M4", "M5", "y_weights"),
+            fn=lambda b, cd: self._tonemap_pixel(b, cd, plan.static))
 
     def _wavelets_reconstruct(self, inp, mask, c, scales: int,
                               rgb_variant: bool):

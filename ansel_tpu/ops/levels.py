@@ -50,7 +50,16 @@ class Levels(Op):
         gamma = math.log(0.5) / math.log(mid_n)
         return {"lo": lo * 100.0, "hi": hi * 100.0, "inv_gamma": 1.0 / gamma}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("lo", "hi", "inv_gamma"),
+                             fn=lambda b, cd: self._pixel(b, cd))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        return self._pixel(x, c)
+
+    def _pixel(self, x, c):
         L = x[0]
         norm = jnp.clip((L - c["lo"]) / (c["hi"] - c["lo"]), 0.0, 1.0)
         L_out = 100.0 * norm ** jnp.asarray(c["inv_gamma"], x.dtype)

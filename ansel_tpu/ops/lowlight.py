@@ -53,6 +53,13 @@ class Lowlight(Op):
         sw = lab_to_xyz(sw_lab, _WHITE).reshape(3)
         return {"cx": cx, "cy": cy, "cm": cmv, "sw": sw}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("cx", "cy", "cm", "sw"),
+                             lists=("cx", "cy", "cm", "sw"),
+                             fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         xyz = lab_to_xyz(x, _WHITE)
         threshold = 0.01

@@ -79,6 +79,15 @@ class ProfileGamma(Op):
                 "c": jnp.float32(cc), "g": jnp.float32(g),
                 "linear": jnp.float32(lin)}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        mode = plan.static[0]
+        keys = (("grey", "shadows", "range") if mode == MODE_LOG
+                else ("a", "b", "c", "g", "linear"))
+        return PointwiseSpec(consts=keys,
+                             fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         mode, gamma_is_1, linear_is_0, linear_ge_1 = plan.static
         if mode == MODE_LOG:

@@ -48,8 +48,10 @@ class RGBCurveParams:
 
 def rgb_norm(x: jnp.ndarray, kind: int, y_weights) -> jnp.ndarray:
     if kind == NORM_LUMINANCE:
-        w = jnp.asarray(y_weights, x.dtype).reshape(3, 1, 1)
-        return jnp.sum(x * w, axis=0)
+        # per-channel FMA (no (3,1,1) reshape-broadcast: Pallas-safe, and
+        # y_weights may be a Python list of traced SMEM scalars)
+        w = y_weights
+        return w[0] * x[0] + w[1] * x[1] + w[2] * x[2]
     if kind == NORM_MAX:
         return jnp.max(x, axis=0)
     if kind == NORM_AVERAGE:
@@ -79,8 +81,10 @@ class RGBCurve(Op):
     input_colorspace = Colorspace.WORK_RGB
 
     def plan(self, ctx: PlanContext, spec_in, p: RGBCurveParams) -> OpPlan:
+        nodes = tuple(max(2, min(int(p.curve_num_nodes[ch]), MAXNODES))
+                      for ch in range(3))
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
-                      static=(p.curve_autoscale, p.preserve_colors))
+                      static=(p.curve_autoscale, p.preserve_colors, nodes))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: RGBCurveParams):
         cs = [curves.curve_coeffs(*_nodes(p, ch), p.curve_type[ch])
@@ -88,8 +92,31 @@ class RGBCurve(Op):
         return {"c0": cs[0], "c1": cs[1], "c2": cs[2],
                 "y_weights": np.float32(cm.WORK_Y)}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        autoscale, preserve, nodes = plan.static
+
+        def fn(b, cd):
+            def curve(ch):
+                v, n = cd[f"c{ch}"], nodes[ch]
+                return v[:n], v[n:2 * n], v[2 * n:3 * n]
+
+            if autoscale == SCALE_AUTOMATIC_RGB and preserve != NORM_NONE:
+                ratio_src = jnp.maximum(
+                    rgb_norm(b, preserve, cd["y_weights"]), 1e-9)
+                mapped = curves.eval_curve(ratio_src, *curve(0))
+                return b * (mapped / ratio_src)[None]
+            if autoscale == SCALE_AUTOMATIC_RGB:
+                return curves.eval_curve(b, *curve(0))
+            return jnp.stack([
+                curves.eval_curve(b[i], *curve(i)) for i in range(3)])
+
+        return PointwiseSpec(consts=("c0", "c1", "c2", "y_weights"),
+                             lists=("c0", "c1", "c2", "y_weights"), fn=fn)
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        autoscale, preserve = plan.static
+        autoscale, preserve = plan.static[:2]
         if autoscale == SCALE_AUTOMATIC_RGB and preserve != NORM_NONE:
             ratio_src = rgb_norm(x, preserve, c["y_weights"])
             ratio_src = jnp.maximum(ratio_src, 1e-9)

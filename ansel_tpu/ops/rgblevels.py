@@ -57,15 +57,27 @@ class RGBLevels(Op):
     def _remap(self, v, lo, hi, ig):
         return jnp.clip((v - lo) / (hi - lo), 0.0, 1.0) ** ig
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("lo", "hi", "ig", "y_weights"),
+            lists=("lo", "hi", "ig", "y_weights"),
+            fn=lambda b, cd: self._pixel(b, cd, plan.static))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        autoscale, preserve = plan.static
+        return self._pixel(x, c, plan.static)
+
+    def _pixel(self, x, c, static):
+        # per-channel formulation (no (3,1,1) reshape-broadcast): works
+        # identically for numpy coeff arrays and fused SMEM scalar lists
+        autoscale, preserve = static
+        lo, hi, ig = c["lo"], c["hi"], c["ig"]
         if autoscale == LINKED and preserve != 0:
             n = jnp.maximum(rgb_norm(x, preserve, c["y_weights"]), 1e-6)
-            mapped = self._remap(n, c["lo"][0], c["hi"][0], c["ig"][0])
+            mapped = self._remap(n, lo[0], hi[0], ig[0])
             return x * (mapped / n)[None]
-        lo = jnp.asarray(c["lo"]).reshape(3, 1, 1)
-        hi = jnp.asarray(c["hi"]).reshape(3, 1, 1)
-        ig = jnp.asarray(c["ig"]).reshape(3, 1, 1)
         if autoscale == LINKED:
-            lo, hi, ig = lo[:1], hi[:1], ig[:1]
-        return self._remap(x, lo, hi, ig)
+            return self._remap(x, lo[0], hi[0], ig[0])
+        return jnp.stack([self._remap(x[i], lo[i], hi[i], ig[i])
+                          for i in range(3)])

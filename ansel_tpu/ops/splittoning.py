@@ -40,6 +40,14 @@ class SplitToning(Op):
                 "balance": p.balance,
                 "compress": (p.compress / 110.0) / 2.0}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(
+            consts=("shadow_hue", "shadow_sat", "hl_hue", "hl_sat",
+                    "balance", "compress"),
+            fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         xc = jnp.clip(x, 0.0, 1.0)
         _, _, l = rgb_to_hsl(xc)

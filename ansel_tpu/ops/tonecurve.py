@@ -94,7 +94,17 @@ class ToneCurve(Op):
         cx, cy, cm = curves.curve_coeffs(xs, ys, p.tonecurve_type[0])
         return {"cx": cx, "cy": cy, "cm": cm}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("cx", "cy", "cm"),
+                             lists=("cx", "cy", "cm"),
+                             fn=lambda b, cd: self._pixel(b, cd))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
+        return self._pixel(x, c)
+
+    def _pixel(self, x, c):
         L = x[0] / 100.0
         L_out = curves.eval_curve(L, c["cx"], c["cy"], c["cm"]) * 100.0
         # automatic ab: scale chroma with the L ratio

@@ -30,6 +30,12 @@ class Vibrance(Op):
     def coeffs(self, ctx, plan, p):
         return {"amount": p.amount * 0.01}
 
+    def pointwise_spec(self, plan, ctx):
+        from .base import PointwiseSpec
+
+        return PointwiseSpec(consts=("amount",),
+                             fn=lambda b, cd: self.apply(b, cd, plan, None))
+
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         amount = jnp.asarray(c["amount"], x.dtype)
         sw = jnp.sqrt(x[1] ** 2 + x[2] ** 2) / 256.0

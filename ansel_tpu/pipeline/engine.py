@@ -444,7 +444,7 @@ class Pipeline:
             pays one read+write per module — pixelpipe_hb.c node loop)."""
             from ..kernels.pointwise import ConstPack, pallas_pointwise
 
-            values, order, mat_keys = {}, [], set()
+            values, order, mat_keys, list_keys = {}, [], set(), set()
             for k, (s, spec_pw, c) in enumerate(group):
                 for name in spec_pw.consts:
                     key = f"{k}.{name}"
@@ -452,6 +452,8 @@ class Pipeline:
                     order.append(key)
                     if name in spec_pw.mats:
                         mat_keys.add(key)
+                    if name in spec_pw.lists:
+                        list_keys.add(key)
             pack = ConstPack()
             vec = pack.pack(values, order)
             with_pos = any(sp.needs_pos for (_s, sp, _c) in group)
@@ -461,10 +463,13 @@ class Pipeline:
                     cd = {}
                     for name in spec_pw.consts:
                         key = f"{k}.{name}"
-                        v = pack.get(consts_ref, key)
-                        if key in mat_keys:
-                            v = [[v[3 * r + i] for i in range(3)]
-                                 for r in range(3)]
+                        if key in list_keys:
+                            v = pack.get_list(consts_ref, key)
+                        else:
+                            v = pack.get(consts_ref, key)
+                            if key in mat_keys:
+                                v = [[v[3 * r + i] for i in range(3)]
+                                     for r in range(3)]
                         cd[name] = v
                     if spec_pw.needs_pos:
                         block = spec_pw.fn(block, cd, yy, xx)

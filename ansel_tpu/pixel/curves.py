@@ -138,7 +138,7 @@ def eval_curve(x: jnp.ndarray, xs, ys, ms,
     (dt's unbounded convention); `unbounded_slope` overrides the upper
     one when the caller fitted its own (tonecurve/rgbcurve LUT tail).
     """
-    n = xs.shape[0]
+    n = len(xs) if isinstance(xs, (list, tuple)) else xs.shape[0]
     out = ys[0] + ms[0] * (x - xs[0])
     for k in range(n - 1):
         h = jnp.maximum(xs[k + 1] - xs[k], 1e-9)
@@ -158,7 +158,7 @@ def eval_curve(x: jnp.ndarray, xs, ys, ms,
 def eval_linear(x: jnp.ndarray, xs, ys) -> jnp.ndarray:
     """Gather-free in-graph piecewise-LINEAR evaluation over sorted nodes
     (same unrolled masked-select trick as eval_curve)."""
-    n = xs.shape[0]
+    n = len(xs) if isinstance(xs, (list, tuple)) else xs.shape[0]
     out = jnp.full_like(x, ys[0]) + 0.0 * x
     for k in range(n - 1):
         h = jnp.maximum(xs[k + 1] - xs[k], 1e-9)
