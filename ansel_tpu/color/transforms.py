@@ -70,8 +70,10 @@ def xyz_to_lab(xyz: jnp.ndarray, white_XYZ) -> jnp.ndarray:
     # per-channel white divide (no (3,1,1) reshape-broadcast: Pallas-safe)
     w = [float(v) for v in np.asarray(white_XYZ).reshape(-1)]
     r = jnp.stack([xyz[i] / w[i] for i in range(3)])
-    f = jnp.where(r > _LAB_EPS, jnp.cbrt(jnp.maximum(r, 1e-12)),
-                  (_LAB_KAPPA * r + 16.0) / 116.0)
+    # cbrt via exp/log: r is clamped positive, and jnp.cbrt has no
+    # Pallas TPU lowering (these transforms run inside the fused chain).
+    croot = jnp.exp(jnp.log(jnp.maximum(r, 1e-12)) * (1.0 / 3.0))
+    f = jnp.where(r > _LAB_EPS, croot, (_LAB_KAPPA * r + 16.0) / 116.0)
     L = 116.0 * f[1] - 16.0
     a = 500.0 * (f[0] - f[1])
     b = 200.0 * (f[1] - f[2])

@@ -31,13 +31,18 @@ def hsl_to_rgb(h: jnp.ndarray, s: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
     xv = c * (1.0 - jnp.abs(hp % 2.0 - 1.0))
     m = l - c / 2.0
     z = jnp.zeros_like(c)
-    r = jnp.select(
-        [(hp < 1), (hp < 2), (hp < 3), (hp < 4), (hp < 5)],
-        [c, xv, z, z, xv], c)
-    g = jnp.select(
-        [(hp < 1), (hp < 2), (hp < 3), (hp < 4), (hp < 5)],
-        [xv, c, c, xv, z], z)
-    b = jnp.select(
-        [(hp < 1), (hp < 2), (hp < 3), (hp < 4), (hp < 5)],
-        [z, z, xv, c, c], xv)
+
+    # nested wheres, not jnp.select: select lowers to an integer argmax
+    # over the condition stack, which has no Pallas TPU lowering (this
+    # runs inside the fused pointwise chain via splittoning/colorzones).
+    def pick(v0, v1, v2, v3, v4, v5):
+        return jnp.where(hp < 1, v0,
+               jnp.where(hp < 2, v1,
+               jnp.where(hp < 3, v2,
+               jnp.where(hp < 4, v3,
+               jnp.where(hp < 5, v4, v5)))))
+
+    r = pick(c, xv, z, z, xv, c)
+    g = pick(xv, c, c, xv, z, z)
+    b = pick(z, z, xv, c, c, xv)
     return jnp.stack([r + m, g + m, b + m])
