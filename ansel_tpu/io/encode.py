@@ -235,5 +235,32 @@ def write_image(path: str, img_chw: np.ndarray, quality: int = 92,
         kw["exif"] = exif
     if low.endswith((".jpg", ".jpeg")):
         im.save(path, quality=quality, subsampling=0, **kw)
+    elif low.endswith(".avif"):
+        # AVIF format plugin (reference: src/imageio/format/avif.c —
+        # libaom via libavif; here Pillow's bundled libavif encoder).
+        # quality>=100 selects the reference's lossless mode
+        # (avif.c AVIF_QUANTIZER_LOSSLESS path).
+        if quality >= 100:
+            im.save(path, quality=100, **kw)
+        else:
+            im.save(path, quality=quality, **kw)
+    elif low.endswith((".jp2", ".j2k")):
+        # JPEG-2000 format plugin (reference: src/imageio/format/j2k.c —
+        # OpenJPEG; here Pillow's bundled OpenJPEG encoder).  quality>=100
+        # = reversible 5/3 lossless (j2k.c's 100% quality path); below,
+        # rate allocation approximating j2k.c's quality->rate mapping.
+        if quality >= 100:
+            im.save(path, irreversible=False, **kw)
+        else:
+            rate = max(1.0, 100.0 / max(1, 101 - quality))
+            im.save(path, irreversible=True, quality_mode="rates",
+                    quality_layers=[rate], **kw)
+    elif low.endswith((".heif", ".heic")):
+        # reference: src/imageio/format/heif.c (libheif/HEVC).  No HEVC
+        # encoder exists in this environment; fail loudly rather than
+        # silently writing a mislabeled container.
+        raise ValueError(
+            "HEIF output needs an HEVC encoder, which is unavailable; "
+            "use .avif (same HEIF container family, AV1 codec) instead")
     else:
         im.save(path, **kw)

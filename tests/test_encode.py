@@ -104,3 +104,40 @@ def test_exr_writer_roundtrip():
             row = np.frombuffer(buf, "<f2", w, o + 8 + k * 2 * w)
             out[ch, yy] = row.astype(np.float32)
     assert np.allclose(out, x, atol=4e-3)  # half-float quantization
+
+
+def test_avif_roundtrip(tmp_path, img):
+    """AVIF plugin (format/avif.c analog): decodes back close to source."""
+    g = np.linspace(0, 1, 40 * 56, dtype=np.float32).reshape(40, 56)
+    smooth = np.stack([g, g[::-1], g * 0.5])
+    p = str(tmp_path / "o.avif")
+    write_image(p, smooth, quality=90)
+    im = Image.open(p)
+    assert im.format == "AVIF" and im.info.get("icc_profile")
+    a = np.asarray(im).astype(np.float32) / 255.0
+    e = np.clip(smooth, 0, 1).transpose(1, 2, 0)
+    assert np.abs(a - e).mean() < 0.03
+
+
+def test_j2k_lossless_roundtrip(tmp_path, img):
+    """JPEG-2000 plugin (format/j2k.c analog): quality=100 => reversible."""
+    p = str(tmp_path / "o.jp2")
+    write_image(p, img, quality=100, icc=None)
+    im = Image.open(p)
+    assert im.format == "JPEG2000"
+    a = np.asarray(im).transpose(2, 0, 1)
+    e = np.clip(np.round(np.clip(img, 0, 1) * 255), 0, 255).astype(np.uint8)
+    assert (a == e).all()
+
+
+def test_j2k_lossy(tmp_path, img):
+    p = str(tmp_path / "o.j2k")
+    write_image(p, img, quality=50, icc=None)
+    a = np.asarray(Image.open(p)).astype(np.float32) / 255.0
+    e = np.clip(img, 0, 1).transpose(1, 2, 0)
+    assert np.abs(a - e).mean() < 0.05
+
+
+def test_heif_fails_loudly(tmp_path, img):
+    with pytest.raises(ValueError, match="HEVC"):
+        write_image(str(tmp_path / "o.heic"), img)
