@@ -94,10 +94,84 @@ def _kernel(consts_ref, off_ref, hbm_ref, o0_ref, o1_ref, o2_ref, tile,
     o2_ref[:] = acc2 * inv
 
 
+def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
+                    tile, sem, *, groups, P, variant, bh, bw):
+    """Offsets grouped by their static dx: per group ONE static lane-shifted
+    view of each channel is hoisted, then a fori_loop walks that group's dy
+    list (SMEM) with dynamic ROW offsets — address arithmetic, no lane
+    rotation.  Kills the rolled kernel's 6 dynamic `pltpu.roll` rotations
+    per offset (≈1350 full-buffer lane/sublane shuffles for a 225-point
+    search) while keeping per-iteration temporaries bounded (the fully
+    static unroll OOMs the 16MB scoped-VMEM stack: 225 live loop bodies).
+
+    groups: static tuple of (dx, start, count) into the flat dys vector.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    buf_h, buf_w = TILE_H + 2 * bh, TILE_W + 2 * bw
+    copy = pltpu.make_async_copy(
+        hbm_ref.at[:, pl.ds(i * TILE_H, buf_h), pl.ds(j * TILE_W, buf_w)],
+        tile, sem)
+    copy.start()
+    copy.wait()
+    x0, x1, x2 = tile[0], tile[1], tile[2]
+    sharp = consts_ref[0]
+    cp_norm = consts_ref[1]
+    inv1cw = consts_ref[2]
+    norm = (consts_ref[3], consts_ref[4], consts_ref[5])
+
+    ch, cw_ = TILE_H + 2 * P, TILE_W + 2 * P
+    c0 = x0[bh - P:bh - P + ch, bw - P:bw - P + cw_]
+    c1 = x1[bh - P:bh - P + ch, bw - P:bw - P + cw_]
+    c2 = x2[bh - P:bh - P + ch, bw - P:bw - P + cw_]
+
+    z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    carry = (z, z, z, z)
+    for dx, start, count in groups:
+        xs = bw - P + dx          # static lane offset folded into the load
+
+        def body(k, carry, xs=xs, start=start):
+            acc0, acc1, acc2, wsum = carry
+            y0 = bh - P + dys_ref[start + k]
+            # Ref loads: dynamic sublane start (address arithmetic) +
+            # static lane offset — no dynamic lane rotation anywhere
+            s0 = tile[0, pl.ds(y0, ch), xs:xs + cw_]
+            s1 = tile[1, pl.ds(y0, ch), xs:xs + cw_]
+            s2 = tile[2, pl.ds(y0, ch), xs:xs + cw_]
+            d2 = (norm[0] * (c0 - s0) ** 2 + norm[1] * (c1 - s1) ** 2
+                  + norm[2] * (c2 - s2) ** 2)
+            r = None
+            for a in range(2 * P + 1):
+                t = d2[a:a + TILE_H, :]
+                r = t if r is None else r + t
+            ssd = None
+            for b in range(2 * P + 1):
+                t = r[:, b:b + TILE_W]
+                ssd = t if ssd is None else ssd + t
+            if variant == 0:
+                w = jnp.exp2(-ssd * sharp)
+            else:
+                dis = (ssd + d2[P:P + TILE_H, P:P + TILE_W] * cp_norm) \
+                    * inv1cw
+                w = jnp.exp2(-jnp.maximum(0.0, dis * sharp - 2.0))
+            return (acc0 + s0[P:P + TILE_H, P:P + TILE_W] * w,
+                    acc1 + s1[P:P + TILE_H, P:P + TILE_W] * w,
+                    acc2 + s2[P:P + TILE_H, P:P + TILE_W] * w,
+                    wsum + w)
+
+        carry = jax.lax.fori_loop(0, count, body, carry)
+    acc0, acc1, acc2, wsum = carry
+    inv = 1.0 / jnp.maximum(wsum, 1e-12)
+    o0_ref[:] = acc0 * inv
+    o1_ref[:] = acc1 * inv
+    o2_ref[:] = acc2 * inv
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "offsets", "P", "variant", "interpret"))
+    "offsets", "P", "variant", "interpret", "static_unroll"))
 def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
-               variant: int, interpret: bool = False):
+               variant: int, interpret: bool = False,
+               static_unroll: bool = True):
     """img (3, H, W); offsets: static tuple of (dy, dx); P: patch radius;
     norm: per-channel SSD weights (traced ok); sharpness/cp_norm/inv1cw:
     traced scalars.  -> weighted patch average (3, H, W)."""
@@ -121,6 +195,33 @@ def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
                                       jnp.float32)] * 3
     out_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((3, TILE_H + 2 * bh, TILE_W + 2 * bw), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if static_unroll:
+        by_dx = {}
+        for dy, dx in offsets:
+            by_dx.setdefault(dx, []).append(dy)
+        groups, flat = [], []
+        for dx in sorted(by_dx):
+            groups.append((dx, len(flat), len(by_dx[dx])))
+            flat.extend(sorted(by_dx[dx]))
+        dys = jnp.asarray(flat, jnp.int32)
+        kern = functools.partial(_kernel_grouped, groups=tuple(groups),
+                                 P=P, variant=variant, bh=bh, bw=bw)
+        o0, o1, o2 = pl.pallas_call(
+            kern,
+            grid=(nh, nw),
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=[out_spec] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(consts, dys, xp)
+        return jnp.stack([o0[:h, :w], o1[:h, :w], o2[:h, :w]])
     kern = functools.partial(_kernel, n_off=len(offsets), P=P,
                              variant=variant, bh=bh, bw=bw)
     o0, o1, o2 = pl.pallas_call(
@@ -131,10 +232,7 @@ def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[out_spec] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((3, TILE_H + 2 * bh, TILE_W + 2 * bw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(consts, off, xp)
     return jnp.stack([o0[:h, :w], o1[:h, :w], o2[:h, :w]])

@@ -163,14 +163,18 @@ def grid_filter(guide: jnp.ndarray, values: jnp.ndarray, sigma_s: float,
     b0c = cells(b0)
     fc = cells(f)
     kk = jnp.arange(D, dtype=jnp.float32)[None, None, :]
-    # triangle (linear-splat) weights, 2 nonzero bins per pixel
+    # triangle (linear-splat) weights, 2 nonzero bins per pixel.  Kept in
+    # bf16: Fm is the traffic giant ((n_cells, ss^2, D) ≈ 3 GB fp32 at
+    # 24MP/ss=15/D=32) and both contractions ride the MXU, so halving its
+    # bytes halves the op's HBM time; the ≤2^-9 relative weight error is
+    # noise against the grid's own ss/D discretization.
     Fm = (jnp.equal(b0c[..., None], kk) * (1.0 - fc[..., None])
-          + jnp.equal(b0c[..., None], kk - 1.0) * fc[..., None])  # (n,p,D)
+          + jnp.equal(b0c[..., None], kk - 1.0) * fc[..., None]
+          ).astype(jnp.bfloat16)                                  # (n,p,D)
     vc = jnp.stack([cells(vp[c]) for c in range(C)], axis=1)      # (n,C,p)
-    nums = jnp.einsum("npk,ncp->nkc", Fm, vc,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    dens = Fm.sum(axis=1)                                         # (n,D)
+    nums = jnp.einsum("npk,ncp->nkc", Fm, vc.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    dens = Fm.astype(jnp.float32).sum(axis=1)                     # (n,D)
     nums = nums.reshape(gh, gw, D, C).transpose(2, 3, 0, 1) / p_cell
     dens = dens.reshape(gh, gw, D).transpose(2, 0, 1) / p_cell
 
