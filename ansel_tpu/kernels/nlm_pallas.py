@@ -98,11 +98,15 @@ def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
                     tile, sem, *, groups, P, variant, bh, bw):
     """Offsets grouped by their static dx: per group ONE static lane-shifted
     view of each channel is hoisted, then a fori_loop walks that group's dy
-    list (SMEM) with dynamic ROW offsets — address arithmetic, no lane
-    rotation.  Kills the rolled kernel's 6 dynamic `pltpu.roll` rotations
-    per offset (≈1350 full-buffer lane/sublane shuffles for a 225-point
-    search) while keeping per-iteration temporaries bounded (the fully
-    static unroll OOMs the 16MB scoped-VMEM stack: 225 live loop bodies).
+    list (SMEM) with ONE dynamic SUBLANE roll per channel — Mosaic rejects
+    dynamic-start vector loads whose sublane offset it can't prove 8-aligned
+    ("cannot statically prove that index in dimension 1 is a multiple of 8"),
+    so the row shift must be a `pltpu.roll` (tpu.dynamic_rotate), which is
+    legal for any shift.  vs the plain rolled kernel this still halves the
+    rotate work (3 sublane rolls on the lane-cropped buffer instead of 6
+    full-buffer lane+sublane rolls per offset) while keeping per-iteration
+    temporaries bounded (the fully static unroll OOMs the 16MB scoped-VMEM
+    stack: 225 live loop bodies).
 
     groups: static tuple of (dx, start, count) into the flat dys vector.
     """
@@ -127,17 +131,21 @@ def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
 
     z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     carry = (z, z, z, z)
+    rs = slice(bh - P, bh - P + ch)
     for dx, start, count in groups:
-        xs = bw - P + dx          # static lane offset folded into the load
+        xs = bw - P + dx          # static lane offset, hoisted per group
+        g0 = x0[:, xs:xs + cw_]
+        g1 = x1[:, xs:xs + cw_]
+        g2 = x2[:, xs:xs + cw_]
 
-        def body(k, carry, xs=xs, start=start):
+        def body(k, carry, g0=g0, g1=g1, g2=g2, start=start):
             acc0, acc1, acc2, wsum = carry
-            y0 = bh - P + dys_ref[start + k]
-            # Ref loads: dynamic sublane start (address arithmetic) +
-            # static lane offset — no dynamic lane rotation anywhere
-            s0 = tile[0, pl.ds(y0, ch), xs:xs + cw_]
-            s1 = tile[1, pl.ds(y0, ch), xs:xs + cw_]
-            s2 = tile[2, pl.ds(y0, ch), xs:xs + cw_]
+            dy = dys_ref[start + k]
+            # dynamic sublane roll (legal for any shift) + static row crop;
+            # wrap garbage stays in the discarded halo rows
+            s0 = pltpu.roll(g0, -dy, 0)[rs]
+            s1 = pltpu.roll(g1, -dy, 0)[rs]
+            s2 = pltpu.roll(g2, -dy, 0)[rs]
             d2 = (norm[0] * (c0 - s0) ** 2 + norm[1] * (c1 - s1) ** 2
                   + norm[2] * (c2 - s2) ** 2)
             r = None
