@@ -23,7 +23,7 @@ H, W = 4000, 6016
 raw, meta, _ = synth_raw(h=H, w=W, kind="gradients")
 doc = parse_xmp("/root/reference/tests/benchmark/darktable-bench-3.4.xmp")
 pipe = compile_pipeline(meta, doc.history, scale=1.0, forms=doc.masks)
-reports = run_stages(pipe, raw, repeats=2)
+reports = run_stages(pipe.pipe, raw, repeats=2)
 reports.sort(key=lambda r: -r.ms)
 print("--- top 15 ---")
 for r in reports[:15]:
