@@ -8,10 +8,13 @@ of traffic ≈ 1 s/instance at 24 MP.  Here each grid step DMAs one haloed
 tile into VMEM and runs every offset on the resident tile: one HBM read +
 one write total, VPU-bound.
 
-Search offsets (incl. the scatter lattice) are static Python values, so the
-offset loop is fully unrolled with static `pltpu.roll` shifts (wrap garbage
-stays in the discarded halo, the rcd_pallas halo-tile pattern).  Traced
-scalars (sharpness, center-weight) ride the SMEM consts vector.
+Search offsets (incl. the scatter lattice) are static Python values, but a
+fully static 225-body unroll blows Mosaic's 16MB scoped-VMEM stack, so both
+kernels walk the offsets with `fori_loop` + dynamic `pltpu.roll` shifts
+(wrap garbage stays in the discarded halo, the rcd_pallas halo-tile
+pattern); the grouped variant hoists one static lane shift per distinct dx
+and rolls only sublanes per dy.  Traced scalars (sharpness, center-weight)
+ride the SMEM consts vector.
 """
 
 from __future__ import annotations
