@@ -46,6 +46,11 @@ class _RawInfo(ctypes.Structure):
         ("cr2_slices", ctypes.c_uint32 * 3),
         ("container", ctypes.c_uint32),
         ("endian_le", ctypes.c_uint32),
+        ("nikon_meta_off", ctypes.c_uint64),
+        ("nikon_meta_len", ctypes.c_uint32),
+        ("nikon_meta_le", ctypes.c_uint32),
+        ("sony_curve", ctypes.c_uint32 * 4),
+        ("has_sony_curve", ctypes.c_uint32),
         ("maker", ctypes.c_char * 64),
         ("model", ctypes.c_char * 64),
     ]
@@ -184,8 +189,10 @@ def load_raw(path: str) -> Tuple[np.ndarray, RawMeta]:
     """-> (mosaic float32 (H, W) in sensor units, RawMeta).
 
     Dispatches by container magic: DNG/TIFF, CR2 (Canon LJ92 + slices),
-    RAF (Fuji, incl. X-Trans pattern), NEF/ARW (packed/LJ92 SubIFD
-    variants; the vendor-entropy codecs report a clear error)."""
+    RAF (Fuji, incl. X-Trans pattern), NEF (packed + vendor entropy
+    coding 34713 with the MakerNote linearization curve), ARW (packed +
+    Sony ARW2 32767 with the 0x7010 tone curve, incl. the SR2-encrypted
+    private IFD)."""
     with open(path, "rb") as f:
         buf = f.read()
     lib = _lib()
@@ -202,12 +209,12 @@ def load_raw(path: str) -> Tuple[np.ndarray, RawMeta]:
     rc = lib.rawdec_decode(
         buf, len(buf), ctypes.byref(info), offs, cnts, rows_per_strip,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
-    if rc == 30:
-        raise ValueError(f"{path}: NEF vendor-entropy compression (34713) "
-                         "not supported yet — convert to DNG")
-    if rc == 31:
-        raise ValueError(f"{path}: Sony ARW2 compression (32767) not "
-                         "supported yet — convert to DNG")
+    if rc == 32:
+        raise ValueError(f"{path}: NEF entropy payload (34713) without a "
+                         "readable MakerNote linearization table (0x0096)")
+    if rc == 33:
+        raise ValueError(f"{path}: Sony ARW2 payload shorter than "
+                         "width*height bytes")
     if rc != 0:
         raise ValueError(f"{path}: {kind} decode failed (rc={rc}, "
                          f"compression={info.compression})")

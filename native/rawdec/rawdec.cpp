@@ -8,9 +8,15 @@
 //     ActiveArea, AsShotNeutral/ColorMatrix1.
 //   * CR2 — TIFF container, raw in the last chained IFD (compression 6
 //     = lossless JPEG), Canon vertical slicing via tag 0xC640.
-//   * NEF/ARW — TIFF container, raw SubIFD with packed/LJ92 payloads
-//     (vendor-entropy variants: Nikon 34713 / Sony ARW2 32767 return
-//     distinct unsupported codes rather than garbage).
+//   * NEF — TIFF container, raw SubIFD; packed/LJ92 payloads AND the
+//     vendor entropy coding (compression 34713): tree-coded Huffman
+//     diffs with a two-column vertical/horizontal predictor, the
+//     linearization curve + initial predictors from MakerNote tag
+//     0x0096, optional tree switch at the "split" row (lossy variants).
+//   * ARW — TIFF container; packed payloads AND Sony ARW2 (compression
+//     32767): per-row 16-byte blocks of 16 pixels (11-bit min/max +
+//     7-bit deltas with adaptive shift) through the 4-knot tone curve
+//     (tag 0x7010, possibly inside the LFSR-encrypted SR2 private IFD).
 //   * RAF — Fujifilm container (FUJIFILMCCD-RAW): BE offset directory,
 //     CFA meta records (incl. the 6x6 X-Trans pattern, tag 0x0131),
 //     uncompressed 16-bit-LE / 14-bit-packed payloads.
@@ -20,6 +26,33 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+extern "C" {
+struct RawInfo {
+  uint32_t width, height, bits, compression;
+  uint32_t cfa[4];        // 2x2 pattern color indices (R=0,G=1,B=2)
+  double black, white;
+  double wb[3];           // AsShotNeutral (cam = wb * XYZ-ish)
+  double cam_to_xyz[9];   // inverse of ColorMatrix (D65-ish)
+  uint32_t n_strips;
+  uint32_t iso;
+  // --- container breadth (round 3) ---
+  uint32_t is_xtrans;     // 1 = 6x6 X-Trans mosaic (xtrans[] valid)
+  uint32_t xtrans[36];    // 6x6 color indices, row-major
+  uint32_t crop[4];       // active area: top, left, bottom, right (0 = full)
+  uint32_t cr2_slices[3]; // Canon tag 0xC640: count, width_a, width_last
+  uint32_t container;     // 0 tiff/dng, 1 cr2, 2 raf, 3 nef, 4 arw
+  uint32_t endian_le;     // payload byte order for 16-bit data
+  // --- vendor entropy metadata (round 4) ---
+  uint64_t nikon_meta_off;  // abs offset of MakerNote tag 0x0096 payload
+  uint32_t nikon_meta_len;
+  uint32_t nikon_meta_le;   // byte order of the makernote TIFF
+  uint32_t sony_curve[4];   // tag 0x7010 tone-curve knots (raw u16 values)
+  uint32_t has_sony_curve;
+  char maker[64];
+  char model[64];
+};
+}  // extern "C"
 
 namespace {
 
@@ -268,28 +301,263 @@ int lj92_decode(const uint8_t *buf, size_t len, uint16_t *out,
   return 10;
 }
 
+// ---------------------------------------------------------------------------
+// Nikon NEF entropy coding (TIFF compression 34713).
+//
+// Format (public knowledge, dcraw nikon_load_raw / rawspeed
+// NikonDecompressor): a Huffman-coded difference stream against a
+// two-column predictor.  The six code tables below are fixed format
+// constants; each row is 16 code-length counts (lengths 1..16) followed
+// by the symbol values.  A value's low nibble is the magnitude bit
+// count, the high nibble an extra left-shift used by the lossy
+// "after-split" tables.  MakerNote tag 0x0096 carries: version bytes,
+// vpred[2][2] initial predictors, the linearization curve, and (lossy
+// v0x44/0x20) the row index where the coder switches to the companion
+// table.
+
+constexpr uint8_t kNikonTree[6][32] = {
+    // 12-bit lossy
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12},
+    // 12-bit lossy after split
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     0x39, 0x5a, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12},
+    // 12-bit lossless
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12},
+    // 14-bit lossy
+    {0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14},
+    // 14-bit lossy after split
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0,
+     8, 0x5c, 0x4b, 0x3a, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14},
+    // 14-bit lossless
+    {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14}};
+
+// Raw MSB-first bitstream (no JPEG 0xFF stuffing); zero-fills past EOF,
+// matching the tolerant tail handling cameras rely on.
+struct NikonBits {
+  const uint8_t *p;
+  size_t n, pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  int get(int want) {
+    if (want <= 0) return 0;
+    while (nbits < want) {
+      acc = (acc << 8) | (pos < n ? p[pos++] : 0);
+      nbits += 8;
+    }
+    int v = (int)((acc >> (nbits - want)) & ((1u << want) - 1));
+    nbits -= want;
+    return v;
+  }
+};
+
+static void nikon_build_huff(const uint8_t *row, Huff *h) {
+  int counts[17] = {0};
+  int total = 0;
+  for (int i = 1; i <= 16; i++) {
+    counts[i] = row[i - 1];
+    total += counts[i];
+  }
+  for (int i = 0; i < total && i < 256; i++) h->values[i] = row[16 + i];
+  int code = 0, k = 0;
+  for (int i = 1; i <= 16; i++) {
+    h->valptr[i] = k;
+    h->mincode[i] = code;
+    code += counts[i];
+    k += counts[i];
+    h->maxcode[i] = counts[i] ? code - 1 : -1;
+    code <<= 1;
+  }
+  h->ok = true;
+}
+
+static int nikon_huff_decode(NikonBits &br, const Huff &h) {
+  int code = br.get(1);
+  int len = 1;
+  while (len <= 16 && (h.maxcode[len] < 0 || code > h.maxcode[len])) {
+    code = (code << 1) | br.get(1);
+    len++;
+  }
+  if (len > 16) return 0;
+  return h.values[h.valptr[len] + code - h.mincode[len]];
+}
+
+// returns 0 on success
+static int nikon_34713_decode(const uint8_t *buf, size_t len,
+                              const RawInfo *info, const uint8_t *data,
+                              size_t data_len, uint16_t *out,
+                              double *white_out) {
+  if (!info->nikon_meta_off || info->nikon_meta_len < 14) return 32;
+  if (info->nikon_meta_off + info->nikon_meta_len > len) return 32;
+  const uint8_t *meta = buf + info->nikon_meta_off;
+  size_t mlen = info->nikon_meta_len;
+  Reader mr{meta, mlen, info->nikon_meta_le != 0};
+  size_t mp = 0;
+  const int v0 = meta[mp++], v1 = meta[mp++];
+  if (v0 == 0x49 || v1 == 0x58) mp += 2110;  // D7000-era padding block
+  int tree = (v0 == 0x46) ? 2 : 0;
+  if (info->bits == 14) tree += 3;
+  // predictors are 16-bit wraparound values, sign-reinterpreted at the
+  // curve lookup (the camera relies on this modular arithmetic)
+  uint16_t vpred[2][2];
+  for (int i = 0; i < 4; i++, mp += 2)
+    vpred[i >> 1][i & 1] = mr.u16(mp);
+  int max = (1 << info->bits) & 0x7fff;
+  std::vector<uint16_t> curve(0x8000);
+  for (int i = 0; i < 0x8000; i++) curve[i] = (uint16_t)i;
+  int csize = mr.u16(mp);
+  mp += 2;
+  int step = 0, split = 0;
+  if (csize > 1) step = max / (csize - 1);
+  if (v0 == 0x44 && v1 == 0x20 && step > 0) {
+    // lossy: sparse knots at `step` spacing, linear interpolation
+    for (int i = 0; i < csize && i * step < 0x8000; i++, mp += 2)
+      curve[i * step] = mr.u16(mp);
+    for (int i = 0; i < max; i++) {
+      int r = i % step;
+      curve[i] =
+          (uint16_t)(((int)curve[i - r] * (step - r) +
+                      (int)curve[i - r + step] * r) / step);
+    }
+    if (mlen >= 564) split = mr.u16(562);
+  } else if (v0 != 0x46 && csize <= 0x4001) {
+    for (int i = 0; i < csize; i++, mp += 2) curve[i] = mr.u16(mp);
+    max = csize;
+  }
+  while (max > 2 && curve[max - 2] == curve[max - 1]) max--;
+  *white_out = (double)curve[max > 0 ? max - 1 : 0];
+
+  Huff huff;
+  nikon_build_huff(kNikonTree[tree], &huff);
+  NikonBits br{data, data_len};
+  const size_t W = info->width, H = info->height;
+  uint16_t hpred[2] = {0, 0};
+  for (size_t row = 0; row < H; row++) {
+    if (split && (int)row == split) {
+      nikon_build_huff(kNikonTree[tree + 1], &huff);
+      max += 32;  // min becomes 16; range widens by 2*min
+    }
+    for (size_t col = 0; col < W; col++) {
+      int sym = nikon_huff_decode(br, huff);
+      int slen = sym & 15;
+      int shl = sym >> 4;
+      int diff = ((br.get(slen - shl) << 1) + 1) << shl >> 1;
+      if (slen > 0 && (diff & (1 << (slen - 1))) == 0)
+        diff -= (1 << slen) - (shl ? 0 : 1);
+      if (col < 2)
+        hpred[col] = (vpred[row & 1][col] =
+                          (uint16_t)(vpred[row & 1][col] + diff));
+      else
+        hpred[col & 1] = (uint16_t)(hpred[col & 1] + diff);
+      int v = (int16_t)hpred[col & 1];
+      if (v < 0) v = 0;
+      if (v > 0x3fff) v = 0x3fff;
+      out[row * W + col] = curve[v];
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Sony ARW2 (TIFF compression 32767).
+//
+// Format (public knowledge, dcraw sony_arw2_load_raw / rawspeed
+// SonyArw2Decompressor): one byte per pixel; every 16-byte block holds
+// 16 same-color pixels of a 32-column span (even columns, then odd):
+// a 32-bit header packs the block's 11-bit max/min and their 4-bit
+// positions; the other 14 pixels are 7-bit deltas off min, left-shifted
+// by the smallest sh in [0,4) with (0x80 << sh) > max - min.  Decoded
+// 11-bit values pass through the 5-segment tone curve whose interior
+// knots come from tag 0x7010 (often inside the SR2-encrypted IFD).
+
+static void sony_build_curve(const RawInfo *info, uint16_t *curve /*0x1000*/) {
+  uint32_t knots[6] = {0, 0, 0, 0, 0, 0xfff};
+  for (int i = 0; i < 4; i++)
+    knots[i + 1] = info->has_sony_curve
+                       ? ((info->sony_curve[i] >> 2) & 0xfff) : 0;
+  for (int i = 0; i < 0x1000; i++) curve[i] = (uint16_t)i;
+  for (int i = 0; i < 5; i++)
+    for (uint32_t j = knots[i] + 1; j <= knots[i + 1] && j < 0x1000; j++)
+      curve[j] = (uint16_t)(curve[j - 1] + (1 << i));
+}
+
+static int sony_arw2_decode(const RawInfo *info, const uint8_t *data,
+                            size_t data_len, uint16_t *out,
+                            double *white_out) {
+  const size_t W = info->width, H = info->height;
+  if (data_len < W * H) return 33;
+  uint16_t curve[0x1000];
+  sony_build_curve(info, curve);
+  *white_out = (double)(curve[0xffe] >> 2);
+  for (size_t row = 0; row < H; row++) {
+    const uint8_t *dp = data + row * W;
+    size_t col = 0;
+    while (col + 30 < W) {
+      uint32_t val = (uint32_t)dp[0] | (uint32_t)dp[1] << 8 |
+                     (uint32_t)dp[2] << 16 | (uint32_t)dp[3] << 24;
+      uint32_t vmax = val & 0x7ff;
+      uint32_t vmin = (val >> 11) & 0x7ff;
+      uint32_t imax = (val >> 22) & 0x0f;
+      uint32_t imin = (val >> 26) & 0x0f;
+      int sh = 0;
+      while (sh < 4 && (uint32_t)(0x80u << sh) <= vmax - vmin) sh++;
+      uint32_t pix[16];
+      int bit = 30;
+      for (int i = 0; i < 16; i++) {
+        if ((uint32_t)i == imax) {
+          pix[i] = vmax;
+        } else if ((uint32_t)i == imin) {
+          pix[i] = vmin;
+        } else {
+          // the last delta's high byte is never needed; guard instead
+          // of reading past the 16-byte block
+          uint32_t hi = ((bit >> 3) + 1 < 16)
+                            ? (uint32_t)dp[(bit >> 3) + 1] << 8 : 0;
+          uint32_t w16 = (uint32_t)dp[bit >> 3] | hi;
+          pix[i] = (((w16 >> (bit & 7)) & 0x7f) << sh) + vmin;
+          if (pix[i] > 0x7ff) pix[i] = 0x7ff;
+          bit += 7;
+        }
+      }
+      for (int i = 0; i < 16; i++, col += 2)
+        out[row * W + col] = (uint16_t)(curve[pix[i] << 1] >> 2);
+      col -= (col & 1) ? 1 : 31;
+      dp += 16;
+    }
+  }
+  return 0;
+}
+
+// SR2 private-IFD stream cipher (public knowledge, dcraw sony_decrypt /
+// rawspeed SonyDecrypt): a 128-word LFSR pad seeded from tag 0x7221.
+static void sony_decrypt_block(uint8_t *data, size_t nbytes, uint32_t key) {
+  uint32_t pad[128];
+  for (int p = 0; p < 4; p++) pad[p] = key = key * 48828125u + 1u;
+  pad[3] = pad[3] << 1 | (pad[0] ^ pad[2]) >> 31;
+  for (int p = 4; p < 127; p++)
+    pad[p] = (pad[p - 4] ^ pad[p - 2]) << 1 | (pad[p - 3] ^ pad[p - 1]) >> 31;
+  // pad words are consumed big-endian
+  for (int p = 0; p < 127; p++)
+    pad[p] = (pad[p] >> 24) | ((pad[p] >> 8) & 0xff00) |
+             ((pad[p] << 8) & 0xff0000) | (pad[p] << 24);
+  size_t nwords = nbytes / 4;
+  int p = 127;
+  for (size_t i = 0; i < nwords; i++, p++) {
+    uint32_t w = pad[p & 127] = pad[(p + 1) & 127] ^ pad[(p + 65) & 127];
+    uint8_t *d = data + 4 * i;
+    d[0] ^= (uint8_t)w;
+    d[1] ^= (uint8_t)(w >> 8);
+    d[2] ^= (uint8_t)(w >> 16);
+    d[3] ^= (uint8_t)(w >> 24);
+  }
+}
+
 }  // namespace
 
 extern "C" {
-
-struct RawInfo {
-  uint32_t width, height, bits, compression;
-  uint32_t cfa[4];        // 2x2 pattern color indices (R=0,G=1,B=2)
-  double black, white;
-  double wb[3];           // AsShotNeutral (cam = wb * XYZ-ish)
-  double cam_to_xyz[9];   // inverse of ColorMatrix (D65-ish)
-  uint32_t n_strips;
-  uint32_t iso;
-  // --- container breadth (round 3) ---
-  uint32_t is_xtrans;     // 1 = 6x6 X-Trans mosaic (xtrans[] valid)
-  uint32_t xtrans[36];    // 6x6 color indices, row-major
-  uint32_t crop[4];       // active area: top, left, bottom, right (0 = full)
-  uint32_t cr2_slices[3]; // Canon tag 0xC640: count, width_a, width_last
-  uint32_t container;     // 0 tiff/dng, 1 cr2, 2 raf, 3 nef, 4 arw
-  uint32_t endian_le;     // payload byte order for 16-bit data
-  char maker[64];
-  char model[64];
-};
 
 static void copy_str(const Reader &r, const Entry &e, char *dst, size_t cap) {
   size_t n = e.count < cap - 1 ? e.count : cap - 1;
@@ -526,10 +794,98 @@ int rawdec_info(const uint8_t *buf, size_t len, RawInfo *info,
   }
   // CR2's raw IFD carries no dimension tags beyond the LJ92 stream's own
   // SOF3; width/height are refined by rawdec_decode.  NEF = Nikon TIFF,
-  // ARW = Sony TIFF — classified for the caller's error messages.
+  // ARW = Sony TIFF.
   if (!is_cr2) {
     if (!strncmp(info->maker, "NIKON", 5)) info->container = 3;
     else if (!strncmp(info->maker, "SONY", 4)) info->container = 4;
+  }
+
+  if (info->container == 3) {
+    // Nikon linearization meta: ExifIFD (0x8769) -> MakerNote (0x927C,
+    // "Nikon\0" header + embedded TIFF at +10 with self-relative
+    // offsets; headerless fallback uses file-absolute offsets) ->
+    // tag 0x0096.
+    for (auto &ifd : ifds) {
+      const Entry *ex = ifd.find(0x8769);
+      if (!ex) continue;
+      size_t eoff = entry_uint(r, *ex);
+      IFD exif;
+      size_t nx = 0;
+      if (eoff >= len || !parse_ifd(r, eoff, &exif, &nx)) continue;
+      const Entry *mn = exif.find(0x927C);
+      if (!mn) continue;
+      size_t mo = mn->value_off;
+      if (mo + 18 < len && !memcmp(buf + mo, "Nikon\0", 6)) {
+        size_t base = mo + 10;
+        Reader nr{buf + base, len - base, buf[base] == 'I'};
+        bool valid = ((buf[base] == 'I' && buf[base + 1] == 'I') ||
+                      (buf[base] == 'M' && buf[base + 1] == 'M')) &&
+                     nr.u16(2) == 42;
+        IFD mifd;
+        size_t nn = 0;
+        if (valid && parse_ifd(nr, nr.u32(4), &mifd, &nn)) {
+          if (const Entry *lt = mifd.find(0x0096)) {
+            info->nikon_meta_off = base + lt->value_off;
+            info->nikon_meta_len = lt->count;
+            info->nikon_meta_le = nr.le ? 1 : 0;
+          }
+        }
+      } else if (mo < len) {
+        IFD mifd;
+        size_t nn = 0;
+        if (parse_ifd(r, mo, &mifd, &nn)) {
+          if (const Entry *lt = mifd.find(0x0096)) {
+            info->nikon_meta_off = lt->value_off;
+            info->nikon_meta_len = lt->count;
+            info->nikon_meta_le = r.le ? 1 : 0;
+          }
+        }
+      }
+      break;
+    }
+  }
+
+  if (info->container == 4) {
+    // Sony tone curve (tag 0x7010): plain IFDs first, then the
+    // SR2Private chain (0xC634 -> sub-IFD with 0x7200 offset / 0x7201
+    // length / 0x7221 key -> LFSR-decrypted hidden IFD whose entry
+    // offsets are file-absolute).
+    auto take_curve = [&](const Reader &rr, const IFD &ifd) {
+      const Entry *tc = ifd.find(0x7010);
+      if (!tc || tc->count < 4) return false;
+      for (int i = 0; i < 4; i++)
+        info->sony_curve[i] = entry_uint(rr, *tc, i);
+      info->has_sony_curve = 1;
+      return true;
+    };
+    bool found = false;
+    for (auto &ifd : ifds)
+      if (take_curve(r, ifd)) { found = true; break; }
+    if (!found) {
+      for (auto &ifd : ifds) {
+        const Entry *sr2 = ifd.find(0xC634);
+        if (!sr2) continue;
+        size_t soff = entry_uint(r, *sr2);
+        IFD priv;
+        size_t np = 0;
+        if (soff >= len || !parse_ifd(r, soff, &priv, &np)) continue;
+        const Entry *eo = priv.find(0x7200);
+        const Entry *el = priv.find(0x7201);
+        const Entry *ek = priv.find(0x7221);
+        if (!eo || !el || !ek) continue;
+        size_t doff = entry_uint(r, *eo);
+        size_t dlen = entry_uint(r, *el);
+        uint32_t key = entry_uint(r, *ek);
+        if (doff + dlen > len || dlen < 8) continue;
+        std::vector<uint8_t> copy(buf, buf + len);
+        sony_decrypt_block(copy.data() + doff, dlen, key);
+        Reader dr{copy.data(), len, r.le};
+        IFD hidden;
+        size_t nh = 0;
+        if (parse_ifd(dr, doff, &hidden, &nh)) take_curve(dr, hidden);
+        break;
+      }
+    }
   }
 
   const Entry *so = best->find(0x0111);
@@ -546,7 +902,8 @@ int rawdec_info(const uint8_t *buf, size_t len, RawInfo *info,
 }
 
 // Decode the raw mosaic into out (width*height uint16).  Returns 0 on ok.
-int rawdec_decode(const uint8_t *buf, size_t len, const RawInfo *info,
+// May refine info->white (vendor curves define the true ceiling).
+int rawdec_decode(const uint8_t *buf, size_t len, RawInfo *info,
                   const uint64_t *strip_offsets, const uint64_t *strip_counts,
                   uint32_t rows_per_strip, uint16_t *out) {
   const size_t W = info->width, H = info->height;
@@ -630,8 +987,28 @@ int rawdec_decode(const uint8_t *buf, size_t len, const RawInfo *info,
     }
     return 0;
   }
-  if (info->compression == 34713) return 30;  // Nikon NEF entropy: not yet
-  if (info->compression == 32767) return 31;  // Sony ARW2 entropy: not yet
+  if (info->compression == 34713) {  // Nikon NEF entropy coding
+    if (info->n_strips < 1) return 30;
+    if (strip_offsets[0] >= len) return 2;
+    size_t avail = strip_counts[0] ? strip_counts[0] : len - strip_offsets[0];
+    if (strip_offsets[0] + avail > len) avail = len - strip_offsets[0];
+    double white = info->white;
+    int rc = nikon_34713_decode(buf, len, info, buf + strip_offsets[0],
+                                avail, out, &white);
+    if (rc == 0 && white > 0) info->white = white;
+    return rc;
+  }
+  if (info->compression == 32767) {  // Sony ARW2
+    if (info->n_strips < 1) return 31;
+    if (strip_offsets[0] >= len) return 2;
+    size_t avail = strip_counts[0] ? strip_counts[0] : len - strip_offsets[0];
+    if (strip_offsets[0] + avail > len) avail = len - strip_offsets[0];
+    double white = info->white;
+    int rc = sony_arw2_decode(info, buf + strip_offsets[0], avail, out,
+                              &white);
+    if (rc == 0 && white > 0) info->white = white;
+    return rc;
+  }
   if (info->compression == 7) {  // lossless JPEG strips
     std::vector<uint16_t> tmp((size_t)W * H * 2);
     size_t row = 0;

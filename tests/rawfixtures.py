@@ -282,6 +282,441 @@ def write_raf(path, mosaic: np.ndarray, xtrans, model="X-T3"):
         f.write(bytes(head) + bytes(meta) + data)
 
 
+# ------------------------------------------------- Nikon 34713 (NEF entropy)
+# Format constants + reference semantics per dcraw nikon_load_raw /
+# rawspeed NikonDecompressor (public knowledge).  The Python encoder and
+# decoder here are the test oracle the C++ decoder must match bit-exact.
+
+NIKON_TREES = (
+    # (counts for code lengths 1..16, symbol values)
+    ((0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0),
+     (5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12)),            # 12 lossy
+    ((0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0),
+     (0x39, 0x5A, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12)),
+    ((0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+     (5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12)),            # 12 lossless
+    ((0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0),
+     (5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14)),    # 14 lossy
+    ((0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0),
+     (8, 0x5C, 0x4B, 0x3A, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14)),
+    ((0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0),
+     (7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14)),    # 14 lossless
+)
+
+
+def _nikon_codes(tree_idx):
+    """symbol value -> (code, length), canonical assignment.  The 32-byte
+    table rows are zero-padded: counts may sum past the listed values and
+    the missing trailing symbols are 0."""
+    counts, values = NIKON_TREES[tree_idx]
+    total = sum(counts)
+    values = tuple(values) + (0,) * max(0, total - len(values))
+    codes = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes.setdefault(values[vi], (code, ln))
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+class _MsbWriter:
+    """MSB-first raw bitstream (no JPEG byte stuffing)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        if nbits <= 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def flush(self):
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        return bytes(self.out)
+
+
+class _MsbReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def get(self, nbits):
+        if nbits <= 0:
+            return 0
+        while self.n < nbits:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        return v
+
+
+def nikon_reference_decode(stream, W, H, bits, ver, vpred, curve_knots,
+                           split=0):
+    """Independent Python model of the 34713 decoder (the oracle)."""
+    tree = (2 if ver[0] == 0x46 else 0) + (3 if bits == 14 else 0)
+    vpred = [list(vpred[:2]), list(vpred[2:])]
+    maxv = (1 << bits) & 0x7FFF
+    curve = list(range(0x8000))
+    if ver == (0x44, 0x20) and curve_knots is not None:
+        csize = len(curve_knots)
+        step = maxv // (csize - 1)
+        for i, v in enumerate(curve_knots):
+            curve[i * step] = v
+        for i in range(maxv):
+            r = i % step
+            curve[i] = (curve[i - r] * (step - r)
+                        + curve[i - r + step] * r) // step
+    elif ver[0] != 0x46 and curve_knots is not None:
+        for i, v in enumerate(curve_knots):
+            curve[i] = v
+        maxv = len(curve_knots)
+    while maxv > 2 and curve[maxv - 2] == curve[maxv - 1]:
+        maxv -= 1
+
+    def decode_sym(br, codes):
+        # walk codes bit by bit (codes are prefix-free)
+        code = 0
+        ln = 0
+        inv = {v: k for k, v in codes.items()}
+        while ln <= 16:
+            code = (code << 1) | br.get(1)
+            ln += 1
+            if (code, ln) in inv:
+                return inv[(code, ln)]
+        return 0
+
+    codes = _nikon_codes(tree)
+    br = _MsbReader(stream)
+    out = np.zeros((H, W), np.uint16)
+    hpred = [0, 0]
+    for row in range(H):
+        if split and row == split:
+            codes = _nikon_codes(tree + 1)
+        for col in range(W):
+            sym = decode_sym(br, codes)
+            slen = sym & 15
+            shl = sym >> 4
+            diff = ((br.get(slen - shl) << 1) + 1) << shl >> 1
+            if slen > 0 and not (diff & (1 << (slen - 1))):
+                diff -= (1 << slen) - (0 if shl else 1)
+            if col < 2:
+                vpred[row & 1][col] = (vpred[row & 1][col] + diff) & 0xFFFF
+                hpred[col] = vpred[row & 1][col]
+            else:
+                hpred[col & 1] = (hpred[col & 1] + diff) & 0xFFFF
+            v = hpred[col & 1]
+            v = v - 0x10000 if v >= 0x8000 else v
+            out[row, col] = curve[min(max(v, 0), 0x3FFF)]
+    return out
+
+
+def nikon_encode_lossless(mosaic, bits, vpred):
+    """Encode a mosaic exactly with the lossless tree (ver 0x46)."""
+    H, W = mosaic.shape
+    tree = 2 + (3 if bits == 14 else 0)
+    codes = _nikon_codes(tree)
+    bw = _MsbWriter()
+    vp = [list(vpred[:2]), list(vpred[2:])]
+    hp = [0, 0]
+    for row in range(H):
+        for col in range(W):
+            target = int(mosaic[row, col])
+            prev = vp[row & 1][col] if col < 2 else hp[col & 1]
+            diff = ((target - prev + 0x8000) & 0xFFFF) - 0x8000
+            ssss = 0 if diff == 0 else max(diff, -diff).bit_length()
+            code, ln = codes[ssss]
+            bw.put(code, ln)
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                bw.put(v, ssss)
+            if col < 2:
+                vp[row & 1][col] = target & 0xFFFF
+                hp[col] = vp[row & 1][col]
+            else:
+                hp[col & 1] = target & 0xFFFF
+    return bw.flush()
+
+
+def nikon_random_stream(rng, W, H, tree, split=0):
+    """Random-but-valid symbol stream (exercises the lossy/split trees)."""
+    bw = _MsbWriter()
+    codes0 = _nikon_codes(tree)
+    codes1 = _nikon_codes(tree + 1) if split else codes0
+    for row in range(H):
+        codes = codes1 if (split and row >= split) else codes0
+        syms = list(codes.keys())
+        for _ in range(W):
+            sym = syms[int(rng.integers(len(syms)))]
+            code, ln = codes[sym]
+            bw.put(code, ln)
+            nb = (sym & 15) - (sym >> 4)
+            if nb > 0:
+                bw.put(int(rng.integers(1 << nb)), nb)
+    return bw.flush()
+
+
+def _nikon_makernote(meta_blob):
+    """MakerNote: "Nikon\\0" header + embedded LE TIFF whose offsets are
+    relative to the TIFF header; tag 0x0096 = linearization table."""
+    # header(8) + ifd: count(2) + 1 entry(12) + next(4) = 26
+    value_off = 26
+    tiff = struct.pack("<4sI", b"II*\x00", 8)
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHII", 0x0096, 7, len(meta_blob), value_off)
+    tiff += struct.pack("<I", 0)
+    tiff += meta_blob
+    return b"Nikon\x00\x02\x10\x00\x00" + tiff
+
+
+def write_nef_34713(path, mosaic=None, bits=14, lossy=False, split=0,
+                    seed=0):
+    """NEF with the vendor entropy payload (compression 34713).
+
+    lossless (default): encodes `mosaic` bit-exact (ver 0x46 0x30).
+    lossy: ver 0x44 0x20 with a 257-knot curve and a split row; payload
+    is a seeded random symbol stream.  Returns the expected decode."""
+    rng = np.random.default_rng(seed)
+    vpred = (1 << (bits - 1),) * 4
+    if lossy:
+        tree = 3 if bits == 14 else 0
+        stream = nikon_random_stream(rng, 64, 48, tree, split=split)
+        H, W = 48, 64
+        maxv = (1 << bits) & 0x7FFF
+        csize = 257
+        # monotone 16-bit curve over the input domain
+        knots = tuple(int(v) for v in np.linspace(0, 65535, csize)
+                      .astype(np.uint16))
+        expected = nikon_reference_decode(stream, W, H, bits, (0x44, 0x20),
+                                          vpred, knots, split=split)
+        meta = bytearray()
+        meta += bytes([0x44, 0x20])
+        meta += struct.pack("<4H", *vpred)
+        meta += struct.pack("<H", csize)
+        meta += struct.pack(f"<{csize}H", *knots)
+        if len(meta) < 562:
+            meta += b"\x00" * (562 - len(meta))
+        meta += struct.pack("<H", split)
+    else:
+        assert mosaic is not None
+        H, W = mosaic.shape
+        stream = nikon_encode_lossless(mosaic, bits, vpred)
+        expected = nikon_reference_decode(stream, W, H, bits, (0x46, 0x30),
+                                          vpred, None)
+        meta = bytearray()
+        meta += bytes([0x46, 0x30])
+        meta += struct.pack("<4H", *vpred)
+        meta += struct.pack("<H", 1)   # csize 1: identity curve
+        meta += b"\x00" * 32
+
+    t = TiffWriter()
+    data_off = t.add_blob(stream)
+    raw_off, _ = t.add_ifd([
+        (0x0100, 4, 1, W), (0x0101, 4, 1, H),
+        (0x0102, 3, 1, bits), (0x0103, 3, 1, 34713),
+        (0x0106, 3, 1, 32803),
+        (0x0111, 4, 1, data_off), (0x0117, 4, 1, len(stream)),
+        (0x0115, 3, 1, 1),
+        (0x828E, 1, 4, bytes([0, 1, 1, 2])),
+        (0xC61A, 4, 1, 0),
+    ])
+    mn = _nikon_makernote(bytes(meta))
+    exif_off, _ = t.add_ifd([
+        (0x927C, 7, len(mn), mn),
+    ])
+    t.add_ifd([
+        (0x010F, 2, 18, _ascii("NIKON CORPORATION")),
+        (0x0110, 2, 10, _ascii("NIKON Z 8")),
+        (0x014A, 4, 1, raw_off),
+        (0x8769, 4, 1, exif_off),
+        (0x8827, 3, 1, 640),
+    ], link_from="header")
+    with open(path, "wb") as f:
+        f.write(t.buf)
+    return expected
+
+
+# --------------------------------------------------- Sony ARW2 (compression
+# 32767) — per dcraw sony_arw2_load_raw / rawspeed SonyArw2Decompressor.
+
+def sony_build_curve(knots4):
+    """5-segment tone curve; knots are the raw tag-0x7010 u16 values."""
+    kn = [0] + [((int(k) >> 2) & 0xFFF) for k in knots4] + [0xFFF]
+    curve = list(range(0x1000))
+    for i in range(5):
+        for j in range(kn[i] + 1, min(kn[i + 1] + 1, 0x1000)):
+            curve[j] = curve[j - 1] + (1 << i)
+    return curve
+
+
+def arw2_reference_decode(data, W, H, knots4):
+    curve = sony_build_curve(knots4)
+    out = np.zeros((H, W), np.uint16)
+    for row in range(H):
+        rowdat = data[row * W:(row + 1) * W]
+        col = 0
+        dpi = 0
+        while col + 30 < W:
+            dp = rowdat[dpi:dpi + 16]
+            val = struct.unpack("<I", dp[:4])[0]
+            vmax = val & 0x7FF
+            vmin = (val >> 11) & 0x7FF
+            imax = (val >> 22) & 0x0F
+            imin = (val >> 26) & 0x0F
+            sh = 0
+            while sh < 4 and (0x80 << sh) <= vmax - vmin:
+                sh += 1
+            pix = [0] * 16
+            bit = 30
+            for i in range(16):
+                if i == imax:
+                    pix[i] = vmax
+                elif i == imin:
+                    pix[i] = vmin
+                else:
+                    # the last delta's high byte is never needed; guard
+                    # instead of reading past the 16-byte block
+                    hi = dp[(bit >> 3) + 1] << 8 if (bit >> 3) + 1 < 16 else 0
+                    w16 = dp[bit >> 3] | hi
+                    pix[i] = min((((w16 >> (bit & 7)) & 0x7F) << sh) + vmin,
+                                 0x7FF)
+                    bit += 7
+            for i in range(16):
+                out[row, col] = curve[pix[i] << 1] >> 2
+                col += 2
+            col -= 1 if (col & 1) else 31
+            dpi += 16
+    return out
+
+
+def arw2_encode(values11, W, H):
+    """Lossy-encode (H, W) 11-bit pre-curve values into ARW2 blocks.
+    W must be a multiple of 32."""
+    assert W % 32 == 0
+    out = bytearray()
+    v = np.asarray(values11, np.uint32)
+    for row in range(H):
+        for g in range(W // 32):
+            for phase in (0, 1):
+                block = v[row, g * 32 + phase:(g + 1) * 32:2]
+                vmax = int(block.max())
+                vmin = int(block.min())
+                imax = int(block.argmax())
+                imin = int(block.argmin())
+                if imax == imin:  # constant block: separate indices
+                    imax, imin = 0, 1
+                sh = 0
+                while sh < 4 and (0x80 << sh) <= vmax - vmin:
+                    sh += 1
+                hdr = (vmax | (vmin << 11) | (imax << 22) | (imin << 26)
+                       ) & 0xFFFFFFFF
+                bits = []
+                for i in range(16):
+                    if i in (imax, imin):
+                        continue
+                    d = (int(block[i]) - vmin) >> sh
+                    bits.append(min(d, 0x7F))
+                # pack 14 x 7 bits LSB-first starting at bit 30
+                acc = hdr
+                pos = 30
+                for d in bits:
+                    acc |= d << pos
+                    pos += 7
+                out += acc.to_bytes(16, "little")
+    return bytes(out)
+
+
+def _sony_pad(key):
+    pad = [0] * 128
+    for p in range(4):
+        key = (key * 48828125 + 1) & 0xFFFFFFFF
+        pad[p] = key
+    pad[3] = (pad[3] << 1 | (pad[0] ^ pad[2]) >> 31) & 0xFFFFFFFF
+    for p in range(4, 127):
+        pad[p] = ((pad[p - 4] ^ pad[p - 2]) << 1
+                  | (pad[p - 3] ^ pad[p - 1]) >> 31) & 0xFFFFFFFF
+    return [int.from_bytes(p.to_bytes(4, "big"), "little") for p in pad[:127]] + [0]
+
+
+def sony_encrypt(data: bytes, key: int) -> bytes:
+    """XOR stream cipher (involution) used by the SR2 private IFD."""
+    pad = _sony_pad(key)
+    out = bytearray(data)
+    p = 127
+    for i in range(len(data) // 4):
+        w = pad[p & 127] = pad[(p + 1) & 127] ^ pad[(p + 65) & 127]
+        for b in range(4):
+            out[4 * i + b] ^= (w >> (8 * b)) & 0xFF
+        p += 1
+    return bytes(out)
+
+
+def write_arw2(path, values11, knots4=(2000, 6000, 10000, 14000),
+               encrypted=False, key=0x12345678):
+    """ARW with Sony ARW2 payload; tone curve via tag 0x7010 either in
+    IFD0 (plain) or inside an SR2-encrypted hidden IFD (0xC634 ->
+    0x7200/0x7201/0x7221).  Returns the expected decode."""
+    H, W = values11.shape
+    data = arw2_encode(values11, W, H)
+    expected = arw2_reference_decode(data, W, H, knots4)
+
+    t = TiffWriter()
+    data_off = t.add_blob(data)
+    raw_off, _ = t.add_ifd([
+        (0x0100, 4, 1, W), (0x0101, 4, 1, H),
+        (0x0102, 3, 1, 8), (0x0103, 3, 1, 32767),
+        (0x0106, 3, 1, 32803),
+        (0x0111, 4, 1, data_off), (0x0117, 4, 1, len(data)),
+        (0x0115, 3, 1, 1),
+        (0x828E, 1, 4, bytes([0, 1, 1, 2])),
+        (0xC61A, 4, 1, 128),
+    ])
+    ifd0 = [
+        (0x010F, 2, 5, _ascii("SONY")),
+        (0x0110, 2, 10, _ascii("ILCE-7M4")),
+        (0x014A, 4, 1, raw_off),
+        (0x8827, 3, 1, 1600),
+    ]
+    if not encrypted:
+        ifd0.append((0x7010, 3, 4, TiffWriter.shorts(*knots4)))
+    else:
+        # hidden IFD: 1 entry (0x7010) whose value offset is file-absolute
+        t._align()
+        hoff = len(t.buf)
+        hidden = struct.pack("<H", 1)
+        hidden += struct.pack("<HHII", 0x7010, 3, 4, hoff + 18)
+        hidden += struct.pack("<I", 0)
+        hidden += TiffWriter.shorts(*knots4)
+        hidden += b"\x00" * ((-len(hidden)) % 4)
+        t.buf += sony_encrypt(hidden, key)
+        sr2_off, _ = t.add_ifd([
+            (0x7200, 4, 1, hoff),
+            (0x7201, 4, 1, len(hidden)),
+            (0x7221, 4, 1, key),
+        ])
+        ifd0.append((0xC634, 4, 1, sr2_off))
+    t.add_ifd(ifd0, link_from="header")
+    with open(path, "wb") as f:
+        f.write(t.buf)
+    return expected
+
+
 def _pack_msb(mosaic: np.ndarray, bits: int) -> bytes:
     """TIFF FillOrder-1 bit packing."""
     flat = mosaic.astype(np.uint64).reshape(-1)

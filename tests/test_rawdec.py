@@ -11,7 +11,8 @@ import pytest
 
 from ansel_tpu.core.types import CFAPattern
 from ansel_tpu.io.dng import load_raw
-from rawfixtures import write_arw, write_cr2, write_nef, write_raf
+from rawfixtures import (write_arw, write_arw2, write_cr2, write_nef,
+                         write_nef_34713, write_raf)
 
 XTRANS6 = ((1, 2, 0, 1, 0, 2),
            (0, 1, 1, 2, 1, 1),
@@ -77,6 +78,87 @@ def test_raf_xtrans_roundtrip(tmp_path):
         int(v) for v in np.asarray(XTRANS6).reshape(-1))
     assert meta.maker == "FUJIFILM"
     assert "X-T3" in meta.model
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_nef_34713_lossless_roundtrip(tmp_path, bits):
+    """Nikon entropy coding, lossless trees: bit-exact mosaic recovery."""
+    m = _mosaic(48, 64, bits, seed=bits)
+    p = str(tmp_path / "shot.nef")
+    expected = write_nef_34713(p, m, bits=bits)
+    # lossless + identity curve: expected decode IS the mosaic
+    assert np.array_equal(expected, m)
+    raw, meta = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.maker.startswith("NIKON")
+    assert meta.white_point == (1 << bits) - 1
+    assert meta.iso == 640.0
+
+
+@pytest.mark.parametrize("bits,split", [(12, 0), (14, 0), (14, 17)])
+def test_nef_34713_lossy_vs_oracle(tmp_path, bits, split):
+    """Lossy trees (+ split-row tree switch): C++ matches the Python
+    oracle bit-exact on a random-but-valid symbol stream."""
+    p = str(tmp_path / "shot.nef")
+    expected = write_nef_34713(p, None, bits=bits, lossy=True, split=split,
+                               seed=bits + split)
+    raw, meta = load_raw(p)
+    assert np.array_equal(raw, expected.astype(np.float32)), \
+        np.argwhere(raw != expected)[:4]
+
+
+@pytest.mark.parametrize("encrypted", [False, True])
+def test_arw2_roundtrip(tmp_path, encrypted):
+    """Sony ARW2 blocks + tone curve; encrypted=True routes the curve
+    through the SR2 LFSR-encrypted hidden IFD."""
+    rng = np.random.default_rng(7 + encrypted)
+    vals = rng.integers(0, 0x800, (32, 64), dtype=np.uint16)
+    p = str(tmp_path / "shot.arw")
+    expected = write_arw2(p, vals, encrypted=encrypted)
+    raw, meta = load_raw(p)
+    assert np.array_equal(raw, expected.astype(np.float32)), \
+        np.argwhere(raw != expected)[:4]
+    assert meta.maker.startswith("SONY")
+    assert meta.black_levels[0] == 128.0
+    # white point comes from the decoded tone curve's ceiling
+    assert meta.white_point > 0x7FF
+
+
+def test_arw2_smooth_scene_near_exact(tmp_path):
+    """On a smooth gradient the ARW2 quantization is sh=0 -> the block
+    codec is lossless; decode equals curve(source)."""
+    from rawfixtures import sony_build_curve
+
+    yy, xx = np.mgrid[0:32, 0:64]
+    vals = (xx * 8 + yy % 16).astype(np.uint16)  # gentle ramp, max delta<128
+    p = str(tmp_path / "shot.arw")
+    knots = (2000, 6000, 10000, 14000)
+    expected = write_arw2(p, vals, knots4=knots)
+    curve = np.asarray(sony_build_curve(knots))
+    want = curve[vals.astype(np.int64) << 1] >> 2
+    assert np.array_equal(expected, want)
+    raw, _ = load_raw(p)
+    assert np.array_equal(raw, want.astype(np.float32))
+
+
+def test_nef_34713_feeds_pipeline(tmp_path):
+    """End-to-end: compressed NEF -> load -> demosaic pipe."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    scene = 800 + (xx * 150 + yy * 80)
+    m = np.minimum(scene, 16000).astype(np.uint16)
+    p = str(tmp_path / "shot.nef")
+    write_nef_34713(p, m, bits=14)
+    raw, meta = load_raw(p)
+
+    from ansel_tpu import compile_pipeline
+    from ansel_tpu.pipeline.engine import HistoryItem
+
+    pipe = compile_pipeline(meta, [HistoryItem("filmicrgb", {})])
+    out = pipe.output_array(raw)
+    assert out.shape[0] == 3
+    assert np.isfinite(out).all()
+    assert out.max() > 0.05
 
 
 def test_raf_feeds_xtrans_pipeline(tmp_path):
