@@ -1,30 +1,40 @@
 """finalscale — resample the processed image to the export size.
 
-Reference: hidden plumbing module `/root/reference/src/iop/finalscale.c` +
-the resamplers in `src/pixel/interpolation.c` (bilinear/bicubic/lanczos2/
-lanczos3; lanczos3 is the quality default).  TPU form: jax.image.resize —
-XLA lowers lanczos3 separably onto the convolution path.
+Reference: hidden plumbing module `/root/reference/src/iop/finalscale.c`
++ the resamplers in `src/pixel/interpolation.c` (bilinear / bicubic
+Catmull-Rom -0.5 / Mitchell-Netravali, default Mitchell —
+interpolation.h:40-46).  TPU form: per-axis dense resampling matrices
+contracted on the MXU (pixel/resample.py), matching the reference's tap
+formulas and up/downsampling norms exactly.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
 from ..core.params import cfield, params
 from ..core.types import ImageSpec
+from ..pixel.resample import METHODS, apply_resample, resample_coeffs
 from .base import Op, OpPlan, PlanContext, register
 
 
-@params(op="finalscale", version=1)
+@params(op="finalscale", version=2)
 @dataclasses.dataclass
 class FinalScaleParams:
-    # no user params in the reference; method here for future styles
-    method: int = cfield("i", 0)  # 0=lanczos3, 1=cubic, 2=linear
+    # no user params in the reference; the method mirrors the
+    # "plugins/lighttable/export/pixel_interpolator" pref
+    method: int = cfield("i", 2)  # 0=bilinear, 1=bicubic, 2=mitchell
 
-_METHODS = {0: "lanczos3", 1: "cubic", 2: "linear"}
+    @classmethod
+    def from_legacy(cls, version, raw):
+        import struct
+
+        if version == 1:  # v1: 0=lanczos3, 1=cubic, 2=linear
+            (m,) = struct.unpack("<i", raw[:4])
+            return cls(method={0: 2, 1: 1, 2: 0}.get(m, 2))
+        return None
 
 
 @register
@@ -41,16 +51,23 @@ class FinalScale(Op):
         w = max(1, int(round(spec_in.width * ctx.scale)))
         h = max(1, int(round(spec_in.height * ctx.scale)))
         spec_out = spec_in.with_size(w, h)
-        return OpPlan(spec_in=spec_in, spec_out=spec_out,
-                      static=_METHODS.get(p.method, "lanczos3"))
+        method = METHODS[p.method] if 0 <= p.method < len(METHODS) \
+            else "mitchell"
+        return OpPlan(spec_in=spec_in, spec_out=spec_out, static=method)
+
+    def coeffs(self, ctx: PlanContext, plan: OpPlan, p):
+        if plan.static is None:
+            return {}
+        si, so = plan.spec_in, plan.spec_out
+        return resample_coeffs(plan.static, si.height, si.width,
+                               so.height, so.width)
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         if plan.static is None:
             return x
         si, so = plan.spec_in, plan.spec_out
         v = x[..., : si.height, : si.width]
-        out = jax.image.resize(v, x.shape[:-2] + (so.height, so.width),
-                               method=plan.static)
+        out = apply_resample(v, c["rs_mh"], c["rs_mw"])
         pad = [(0, 0)] * (out.ndim - 2) + [
             (0, so.pad_h - so.height), (0, so.pad_w - so.width)]
         return jnp.pad(out, pad, mode="edge")
