@@ -7,8 +7,10 @@ highlights/lch.c:316-410), INPAINT (directional ratio-decay color
 inpainting, highlights/inpaint.c — exact, associative-scan form),
 guided-LAPLACIAN (highlights/laplacian.c via
 kernels/highlights_laplacian.py — 1/4-res wavelet guided fit + ratio
-diffusion); HARMONIC (segmentation dome solver) rides the same
-reconstruction (documented substitution).
+diffusion); HARMONIC (highlights/segmentation.c + dome.c + region.c) =
+the guided-laplacian pass plus the segmentation path's all-clip joint
+core — a biharmonic luminance dome x diffused chromaticity solved as a
+global masked multi-level system (kernels/highlights_harmonic.py).
 """
 
 from __future__ import annotations
@@ -120,13 +122,21 @@ class Highlights(Op):
             return self._inpaint(x, c, spec, ctx)
         if (mode in (MODE_LAPLACIAN, MODE_HARMONIC)
                 and is_mosaic and spec.cfa is not CFAPattern.XTRANS):
-            # guided-laplacian reconstruction; HARMONIC (segmentation
-            # dome solver) rides the same wavelet reconstruction
             from ..kernels import highlights_laplacian as hl
 
-            return hl.laplacian_reconstruct(
+            rec = hl.laplacian_reconstruct(
                 x, c["clips"], spec.cfa, scales_p, iters, noise_lv,
                 solid, zoom=max(ctx.scale, 1e-6))
+            if mode == MODE_HARMONIC:
+                # segmentation path's all-clip joint core: biharmonic
+                # luminance dome x diffused chroma on the fully-clipped
+                # holes (highlights/segmentation.c + dome.c + region.c
+                # steps 7-8; TPU-native masked multi-level solve — see
+                # kernels/highlights_harmonic.py)
+                from ..kernels import highlights_harmonic as hh
+
+                rec = hh.harmonic_dome_core(x, rec, c["clips"], spec.cfa)
+            return rec
         if mode == MODE_LCH and is_mosaic \
                 and spec.cfa is not CFAPattern.XTRANS:
             return self._lch_bayer(x, clip, spec)
