@@ -61,15 +61,13 @@ class BatchPipeline:
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
+        from ..core import conf as conf_mod
+
         self.pipe = Pipeline(meta, history, forms=forms)
         self.mesh = mesh
         assert mesh.shape.get("sp", 1) == 1, \
             "BatchPipeline shards over dp only; build the mesh spatial=1"
         self._coeffs = self.pipe.coeffs()
-        run = self.pipe.trace_fn()
-
-        def per_device(xs, coeffs):
-            return jax.lax.map(lambda x: run(x, coeffs), xs)
 
         import inspect
 
@@ -82,12 +80,43 @@ class BatchPipeline:
             kw["check_vma"] = False
         elif "check_rep" in sig:
             kw["check_rep"] = False
-        self._fn = jax.jit(shard_map(
-            per_device, mesh=mesh,
-            in_specs=(P("dp"), P()),
-            out_specs=P("dp"),
-            **kw,
-        ))
+
+        # segmented compile, exactly like the single-chip CompiledPipe:
+        # a ~60-module sidecar as ONE monolithic XLA program exhausts
+        # the compiler; each segment is its own shard_mapped jit, with
+        # the raster-mask/rawdetail carry flowing between them as
+        # dp-sharded arrays.
+        max_per = conf_mod.get_int("pipe.max_stages_per_jit", 12)
+        stages = self.pipe.stages
+        weights = [getattr(s.op, "compile_weight", 1) for s in stages]
+        if 0 < max_per < sum(weights):
+            bounds = []
+            a, acc = 0, 0
+            for i, wt in enumerate(weights):
+                if acc and acc + wt > max_per:
+                    bounds.append((a, i))
+                    a, acc = i, 0
+                acc += wt
+            bounds.append((a, len(stages)))
+        else:
+            bounds = [(0, len(stages))]
+        self._bounds = bounds
+
+        def mk_seg(a, b):
+            seg = self.pipe.trace_fn(a, b, segmented=True)
+
+            def per_device(xs, coeffs, carry):
+                return jax.lax.map(
+                    lambda xc: seg(xc[0], coeffs, xc[1]), (xs, carry))
+
+            return jax.jit(shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P("dp"), P(), P("dp")),
+                out_specs=(P("dp"), P("dp")),
+                **kw,
+            ))
+
+        self._seg_fns = [mk_seg(a, b) for a, b in bounds]
 
     def __call__(self, raw_batch: np.ndarray) -> jax.Array:
         """raw_batch: (B, H, W) mosaics in sensor units (padded or not).
@@ -97,11 +126,14 @@ class BatchPipeline:
             raw_batch = np.stack(
                 [ops_base.pad_to(r, spec) for r in raw_batch]
             )
-        dev = jax.device_put(
+        x = jax.device_put(
             jnp.asarray(raw_batch),
             NamedSharding(self.mesh, P("dp", None, None)),
         )
-        return self._fn(dev, self._coeffs)
+        carry = ({}, None)
+        for (a, b), f in zip(self._bounds, self._seg_fns):
+            x, carry = f(x, self._coeffs[a:b], carry)
+        return x
 
 
 def spatial_sharded_pipe(meta: RawMeta, history: List[HistoryItem],
