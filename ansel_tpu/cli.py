@@ -18,6 +18,22 @@ import time
 
 
 def main(argv=None):
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] == "--ingest-lensfun":
+        # maintenance mode: install a full upstream lensfun database so
+        # lens correction uses measured calibrations instead of the
+        # bundled approximate snapshot (io/lensfun.ingest_db)
+        from .io.lensfun import ingest_db
+
+        src = argv[1] if len(argv) > 1 else ""
+        if not src:
+            print("usage: ansel-tpu-cli --ingest-lensfun "
+                  "<dir-or-tarball> [dest]", file=sys.stderr)
+            return 2
+        ncam, nlens = ingest_db(src, argv[2] if len(argv) > 2 else None)
+        print(f"ingested lensfun db: {ncam} cameras, {nlens} lenses")
+        return 0
+
     ap = argparse.ArgumentParser(prog="ansel-tpu-cli")
     ap.add_argument("input")
     ap.add_argument("xmp", nargs="?", default=None)

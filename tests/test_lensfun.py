@@ -104,3 +104,51 @@ def test_resolved_lens_stage_warps(monkeypatch):
         jax.numpy.asarray, c), plan, ctx))
     assert np.isfinite(y).all()
     assert np.abs(y - x).max() > 1e-3  # pixels moved / gained
+
+
+def test_ingest_db_changes_resolution(tmp_path, monkeypatch):
+    """io/lensfun.ingest_db: validate/copy an upstream-style db directory,
+    point conf lensfun/dbpath at it, and prove a real db MEASURABLY
+    changes the resolved warp vs the bundled approximate snapshot
+    (VERDICT r3 #8)."""
+    from ansel_tpu.core import conf
+    from ansel_tpu.io import lensfun as lf
+
+    # baseline resolution from the bundled snapshot
+    base = lf.resolve("Canon EOS 40D",
+                      "Canon EF 100mm f/2.8L Macro IS USM",
+                      focal=100.0, aperture=5.6)
+    assert base.found_lens and base.have_distortion
+
+    # an "upstream" db with a different measured ptlens calibration
+    src = tmp_path / "checkout" / "data" / "db"
+    src.mkdir(parents=True)
+    (src / "slr-canon.xml").write_text("""<lensdatabase>
+ <camera><maker>Canon</maker><model>Canon EOS 40D</model>
+  <mount>Canon EF</mount><cropfactor>1.6</cropfactor></camera>
+ <lens><maker>Canon</maker>
+  <model>Canon EF 100mm f/2.8L Macro IS USM</model>
+  <mount>Canon EF</mount><cropfactor>1.0</cropfactor>
+  <calibration>
+   <distortion model="ptlens" focal="100" a="0.03" b="-0.09" c="0.05"/>
+  </calibration></lens>
+</lensdatabase>""")
+    (src / "broken.xml").write_text("<lensdatabase><unclosed>")
+
+    dest = tmp_path / "ingested"
+    ncam, nlens = lf.ingest_db(str(tmp_path / "checkout"), str(dest))
+    assert ncam == 1 and nlens == 1
+    assert (dest / "slr-canon.xml").exists()
+    assert not (dest / "broken.xml").exists()
+    assert conf.get("lensfun/dbpath") == str(dest)
+
+    try:
+        new = lf.resolve("Canon EOS 40D",
+                         "Canon EF 100mm f/2.8L Macro IS USM",
+                         focal=100.0, aperture=5.6)
+        assert new.found_lens and new.have_distortion
+        assert new.dist == (0.03, -0.09, 0.05)
+        assert tuple(new.dist) != tuple(base.dist)
+    finally:
+        conf.set("lensfun/dbpath", "")
+        lf.load_db.cache_clear()
