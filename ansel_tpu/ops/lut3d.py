@@ -39,7 +39,9 @@ class Lut3DParams:
     colorspace: int = cfield("i", CS_SRGB)
     interpolation: int = cfield("i", INTERP_TETRAHEDRAL)
     nb_keypoints: int = cfield("i", 0)
-    c_clut: str = cfield("s:12288", "")
+    # raw bytes: inline compressed-CLUT keypoints (lut3d.c:106 c_clut,
+    # 2048 keypoints x 6 uchars), expanded by io/gmz.decompress_clut
+    c_clut: bytes = cfield("raw:12288", b"")
     lutname: str = cfield("s:128", "")
 
 
@@ -60,7 +62,7 @@ class Lut3DParams:
             v = struct.unpack("<512s3i12288s", raw[:12812])
             return cls(filepath=cut(v[0]), colorspace=v[1],
                        interpolation=v[2], nb_keypoints=v[3],
-                       c_clut=cut(v[4]))
+                       c_clut=v[4])
         return None
 
 
@@ -125,15 +127,39 @@ class Lut3D(Op):
         path = path.rstrip("\0")
         clut = None
         level = 0
-        if path:
+        if p.nb_keypoints > 0:
+            # compressed G'MIC CLUT: keypoints travel inline in the
+            # params blob; expand exactly like the reference's
+            # calculate_clut_compressed (lut3d.c:245-276 via
+            # lut3dgmic.cpp) — no file access needed for replay
+            from ..io.gmz import clut_from_params
+
+            c_raw = (p.c_clut if isinstance(p.c_clut, (bytes, bytearray))
+                     else str(p.c_clut).encode("latin-1", "replace"))
+            clut = clut_from_params(c_raw, p.nb_keypoints)
+            if clut is not None:
+                level = clut.shape[0]
+        if clut is None and path:
             import os
             if not os.path.isabs(path):
                 path = os.path.join(
                     os.environ.get("ANSEL_TPU_LUT_ROOT", ""), path)
             try:
-                from ..io.lut3d_file import load_lut3d
-                clut = load_lut3d(path)
-                level = clut.shape[0]
+                if path.lower().endswith(".gmz"):
+                    # .gmz archive: pick the named LUT (or the first)
+                    from ..io.gmz import decompress_clut, read_gmz
+
+                    luts = read_gmz(path)
+                    want = (p.lutname or "").rstrip("\0")
+                    kp = next((k for n, k in luts if n == want),
+                              luts[0][1] if luts else None)
+                    if kp is not None:
+                        clut = decompress_clut(kp)
+                else:
+                    from ..io.lut3d_file import load_lut3d
+                    clut = load_lut3d(path)
+                if clut is not None:
+                    level = clut.shape[0]
             except (OSError, ValueError):
                 clut = None  # missing/bad file -> identity (like a missing
                 # lut folder in the reference)
