@@ -13,9 +13,9 @@ Pallas kernels in `ansel_tpu.kernels`:
   * LMMSE    — Bayer LMMSE (kernels/lmmse.py)
   * VNG4     — variable-number-of-gradients (kernels/vng.py)
   * Markesteijn 1/3-pass — X-Trans (kernels/markesteijn*.py)
+  * AMaZE    — full 12-stage implementation (kernels/amaze.py)
   * DUAL     — RCD/VNG4 blend by local gradient
-Passthrough modes supported.  AMaZE aliases to RCD (documented design
-choice, docs/PARITY.md).
+Passthrough modes supported.
 """
 
 from __future__ import annotations
@@ -242,9 +242,14 @@ class Demosaic(Op):
             from ..kernels import vng
 
             return vng.vng4_demosaic(x, cfa)
-        # RCD is the quality default; AMaZE aliases to it (SURVEY.md §7:
-        # AMaZE's role is covered by RCD + LMMSE on this build)
-        if method in (RCD, AMAZE):
+        if method == AMAZE:
+            # full AMaZE (amaze.cc:181-1417) as whole-image masked
+            # shifted-view XLA — beats RCD by ~5 dB on aliasing-prone
+            # diagonal texture (tests/test_substitution_bounds.py)
+            from ..kernels import amaze
+
+            return amaze.amaze_demosaic(x, cfa, c["scaler"])
+        if method == RCD:
             import jax
 
             if jax.default_backend() == "tpu":
