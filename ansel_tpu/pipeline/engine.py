@@ -344,11 +344,40 @@ class Pipeline:
             win_out = tuple(win)
             proper = win_out != full_out
             r = None
+            use_out = win_out
             if not proper or s.blend is None:
-                # blends rasterize masks / read the raster side-band in
-                # frame coordinates — windowing them needs org-aware
-                # rasterization (future); full-frame requests pass
                 r = s.op.roi_in(s.plan, self.ctx, win_out)
+            else:
+                # blend-aware windowing: drawn masks rasterize org-aware
+                # (masks.rasterize origin=), parametric masks are
+                # pixel-local.  Only the side-band consumers — RASTER
+                # sources and the details slider (demosaic rawdetail
+                # plane) — still force the full frame (their producer
+                # buffers carry a different window's geometry).  The
+                # mask post-feather/blur has spatial support: grow the
+                # requested window by it before asking the op.
+                from . import blend as blend_mod
+
+                bp = s.blend
+                windowable = (not (bp.mask_mode & blend_mod.MASK_RASTER)
+                              and abs(bp.details) <= 1e-6)
+                if windowable:
+                    grow = 0
+                    if bp.feathering_radius > 0.1:
+                        grow += max(1, int(bp.feathering_radius))
+                    if bp.blur_radius > 0.1:
+                        grow += int(3.0 * bp.blur_radius + 1.0)
+                    y0 = max(0, win_out[0] - grow)
+                    x0 = max(0, win_out[1] - grow)
+                    y1 = min(so.height, win_out[0] + win_out[2] + grow)
+                    x1 = min(so.width, win_out[1] + win_out[3] + grow)
+                    gwin = (y0, x0, y1 - y0, x1 - x0)
+                    # the stage computes the GROWN output window (the
+                    # feather/blur sees its full support); the consumer
+                    # slices it back down via _rewindow
+                    r = s.op.roi_in(s.plan, self.ctx, gwin)
+                    if r is not None:
+                        use_out = gwin
             if r is None:
                 # boundary: this stage computes the full frame; the
                 # engine slices between it and its windowed consumer
@@ -357,7 +386,7 @@ class Pipeline:
             else:
                 if tuple(r) != full_in:
                     any_proper = True
-                wins[i] = (tuple(r), win_out)
+                wins[i] = (tuple(r), use_out)
                 win = r
         return wins if any_proper else None
 
@@ -547,10 +576,15 @@ class Pipeline:
                         from . import masks as masks_mod
 
                         spec = s.plan.spec_out
+                        # normalized shape coords refer to the FULL
+                        # frame; a windowed stage rasterizes its grid
+                        # at the window's origin (blend-aware ROI)
                         drawn = masks_mod.rasterize(
                             s.blend_form, forms,
                             spec.array_shape[-2], spec.array_shape[-1],
-                            norm_h=spec.height, norm_w=spec.width)
+                            norm_h=spec.full_h or spec.height,
+                            norm_w=spec.full_w or spec.width,
+                            origin=(spec.org_y, spec.org_x))
                     if s.plan.spec_out.colorspace is Colorspace.RAW:
                         # RAW blend colorspace: drawn mask + opacity only
                         # (blendif_raw.c)

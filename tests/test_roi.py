@@ -92,3 +92,79 @@ def test_no_crop_pipeline_unchanged():
     assert not pipe.windowed
     out = _run(pipe, raw)
     assert np.isfinite(out).all()
+
+
+def _blend_params(**kw):
+    from ansel_tpu.pipeline import blend as bm
+
+    base = dict(mask_mode=bm.MASK_ENABLED, blend_cst=0, blend_mode=0,
+                blend_parameter=0.0, opacity=70.0)
+    base.update(kw)
+    return bm.BlendParams(**base)
+
+
+def test_blended_stage_windows_and_matches():
+    """Blend-aware backward ROI (VERDICT r3 #6): a stage with an active
+    drawn-mask + feathered blend no longer forces full-frame upstream,
+    and the windowed pixels equal the full render's window."""
+    from ansel_tpu.pipeline import masks as mm
+
+    raw, meta, _ = synth_raw(h=320, w=512)
+    # a drawn circle mask (normalized coords) on exposure
+    form = mm.Form(id=7, type=mm.MASK_CIRCLE,
+                   nodes=[(0.5, 0.5, 0.22, 0.08)])
+    forms = {7: form}
+    hist = [
+        HistoryItem("demosaic", {"demosaicing_method": 5}),
+        HistoryItem("exposure", {"exposure": 0.9},
+                    blend_params=_blend_params(
+                        mask_mode=3,  # ENABLED | SHAPE
+                        mask_id=7, feathering_radius=4.0,
+                        blur_radius=2.0)),
+        HistoryItem("filmicrgb", {}),
+    ]
+    win = (96, 128, 120, 256)
+    pipe_w = Pipeline(meta, hist, forms=forms, out_window=win)
+    pipe_f = Pipeline(meta, hist, forms=forms, roi=False)
+    assert pipe_w.windowed
+    by_name = {s.name: s for s in pipe_w.stages}
+    # the blended exposure stage must be windowed, and demosaic above it
+    assert by_name["exposure"].plan.spec_in.is_window
+    assert by_name["demosaic"].plan.spec_in.is_window
+    out_w = _run(pipe_w, raw)
+    out_f = _run(pipe_f, raw)
+    y0, x0, h, w = win
+    ref = out_f[:, y0:y0 + h, x0:x0 + w]
+    assert out_w.shape == ref.shape
+    assert np.abs(out_w - ref).max() < 1e-5
+
+
+def test_raster_consumer_still_full_frame():
+    """A RASTER-source blend must keep forcing full-frame upstream
+    (side-band buffers carry the producer's window geometry)."""
+    from ansel_tpu.pipeline import blend as bm
+    from ansel_tpu.pipeline import masks as mm
+
+    raw, meta, _ = synth_raw(h=192, w=256)
+    form = mm.Form(id=3, type=mm.MASK_CIRCLE,
+                   nodes=[(0.5, 0.5, 0.3, 0.1)])
+    forms = {3: form}
+    hist = [
+        HistoryItem("demosaic", {"demosaicing_method": 5}),
+        HistoryItem("exposure", {"exposure": 0.5},
+                    blend_params=_blend_params(mask_mode=3, mask_id=3)),
+        HistoryItem("clipping", {"cx": 0.25, "cy": 0.25, "cw": 0.75,
+                                 "ch": 0.75}),
+        HistoryItem("vibrance", {},
+                    blend_params=_blend_params(
+                        mask_mode=bm.MASK_ENABLED | bm.MASK_RASTER,
+                        raster_mask_source="exposure")),
+        HistoryItem("filmicrgb", {}),
+    ]
+    pipe = Pipeline(meta, hist, forms=forms)
+    by_name = {s.name: s for s in pipe.stages}
+    # the raster consumer and everything upstream stays full-frame
+    assert not by_name["vibrance"].plan.spec_in.is_window
+    assert not by_name["exposure"].plan.spec_in.is_window
+    out = _run(pipe, raw)
+    assert np.isfinite(out).all()
