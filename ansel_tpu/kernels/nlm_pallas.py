@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 64
+from ..pixel.fastmath import dt_fast_mexp2f
+
+TILE_H = 64             # default; see nlm_pallas(tile_h=, tile_w=)
 TILE_W = 512
 BORDER_W = 128          # lane-aligned halo; max |dx| + P must fit
 
@@ -36,12 +38,12 @@ def _round_up(v, m):
 
 
 def _kernel(consts_ref, off_ref, hbm_ref, o0_ref, o1_ref, o2_ref, tile,
-            sem, *, n_off, P, variant, bh, bw):
+            sem, *, n_off, P, variant, bh, bw, th, tw):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    buf_h, buf_w = TILE_H + 2 * bh, TILE_W + 2 * bw
+    buf_h, buf_w = th + 2 * bh, tw + 2 * bw
     copy = pltpu.make_async_copy(
-        hbm_ref.at[:, pl.ds(i * TILE_H, buf_h), pl.ds(j * TILE_W, buf_w)],
+        hbm_ref.at[:, pl.ds(i * th, buf_h), pl.ds(j * tw, buf_w)],
         tile, sem)
     copy.start()
     copy.wait()
@@ -52,11 +54,11 @@ def _kernel(consts_ref, off_ref, hbm_ref, o0_ref, o1_ref, o2_ref, tile,
     norm = (consts_ref[3], consts_ref[4], consts_ref[5])
 
     # center crop used for the SSD (tile + P ring)
-    ch, cw_ = TILE_H + 2 * P, TILE_W + 2 * P
+    ch, cw_ = th + 2 * P, tw + 2 * P
     cs = (slice(bh - P, bh - P + ch), slice(bw - P, bw - P + cw_))
     c0, c1, c2 = x0[cs], x1[cs], x2[cs]
-    ts = (slice(P, P + TILE_H), slice(P, P + TILE_W))
-    ks = (slice(bh, bh + TILE_H), slice(bw, bw + TILE_W))
+    ts = (slice(P, P + th), slice(P, P + tw))
+    ks = (slice(bh, bh + th), slice(bw, bw + tw))
 
     # fori_loop with SMEM offsets + dynamic rolls: a fully unrolled
     # offset loop (up to 225 stamps) blows the kernel's scoped-VMEM
@@ -74,21 +76,21 @@ def _kernel(consts_ref, off_ref, hbm_ref, o0_ref, o1_ref, o2_ref, tile,
         # patch sum, separable static slices (2P+1 taps per axis)
         r = None
         for a in range(2 * P + 1):
-            t = d2[a:a + TILE_H, :]
+            t = d2[a:a + th, :]
             r = t if r is None else r + t
         ssd = None
         for b in range(2 * P + 1):
-            t = r[:, b:b + TILE_W]
+            t = r[:, b:b + tw]
             ssd = t if ssd is None else ssd + t
         if variant == 0:      # iop nlmeans (nlmeans_core.c:405)
-            w = jnp.exp2(-ssd * sharp)
+            w = dt_fast_mexp2f(ssd * sharp)   # gh() = dt_fast_mexp2f
         else:                 # denoiseprofile (nlmeans_core.c:417-423)
             dis = (ssd + d2[ts] * cp_norm) * inv1cw
-            w = jnp.exp2(-jnp.maximum(0.0, dis * sharp - 2.0))
+            w = dt_fast_mexp2f(jnp.maximum(0.0, dis * sharp - 2.0))
         return (acc0 + s0[ks] * w, acc1 + s1[ks] * w,
                 acc2 + s2[ks] * w, wsum + w)
 
-    z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    z = jnp.zeros((th, tw), jnp.float32)
     acc0, acc1, acc2, wsum = jax.lax.fori_loop(
         0, n_off, body, (z, z, z, z))
     inv = 1.0 / jnp.maximum(wsum, 1e-12)
@@ -98,7 +100,7 @@ def _kernel(consts_ref, off_ref, hbm_ref, o0_ref, o1_ref, o2_ref, tile,
 
 
 def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
-                    tile, sem, *, groups, P, variant, bh, bw):
+                    tile, sem, *, groups, P, variant, bh, bw, th, tw):
     """Offsets grouped by their static dx: per group ONE static lane-shifted
     view of each channel is hoisted, then a fori_loop walks that group's dy
     list (SMEM) with ONE dynamic SUBLANE roll per channel — Mosaic rejects
@@ -115,9 +117,9 @@ def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    buf_h, buf_w = TILE_H + 2 * bh, TILE_W + 2 * bw
+    buf_h, buf_w = th + 2 * bh, tw + 2 * bw
     copy = pltpu.make_async_copy(
-        hbm_ref.at[:, pl.ds(i * TILE_H, buf_h), pl.ds(j * TILE_W, buf_w)],
+        hbm_ref.at[:, pl.ds(i * th, buf_h), pl.ds(j * tw, buf_w)],
         tile, sem)
     copy.start()
     copy.wait()
@@ -127,12 +129,12 @@ def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
     inv1cw = consts_ref[2]
     norm = (consts_ref[3], consts_ref[4], consts_ref[5])
 
-    ch, cw_ = TILE_H + 2 * P, TILE_W + 2 * P
+    ch, cw_ = th + 2 * P, tw + 2 * P
     c0 = x0[bh - P:bh - P + ch, bw - P:bw - P + cw_]
     c1 = x1[bh - P:bh - P + ch, bw - P:bw - P + cw_]
     c2 = x2[bh - P:bh - P + ch, bw - P:bw - P + cw_]
 
-    z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    z = jnp.zeros((th, tw), jnp.float32)
     carry = (z, z, z, z)
     rs = slice(bh - P, bh - P + ch)
     for dx, start, count in groups:
@@ -153,21 +155,21 @@ def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
                   + norm[2] * (c2 - s2) ** 2)
             r = None
             for a in range(2 * P + 1):
-                t = d2[a:a + TILE_H, :]
+                t = d2[a:a + th, :]
                 r = t if r is None else r + t
             ssd = None
             for b in range(2 * P + 1):
-                t = r[:, b:b + TILE_W]
+                t = r[:, b:b + tw]
                 ssd = t if ssd is None else ssd + t
             if variant == 0:
-                w = jnp.exp2(-ssd * sharp)
+                w = dt_fast_mexp2f(ssd * sharp)   # gh(), bit-exact
             else:
-                dis = (ssd + d2[P:P + TILE_H, P:P + TILE_W] * cp_norm) \
+                dis = (ssd + d2[P:P + th, P:P + tw] * cp_norm) \
                     * inv1cw
-                w = jnp.exp2(-jnp.maximum(0.0, dis * sharp - 2.0))
-            return (acc0 + s0[P:P + TILE_H, P:P + TILE_W] * w,
-                    acc1 + s1[P:P + TILE_H, P:P + TILE_W] * w,
-                    acc2 + s2[P:P + TILE_H, P:P + TILE_W] * w,
+                w = dt_fast_mexp2f(jnp.maximum(0.0, dis * sharp - 2.0))
+            return (acc0 + s0[P:P + th, P:P + tw] * w,
+                    acc1 + s1[P:P + th, P:P + tw] * w,
+                    acc2 + s2[P:P + th, P:P + tw] * w,
                     wsum + w)
 
         carry = jax.lax.fori_loop(0, count, body, carry)
@@ -179,21 +181,30 @@ def _kernel_grouped(consts_ref, dys_ref, hbm_ref, o0_ref, o1_ref, o2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "offsets", "P", "variant", "interpret", "static_unroll"))
+    "offsets", "P", "variant", "interpret", "static_unroll",
+    "tile_h", "tile_w"))
 def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
                variant: int, interpret: bool = False,
-               static_unroll: bool = True):
+               static_unroll: bool = True, tile_h: int = 128,
+               tile_w: int = 512):
     """img (3, H, W); offsets: static tuple of (dy, dx); P: patch radius;
     norm: per-channel SSD weights (traced ok); sharpness/cp_norm/inv1cw:
-    traced scalars.  -> weighted patch average (3, H, W)."""
+    traced scalars.  -> weighted patch average (3, H, W).
+
+    tile_h/tile_w: output block.  128x512 is the measured sweet spot at
+    24MP on a v5e chip: bigger tiles cut the halo fraction but 256x512
+    (and 128x1024 at P=2) exceed the 16MB scoped-VMEM limit — the cost
+    is dominated by the per-offset center math anyway, so the tile
+    choice moves the total only a few percent."""
     _, h, w = img.shape
+    th, tw = tile_h, tile_w
     m = max((max(abs(o[0]), abs(o[1])) for o in offsets), default=0)
     bh = _round_up(m + P, 8)
     bw = BORDER_W
     assert m + P <= bw, (m, P)
-    nh, nw = -(-h // TILE_H), -(-w // TILE_W)
-    pad_b = nh * TILE_H + 2 * bh - (h + bh)
-    pad_r = nw * TILE_W + 2 * bw - (w + bw)
+    nh, nw = -(-h // th), -(-w // tw)
+    pad_b = nh * th + 2 * bh - (h + bh)
+    pad_r = nw * tw + 2 * bw - (w + bw)
     xp = jnp.pad(img, ((0, 0), (bh, pad_b), (bw, pad_r)), mode="edge")
     nrm = jnp.ravel(jnp.asarray(norm, jnp.float32))[:3]
     consts = jnp.concatenate([
@@ -202,12 +213,12 @@ def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
                    jnp.asarray(inv1cw, jnp.float32)]), nrm])
     off = jnp.asarray(list(offsets), jnp.int32).reshape(len(offsets), 2)
 
-    out_shape = [jax.ShapeDtypeStruct((nh * TILE_H, nw * TILE_W),
+    out_shape = [jax.ShapeDtypeStruct((nh * th, nw * tw),
                                       jnp.float32)] * 3
-    out_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     scratch = [
-        pltpu.VMEM((3, TILE_H + 2 * bh, TILE_W + 2 * bw), jnp.float32),
+        pltpu.VMEM((3, th + 2 * bh, tw + 2 * bw), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     if static_unroll:
@@ -220,7 +231,8 @@ def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
             flat.extend(sorted(by_dx[dx]))
         dys = jnp.asarray(flat, jnp.int32)
         kern = functools.partial(_kernel_grouped, groups=tuple(groups),
-                                 P=P, variant=variant, bh=bh, bw=bw)
+                                 P=P, variant=variant, bh=bh, bw=bw,
+                                 th=th, tw=tw)
         o0, o1, o2 = pl.pallas_call(
             kern,
             grid=(nh, nw),
@@ -234,7 +246,7 @@ def nlm_pallas(img, offsets, P: int, norm, sharpness, cp_norm, inv1cw,
         )(consts, dys, xp)
         return jnp.stack([o0[:h, :w], o1[:h, :w], o2[:h, :w]])
     kern = functools.partial(_kernel, n_off=len(offsets), P=P,
-                             variant=variant, bh=bh, bw=bw)
+                             variant=variant, bh=bh, bw=bw, th=th, tw=tw)
     o0, o1, o2 = pl.pallas_call(
         kern,
         grid=(nh, nw),

@@ -88,11 +88,13 @@ def nlmeans(img: jnp.ndarray, patch_radius: int, search_radius: int,
             pad, (0, m + o[0], m + o[1]), (img.shape[0], H, W))
         d2 = jnp.sum(norm * (img - sh) ** 2, axis=0)
         ssd = _patch_sum(d2, patch_radius)
+        from .fastmath import dt_fast_mexp2f
+
         if center_weight < 0.0:
-            w = jnp.exp2(-ssd * sharpness)
+            w = dt_fast_mexp2f(ssd * sharpness)   # gh(), bit-exact
         else:
             dis = (ssd + d2 * cp_norm) / (1.0 + center_weight)
-            w = jnp.exp2(-jnp.maximum(0.0, dis * sharpness - 2.0))
+            w = dt_fast_mexp2f(jnp.maximum(0.0, dis * sharpness - 2.0))
         return (acc + sh * w[None], wsum + w), None
 
     init = (jnp.zeros_like(img), jnp.zeros_like(img[0]))

@@ -62,10 +62,10 @@ def eaw_dn_decompose(x: jnp.ndarray, scale: int, inv_sigma2):
     from ..kernels.eaw_pallas import MAX_SCALE, eaw_dn_coarse_pallas
 
     if _jax.default_backend() == "tpu" and scale <= MAX_SCALE:
-        coarse = eaw_dn_coarse_pallas(x, scale, inv_sigma2)
-        detail = x - coarse
+        coarse, detail = eaw_dn_coarse_pallas(x, scale, inv_sigma2)
         return coarse, detail, jnp.sum(detail**2, axis=(1, 2))
 
+    from .fastmath import fast_mexp2f
     from .shifts import PaddedView
 
     d = 1 << scale
@@ -78,7 +78,9 @@ def eaw_dn_decompose(x: jnp.ndarray, scale: int, inv_sigma2):
         for ix in range(5):
             sh = pv.at((iy - 2) * d, (ix - 2) * d)
             dist2 = jnp.sum((sh - x) ** 2, axis=0)
-            wp = jnp.exp2(-jnp.maximum(0.0, dist2 * inv_sigma2 * 0.02 - 9.0))
+            # dn_weight (eaw.c:194): fast_mexp2f, bit-exact
+            wp = fast_mexp2f(
+                jnp.maximum(0.0, dist2 * inv_sigma2 * 0.02 - 9.0))
             w = (k[iy] * k[ix]) * wp
             num = num + w[None] * sh
             den = den + w
@@ -108,9 +110,9 @@ def eaw_decompose_scale(x: jnp.ndarray, scale: int, sharpen):
 
     if (_jax.default_backend() == "tpu" and scale <= MAX_SCALE
             and x.ndim == 3 and x.shape[0] == 3):
-        low = eaw_atrous_coarse_pallas(x, scale, sharpen)
-        return low, x - low
+        return eaw_atrous_coarse_pallas(x, scale, sharpen)
 
+    from .fastmath import dt_fast_expf
     from .shifts import PaddedView
 
     d = 1 << scale
@@ -122,7 +124,12 @@ def eaw_decompose_scale(x: jnp.ndarray, scale: int, sharpen):
     for iy in range(5):
         for ix in range(5):
             sh = pv.at((iy - 2) * d, (ix - 2) * d)
-            wgt = (k[iy] * k[ix]) * jnp.exp(-((sh - x) ** 2) * sharpen)
+            sq = (sh - x) ** 2
+            # weight() (eaw.c:29-42): dt_fast_expf; chroma weight
+            # SHARED from the summed a/b squares
+            w0 = dt_fast_expf(-sharpen * sq[0])
+            wc = dt_fast_expf(-sharpen * (sq[1] + sq[2]))
+            wgt = (k[iy] * k[ix]) * jnp.stack([w0, wc, wc])
             num = num + wgt * sh
             den = den + wgt
     low = num / jnp.maximum(den, 1e-9)

@@ -72,28 +72,29 @@ def main():
         t = arr[(slice(0, 1),) * (arr.ndim - 1) + (slice(0, 8),)]
         np.asarray(t)
 
-    # warm-up pass (compile), keeping intermediate inputs per segment
-    seg_inputs = []
+    # warm-up pass (compile everything once)
     x, carry = x0, ({}, None)
     for (a, b), f in zip(bounds, seg_fns):
-        seg_inputs.append((x, carry))
         x, carry = f(x, coeffs[a:b], carry)
     sync(x)
 
-    # Per-segment: N dispatches back-to-back, ONE sync.  Relay dispatch
-    # latency pipelines under device compute exactly as in bench.py's
-    # loop; a sync per dispatch would bill the relay, not the chip.
-    N = 6
+    # Per-segment, in-stream (inputs NOT retained — retaining all
+    # intermediates OOMs HBM with one-op segments): N dispatches
+    # back-to-back, ONE sync.  Relay dispatch latency pipelines under
+    # device compute exactly as in bench.py's loop.
+    N = int(os.environ.get("PROF_N", "6"))
     rows = []
-    for (a, b), f, (xi, ci) in zip(bounds, seg_fns, seg_inputs):
+    x, carry = x0, ({}, None)
+    for (a, b), f in zip(bounds, seg_fns):
         t0 = time.perf_counter()
         for _ in range(N):
-            y, cy = f(xi, coeffs[a:b], ci)
+            y, cy = f(x, coeffs[a:b], carry)
         sync(y)
         ms = (time.perf_counter() - t0) / N * 1e3
         names = [s.name for s in pipe.stages[a:b]]
         rows.append((ms, a, b, names))
         print(f"[seg {a:2d}:{b:2d}] {ms:8.2f} ms  {names}", flush=True)
+        x, carry = y, cy
 
     total = sum(r[0] for r in rows)
     print(f"[seg TOTAL] {total:8.2f} ms  ({len(bounds)} segments)")

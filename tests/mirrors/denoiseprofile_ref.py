@@ -12,8 +12,9 @@ Transcribed from `/root/reference/src/iop/denoiseprofile.c`:
 and `/root/reference/src/pixel/eaw.c`:
   * dn_weight :181-195, eaw_dn_decompose :242-333, eaw_synthesize :157-175
 
-Documented deviation (shared by the production op): exact exp2 replaces
-dt's fast_mexp2f polynomial in dn_weight, so this mirror validates the
+dn_weight uses the reference's fast_mexp2f bit-trick EXACTLY (the
+reduced-precision float variant, math.h:306-316) — the former
+exact-exp2 deviation is gone; this mirror validates the
 structure of the math, not the C's fast-approx ULPs.
 
 Float64 throughout; vectorized numpy with explicit clamped index arrays
@@ -106,8 +107,14 @@ def conversion_matrices(wb):
 
 def dn_weight2(d2, inv_sigma2):
     """dn_weight with squared color distance d2 (eaw.c:181-195); exact
-    2^-x instead of fast_mexp2f (documented deviation)."""
-    return np.exp2(-np.maximum(0.0, d2 * inv_sigma2 * 0.02 - 9.0))
+    fast_mexp2f (math.h:306-316), bit-exact numpy transcription."""
+    x = np.maximum(0.0, d2 * inv_sigma2 * 0.02 - 9.0).astype(np.float32)
+    i1 = np.float32(float(0x3F800000))
+    i2 = np.float32(float(0x3F000000))
+    k0f = i1 + x * (i2 - i1)
+    k = np.where(k0f >= np.float32(float(0x800000)),
+                 k0f.astype(np.int32), 0).astype(np.int32)
+    return k.view(np.float32)
 
 
 def eaw_dn_decompose(img, scale, inv_sigma2):

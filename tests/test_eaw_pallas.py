@@ -38,7 +38,10 @@ def _dn_xla(x, scale, inv_sigma2):
         for ix in range(5):
             sh = pv.at((iy - 2) * d, (ix - 2) * d)
             dist2 = jnp.sum((sh - x) ** 2, axis=0)
-            wp = jnp.exp2(-jnp.maximum(0.0, dist2 * inv_sigma2 * 0.02 - 9.0))
+            # dn_weight: fast_mexp2f (eaw.c:194), bit-exact
+            from ansel_tpu.pixel.fastmath import fast_mexp2f
+            wp = fast_mexp2f(
+                jnp.maximum(0.0, dist2 * inv_sigma2 * 0.02 - 9.0))
             w = float(k[iy] * k[ix]) * wp
             num = num + w[None] * sh
             den = den + w
@@ -52,6 +55,8 @@ def _atrous_xla(x, scale, sharpen):
     from ansel_tpu.pixel.wavelets import B3
 
     d = 1 << scale
+    from ansel_tpu.pixel.fastmath import dt_fast_expf
+
     k = np.asarray(B3, np.float32)
     num = jnp.zeros_like(x)
     den = jnp.zeros_like(x)
@@ -59,7 +64,11 @@ def _atrous_xla(x, scale, sharpen):
     for iy in range(5):
         for ix in range(5):
             sh = pv.at((iy - 2) * d, (ix - 2) * d)
-            w = float(k[iy] * k[ix]) * jnp.exp(-((sh - x) ** 2) * sharpen)
+            sq = (sh - x) ** 2
+            # eaw.c:29-42 weight(): dt_fast_expf, shared chroma weight
+            w0 = dt_fast_expf(-sharpen * sq[0])
+            wc = dt_fast_expf(-sharpen * (sq[1] + sq[2]))
+            w = float(k[iy] * k[ix]) * jnp.stack([w0, wc, wc])
             num = num + w * sh
             den = den + w
     return num / jnp.maximum(den, 1e-9)
@@ -69,7 +78,10 @@ def _atrous_xla(x, scale, sharpen):
 def test_dn_variant_matches_xla(img, scale):
     inv = 4.0
     ref = np.asarray(_dn_xla(img, scale, inv))
-    out = np.asarray(eaw_dn_coarse_pallas(img, scale, inv, interpret=True))
+    coarse, detail = eaw_dn_coarse_pallas(img, scale, inv, interpret=True)
+    out = np.asarray(coarse)
+    np.testing.assert_allclose(np.asarray(detail), np.asarray(img) - out,
+                               atol=1e-6)
     d = 1 << scale
     m = 2 * d  # interior: the halo ring sees edge-pad vs roll-garbage
     if 2 * m >= min(img.shape[1:]) - 8:
@@ -82,8 +94,11 @@ def test_dn_variant_matches_xla(img, scale):
 def test_atrous_variant_matches_xla(img, scale):
     sharp = 0.0015
     ref = np.asarray(_atrous_xla(img, scale, sharp))
-    out = np.asarray(eaw_atrous_coarse_pallas(img, scale, sharp,
-                                              interpret=True))
+    coarse, detail = eaw_atrous_coarse_pallas(img, scale, sharp,
+                                              interpret=True)
+    out = np.asarray(coarse)
+    np.testing.assert_allclose(np.asarray(detail), np.asarray(img) - out,
+                               atol=1e-6)
     d = 1 << scale
     m = min(2 * d, 60)
     err = np.abs(ref - out)[:, m:-m, m:-m]
