@@ -44,8 +44,9 @@ def main(argv=None):
     ap.add_argument("--bpp", type=int, default=8, choices=(8, 16))
     ap.add_argument("--no-icc", action="store_true")
     ap.add_argument("-d", "--debug", action="append", default=[],
-                    choices=("perf", "nan"),
-                    help="per-stage timing / NaN scan (reference -d flags)")
+                    choices=("perf", "nan", "supervisor"),
+                    help="per-stage timing / NaN scan / lifecycle "
+                         "registry (reference -d flags)")
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -87,9 +88,23 @@ def main(argv=None):
         bad = nan_report(reps)
         if bad:
             print(f"[nan] {bad}", file=sys.stderr)
+    if "supervisor" in args.debug:
+        from .core import conf as conf_mod
+        from .core import supervisor as sup_mod
+
+        conf_mod.set("debug.supervisor", True)
+        sup_mod._ENABLED = True
     t0 = time.perf_counter()
     out = export_image(raw, meta, xmp_path=xmp, output_path=args.output,
                        settings=settings)
+    if "supervisor" in args.debug:
+        from .core import supervisor as sup_mod
+
+        bad = sup_mod.anomalies()
+        print(f"[supervisor] {len(sup_mod.ring())} events, "
+              f"{len(bad)} anomalies", file=sys.stderr)
+        for r in bad[:20]:
+            print(f"[supervisor] {r}", file=sys.stderr)
     if args.verbose:
         print(f"[export] {out.shape[2]}x{out.shape[1]} -> {args.output} "
               f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)

@@ -55,6 +55,9 @@ class MipmapCache:
         key = self._key(path, level)
         buf = self._mem.get(key)
         if buf is not None:
+            from ..core import supervisor as sup
+
+            sup.event("mipmap", "read", f"{key[0]}@{key[1]}")
             self._mem.move_to_end(key)
             self.hits += 1
             return buf
@@ -91,6 +94,9 @@ class MipmapCache:
         return (out * 255.0 + 0.5).astype(np.uint8)
 
     def _put_mem(self, key, buf):
+        from ..core import supervisor as sup
+
+        sup.event("mipmap", "create", f"{key[0]}@{key[1]}")
         self._mem[key] = buf
         self._mem.move_to_end(key)
         while len(self._mem) > self.mem_items:
@@ -103,6 +109,10 @@ class MipmapCache:
                 key = self._key(path, level)
             except OSError:
                 continue
+            if key in self._mem:
+                from ..core import supervisor as sup
+
+                sup.event("mipmap", "dead", f"{key[0]}@{key[1]}")
             self._mem.pop(key, None)
             disk = self._disk_path(key)
             if os.path.exists(disk):

@@ -607,6 +607,12 @@ class Pipeline:
                             key = (src, s.blend.raster_mask_instance)
                             raster = raster_masks.get(
                                 key, raster_masks.get((src, None)))
+                            from ..core import supervisor as sup
+
+                            sup.event(
+                                "raster_mask", "read",
+                                f"{src}|{s.blend.raster_mask_instance}",
+                                links={"consumer": s.name})
                             if raster is None:
                                 # a NAMED source that cannot be resolved
                                 # is a hard error (dt_dev_get_raster_mask
@@ -623,6 +629,11 @@ class Pipeline:
                         a_in, y, s.blend, prm, cst, cmats.WORK_Y,
                         drawn=drawn, raster=raster, rawdetail=rawdetail,
                         return_mask=True)
+                    from ..core import supervisor as sup
+
+                    sup.event("raster_mask", "create",
+                              f"{s.name}|{s.multi_priority}",
+                              links={"stage": s.name})
                     raster_masks[(s.name, s.multi_priority)] = m
                     raster_masks.setdefault((s.name, None), m)
                 else:
@@ -657,11 +668,17 @@ class CompiledPipe:
         from ..core import conf as conf_mod
         from ..core import log as log_mod
 
+        from ..core import supervisor as sup
+
         self.pipe = pipe
         sig = pipe.signature()
+        sig_key = hash(sig) & 0xFFFFFFFFFFFF
         use_cache = conf_mod.get_bool("pipe.compile_cache", True)
         fn = _COMPILE_CACHE.get(sig) if use_cache else None
+        if fn is not None:
+            sup.event("pipe", "read", sig_key, stages=len(pipe.stages))
         if fn is None:
+            sup.event("pipe", "create", sig_key, stages=len(pipe.stages))
             t0 = time.perf_counter()
             # very long histories compile as several chained XLA
             # programs — one monolithic ~60-module program exhausts the
