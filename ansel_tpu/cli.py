@@ -13,12 +13,99 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 
+def _generate_cache(argv):
+    """`ansel-generate-cache` analog (reference
+    src/apps/ansel-generate-cache/main.c:61-140): pre-render mipmap
+    levels for a library's images into the disk-backed thumbnail
+    store.  usage: --generate-cache --library <library.db>
+    [--min-mip 0] [--max-mip 2] [--min-imgid N] [--max-imgid N]
+    [--cache-dir DIR]"""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="ansel-tpu-cli --generate-cache")
+    ap.add_argument("--library", required=True)
+    ap.add_argument("--min-mip", type=int, default=0)
+    ap.add_argument("--max-mip", type=int, default=2)
+    ap.add_argument("--min-imgid", type=int, default=0)
+    ap.add_argument("--max-imgid", type=int, default=1 << 31)
+    ap.add_argument("--cache-dir", default=None)
+    args = ap.parse_args(argv)
+
+    from .library.db import Library
+    from .library.mipmap import LEVEL_SIZES, MipmapCache
+
+    lib = Library(args.library)
+    mc = MipmapCache(cache_dir=args.cache_dir)
+    lo = max(0, args.min_mip)
+    hi = min(args.max_mip, len(LEVEL_SIZES) - 1)
+    n = 0
+    for imgid in lib.images():
+        if not (args.min_imgid <= imgid <= args.max_imgid):
+            continue
+        path = lib.image_path(imgid)
+        xmp = lib.xmp_path(imgid)
+        if not os.path.exists(path):
+            print(f"image {imgid}: missing file {path}, skipped",
+                  file=sys.stderr)
+            continue
+        # large-to-small like the reference (:116): smaller levels
+        # render from already-cached larger ones' pipeline output
+        for level in range(hi, lo - 1, -1):
+            mc.get(path, level,
+                   xmp_path=xmp if os.path.exists(xmp) else None)
+            n += 1
+        print(f"image {imgid}: levels {lo}..{hi} cached")
+    print(f"generated {n} thumbnails "
+          f"(hits {mc.hits}, misses {mc.misses})")
+    return 0
+
+
+def _devtest():
+    """`ansel-cltest` analog (src/apps/ansel-cltest): device/backend
+    diagnostic — discovery, a probe compile, Pallas availability."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
+    for i, d in enumerate(jax.devices()):
+        print(f"  device {i}: {d.device_kind} ({d.platform})")
+    t0 = time.perf_counter()
+    y = jax.jit(lambda x: x * 2.0 + 1.0)(jnp.ones((8, 128)))
+    v = np.asarray(y[0, :2])
+    print(f"probe compile+run: {time.perf_counter() - t0:.2f}s -> {v}")
+    try:
+        from .kernels.pointwise import ConstPack, pallas_pointwise
+
+        pack = ConstPack()
+        vec = pack.pack({"g": np.float32(2.0)}, ["g"])
+        z = pallas_pointwise(
+            lambda b, c: b * pack.get(c, "g"),
+            jnp.ones((3, 64, 512)), vec,
+            interpret=jax.default_backend() != "tpu")
+        np.asarray(z[0, 0, :2])
+        print("pallas pointwise kernel: OK"
+              + ("" if jax.default_backend() == "tpu"
+                 else " (interpret mode)"))
+    except Exception as e:  # pragma: no cover - diagnostic surface
+        print(f"pallas pointwise kernel: FAILED ({e})")
+        return 1
+    return 0
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] == "--generate-cache":
+        return _generate_cache(argv[1:])
+    if argv and argv[0] == "--devtest":
+        return _devtest()
     if argv and argv[0] == "--ingest-lensfun":
         # maintenance mode: install a full upstream lensfun database so
         # lens correction uses measured calibrations instead of the
