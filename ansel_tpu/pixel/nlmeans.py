@@ -33,15 +33,17 @@ def _patch_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def _scatter(scale: float, scattering: float, i1: int, i2: int):
-    """reference scatter(): spread the search lattice without adding
-    patches (nlmeans_core.c:95-110)."""
-    if scattering <= 0.0:
+    """reference scatter() (nlmeans_core.c:94-103): |i1|^3 lattice
+    spreading, the scale factor multiplying the WHOLE expression
+    (including the base offset), C int truncation."""
+    if scattering <= 0.0 and scale == 1.0:
         return i1, i2
 
     def s(a, b):
-        return int(a * abs(a) * scattering / 6.0 * scale
-                   + 7.0 * a * math.sqrt(abs(b)) * scattering / 6.0 * scale
-                   + a)
+        aa, ab = abs(a), abs(b)
+        sg = (a > 0) - (a < 0)
+        return int(scale * ((aa * aa * aa + 7.0 * aa * math.sqrt(ab))
+                            * sg * scattering / 6.0 + a))
 
     return s(i1, i2), s(i2, i1)
 
