@@ -139,10 +139,13 @@ def main(argv=None):
 
     import numpy as np
 
+    from .core import crash
     from .io.rawfile import load_raw
     from .io.synthetic import synth_raw
     from .pipeline.export import ExportSettings, export_image
 
+    crash.install()
+    crash.breadcrumb("image", args.input)
     t0 = time.perf_counter()
     if args.input.startswith("synth:"):
         w, h = (int(v) for v in args.input[6:].split("x"))
@@ -182,8 +185,10 @@ def main(argv=None):
         conf_mod.set("debug.supervisor", True)
         sup_mod._ENABLED = True
     t0 = time.perf_counter()
+    crash.breadcrumb("pipe", "export")
     out = export_image(raw, meta, xmp_path=xmp, output_path=args.output,
                        settings=settings)
+    crash.breadcrumb("pipe", None)
     if "supervisor" in args.debug:
         from .core import supervisor as sup_mod
 

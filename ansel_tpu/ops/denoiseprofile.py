@@ -121,13 +121,16 @@ class DenoiseProfile(Op):
         nlm = p.mode in (MODE_NLMEANS, MODE_NLMEANS_AUTO)
         P = max(0, int(-(-p.radius * min(ctx.scale, 2.0) // 1)))
         K = max(1, int(p.nbhood))
+        # fast pipes skip every other search patch (denoiseprofile's
+        # nlmeans core call; nlmeans.c:440 semantics shared)
+        decimate = ctx.notes.get("pipe_type") in ("preview", "thumbnail")
         # central_pixel_weight / scattering shape the NLM search lattice
         # (python control flow in pixel/nlmeans.py) -> static, not coeffs
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=(max_scale, color_mode, bool(p.use_new_vst),
                               nlm, P, K,
                               round(float(p.central_pixel_weight), 6),
-                              round(float(p.scattering), 6)))
+                              round(float(p.scattering), 6), decimate))
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DenoiseProfileParams):
         max_scale, color_mode = plan.static[0], plan.static[1]
@@ -220,7 +223,7 @@ class DenoiseProfile(Op):
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
         (max_scale, color_mode, use_new_vst, nlm, P, K,
-         center_weight, scattering) = plan.static
+         center_weight, scattering, decimate) = plan.static
         wb = c["wb"].reshape(3, 1, 1)
         pexp = c["p"].reshape(3, 1, 1)
         a, b = c["a"], c["b"]
@@ -235,7 +238,8 @@ class DenoiseProfile(Op):
 
             out = nlm_core(buf, P, K, c["nlm_norm"], [1.0, 1.0, 1.0],
                            center_weight=center_weight,
-                           scattering=scattering, scale=ctx.scale)
+                           scattering=scattering, scale=ctx.scale,
+                           decimate=decimate)
             denom = 4.0 / (sqrt_a * (2.0 - pexp))
             xx = jnp.maximum(out, 0.0)
             delta = xx * xx + c["bias"]

@@ -48,7 +48,10 @@ class NLMeans(Op):
         scale = min(ctx.scale, 2.0)
         P = max(0, int(-(-p.radius * scale // 1)))
         K = int(-(-7 * scale // 1))
-        return OpPlan(spec_in=spec_in, spec_out=spec_in, static=(P, K))
+        # fast pipes skip every other search patch (nlmeans.c:440)
+        decimate = ctx.notes.get("pipe_type") in ("preview", "thumbnail")
+        return OpPlan(spec_in=spec_in, spec_out=spec_in,
+                      static=(P, K, decimate))
 
     def coeffs(self, ctx, plan, p):
         nL, nC = 1.0 / 120.0, 1.0 / 512.0
@@ -57,8 +60,9 @@ class NLMeans(Op):
                 "luma": max(p.luma, 1e-4), "chroma": max(p.chroma, 1e-4)}
 
     def apply(self, x, c, plan: OpPlan, ctx: PlanContext):
-        P, K = plan.static
-        den = nlmeans(x, P, K, c["sharpness"], c["norm"], center_weight=-1.0)
+        P, K, decimate = plan.static
+        den = nlmeans(x, P, K, c["sharpness"], c["norm"],
+                      center_weight=-1.0, decimate=decimate)
         w = jnp.stack([jnp.asarray(c["luma"], x.dtype),
                        jnp.asarray(c["chroma"], x.dtype),
                        jnp.asarray(c["chroma"], x.dtype)]).reshape(3, 1, 1)

@@ -51,13 +51,22 @@ def _scatter(scale: float, scattering: float, i1: int, i2: int):
 def nlmeans(img: jnp.ndarray, patch_radius: int, search_radius: int,
             sharpness, norm, center_weight: float = -1.0,
             scattering: float = 0.0, scale: float = 1.0,
-            force_xla: bool = False) -> jnp.ndarray:
+            decimate: bool = False, force_xla: bool = False) -> jnp.ndarray:
     """(3, H, W) -> (3, H, W) weighted patch average (not yet blended with
-    the input — callers apply luma/chroma blending)."""
+    the input — callers apply luma/chroma blending).
+
+    decimate: skip every other search patch — the reference's
+    fast-preview mode for THUMBNAIL/PREVIEW pipes (nlmeans.c:440,
+    define_patches' `++decimate & 1` alternation)."""
     H, W = img.shape[-2:]
     offsets_py = []
+    dec = 1 if decimate else 0
     for dy in range(-search_radius, search_radius + 1):
         for dx in range(-search_radius, search_radius + 1):
+            if dec:
+                dec += 1
+                if dec & 1:
+                    continue
             offsets_py.append(_scatter(scale, scattering, dy, dx))
     m_off = max((max(abs(a), abs(b)) for a, b in offsets_py), default=0)
 
