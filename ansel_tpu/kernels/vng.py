@@ -213,3 +213,141 @@ def vng4_demosaic(x: jnp.ndarray, cfa: CFAPattern) -> jnp.ndarray:
     # mix the two greens (vng.c:195-199)
     return jnp.maximum(
         jnp.stack([out4[0], 0.5 * (out4[1] + out4[3]), out4[2]]), 0.0)
+
+
+# ----------------------------------------------------------- X-Trans VNG
+
+@functools.lru_cache(maxsize=None)
+def _xtrans_class_tables(xtrans: tuple):
+    """36 (row%6, col%6) classes for the 6x6 X-Trans pattern — the same
+    vng.c:90-129 precompute with fcol() reading the pattern (prow=pcol=6,
+    colors=3, vng.c:61-63)."""
+    pat = [list(xtrans[r * 6:(r + 1) * 6]) for r in range(6)]
+
+    def fc(row, col):
+        return pat[row % 6][col % 6]
+
+    classes = []
+    for row in range(6):
+        for col in range(6):
+            terms = []
+            for (y1, x1, y2, x2, wt, grads) in _TERMS:
+                color = fc(row + y1, col + x1)
+                if fc(row + y2, col + x2) != color:
+                    continue
+                diag = 2 if (fc(row, col + 1) == color
+                             and fc(row + 1, col) == color) else 1
+                if abs(y1 - y2) == diag and abs(x1 - x2) == diag:
+                    continue
+                gs = tuple(g for g in range(8) if grads & (1 << g))
+                terms.append((color, (y1, x1), (y2, x2), wt, gs))
+            center = fc(row, col)
+            chood = []
+            for (y, x) in _CHOOD:
+                pair = (fc(row + y, col + x) != center
+                        and fc(row + 2 * y, col + 2 * x) == center)
+                chood.append(((y, x), pair))
+            classes.append((row, col, tuple(terms), tuple(chood), center))
+    return classes
+
+
+def xtrans_lin_interpolate(x: jnp.ndarray, xtrans: tuple):
+    """Bilinear 3-color fill over the 6x6 pattern (basic.c:22-120
+    generalized): each missing color = mean of its same-color 3x3
+    neighbours (the X-Trans layout guarantees every 3x3 window holds
+    all three colors)."""
+    import jax
+
+    h, w = x.shape
+    pat = [list(xtrans[r * 6:(r + 1) * 6]) for r in range(6)]
+
+    def fc(row, col):
+        return pat[row % 6][col % 6]
+
+    rp = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) % 6
+    cp = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % 6
+    pos = jnp.broadcast_to(rp * 6 + cp, (h, w))
+    p = PaddedView(x, 1)
+    planes = []
+    for c in range(3):
+        plane = jnp.zeros((h, w), x.dtype)
+        for row in range(6):
+            for col in range(6):
+                m = pos == (row * 6 + col)
+                if fc(row, col) == c:
+                    plane = jnp.where(m, x, plane)
+                    continue
+                offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                        if (dy, dx) != (0, 0)
+                        and fc(row + dy, col + dx) == c]
+                v = sum(p.at(dy, dx) for dy, dx in offs) / float(len(offs))
+                plane = jnp.where(m, v, plane)
+        planes.append(plane)
+    return planes, pos
+
+
+def xtrans_vng_demosaic(x: jnp.ndarray, xtrans: tuple) -> jnp.ndarray:
+    """(H, W) X-Trans mosaic -> (3, H, W) via 3-color VNG
+    (vng_interpolate with filters == 9: prow/pcol = 6, colors = 3,
+    no green mixing — vng.c:34-199).  Used standalone (method
+    XTRANS|0) and as the low-frequency half of X-Trans dual."""
+    h, w = x.shape
+    P, pos = xtrans_lin_interpolate(x, xtrans)
+    pP = [PaddedView(pl, 2) for pl in P]
+    classes = _xtrans_class_tables(tuple(xtrans))
+
+    gvals = [jnp.zeros((h, w), x.dtype) for _ in range(8)]
+    sums = [jnp.zeros((h, w), x.dtype) for _ in range(3)]
+    num = jnp.zeros((h, w), x.dtype)
+    center_col = jnp.zeros((h, w), jnp.int32)
+    diff_cache = {}   # shared across all 36 classes (same offsets recur)
+    for (row, col, terms, chood, center) in classes:
+        m = pos == (row * 6 + col)
+        gv = [None] * 8
+        for (color, o1, o2, wt, gs) in terms:
+            key = (color, o1, o2)
+            if key not in diff_cache:
+                diff_cache[key] = jnp.abs(pP[color].at(*o1)
+                                          - pP[color].at(*o2))
+            d = diff_cache[key] * float(wt)
+            for g in gs:
+                gv[g] = d if gv[g] is None else gv[g] + d
+        z = jnp.zeros((h, w), x.dtype)
+        gv = [v if v is not None else z for v in gv]
+        for g in range(8):
+            gvals[g] = jnp.where(m, gv[g], gvals[g])
+
+        gmin = functools.reduce(jnp.minimum, gv)
+        gmax = functools.reduce(jnp.maximum, gv)
+        thold = gmin + gmax * 0.5
+        csum = [jnp.zeros((h, w), x.dtype) for _ in range(3)]
+        cnum = jnp.zeros((h, w), x.dtype)
+        for g, ((dy, dx), pair) in enumerate(chood):
+            ok = (gv[g] <= thold).astype(x.dtype)
+            cnum = cnum + ok
+            for c in range(3):
+                if c == center and pair:
+                    contrib = 0.5 * (P[c] + pP[c].at(2 * dy, 2 * dx))
+                else:
+                    contrib = pP[c].at(dy, dx)
+                csum[c] = csum[c] + ok * contrib
+        for c in range(3):
+            sums[c] = jnp.where(m, csum[c], sums[c])
+        num = jnp.where(m, cnum, num)
+        center_col = jnp.where(m, center, center_col)
+
+    gmax_all = functools.reduce(jnp.maximum, gvals)
+    safe_num = jnp.maximum(num, 1.0)
+    pixc = jnp.zeros((h, w), x.dtype)
+    sumc = jnp.zeros((h, w), x.dtype)
+    for c in range(3):
+        mc = center_col == c
+        pixc = jnp.where(mc, P[c], pixc)
+        sumc = jnp.where(mc, sums[c], sumc)
+    out = []
+    for c in range(3):
+        tot = pixc + (sums[c] - sumc) / safe_num
+        tot = jnp.where(center_col == c, pixc, tot)
+        tot = jnp.where(gmax_all == 0.0, P[c], tot)
+        out.append(tot)
+    return jnp.maximum(jnp.stack(out), 0.0)

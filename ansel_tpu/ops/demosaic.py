@@ -192,15 +192,17 @@ class Demosaic(Op):
             x = demosaic_post.apply_green_eq(x, cfa, green_eq, thr)
         out = self._demosaic(x, c, method, cfa, ctx,
                              lmmse_refine=lmmse_refine)
-        if (method_full & DUAL_FLAG) and dual_thrs > 0.0 \
-                and cfa is not CFAPattern.XTRANS:
-            # dual demosaic: VNG4 low-frequency under a detail mask
-            # (demosaic/dual.c:38-110); X-Trans dual stays on the base
-            # method (documented gap: 3-color VNG)
+        if (method_full & DUAL_FLAG) and dual_thrs > 0.0:
+            # dual demosaic: VNG low-frequency under a detail mask
+            # (demosaic/dual.c:38-110) — VNG4 for Bayer, 3-color VNG
+            # for X-Trans (dual.c:66 calls the generic vng_interpolate)
             from ..kernels import demosaic_post, vng
             from ..pixel import detail
 
-            low = vng.vng4_demosaic(x, cfa)
+            if cfa is CFAPattern.XTRANS:
+                low = vng.xtrans_vng_demosaic(x, tuple(ctx.meta.xtrans))
+            else:
+                low = vng.vng4_demosaic(x, cfa)
             low = demosaic_post.color_smoothing(low, 2)
             contrast = 0.005 * dual_thrs ** 1.1  # slider2contrast
             wb = [max(v, 1e-6) for v in ctx.meta.wb_coeffs[:3]]
@@ -217,6 +219,10 @@ class Demosaic(Op):
         if cfa is CFAPattern.XTRANS:
             import jax
 
+            if method == XTRANS_FLAG:        # DT_IOP_DEMOSAIC_VNG
+                from ..kernels import vng
+
+                return vng.xtrans_vng_demosaic(x, tuple(ctx.meta.xtrans))
             passes = 3 if method == MARKESTEIJN_3 else 1
             if jax.default_backend() == "tpu":
                 from ..kernels import markesteijn_pallas

@@ -16,9 +16,11 @@ denoiseprofile.c:276-305).  Wavelet mode implemented exactly:
   * Y0U0V0 mode with the WB-adapted decorrelation matrix
     (set_up_conversion_matrices, denoiseprofile.c:1169-1221)
 
-Non-local-means mode currently routes through wavelets (NLM Pallas kernel
-is a scheduled milestone); band-force curves evaluated from the (x, y)
-spline nodes.
+Non-local-means mode (process_nlmeans, denoiseprofile.c:1560-1650) runs
+the shared NLM core (pixel/nlmeans.py -> kernels/nlm_pallas.py on TPU)
+on the RGB VST with the reference's scatter lattice and
+central-pixel-weight dissimilarity; band-force curves evaluated from
+the (x, y) spline nodes.
 """
 
 from __future__ import annotations

@@ -5,7 +5,8 @@ tetrahedral interpolation (data/kernels/lut3d.cl:23-95 and
 src/common/lut3d.c:63), trilinear fallback, application color spaces
 (:85-89 — sRGB, Adobe RGB, gamma Rec709, linear Rec709/2020).  The LUT
 table ships to the device once (coeffs) and the 8 corner fetches are
-XLA gathers; compressed-keypoint GMIC LUTs are not supported.
+XLA gathers; compressed-keypoint G'MIC LUTs (inline params keypoints or
+.gmz archives) expand through io/gmz.py.
 """
 
 from __future__ import annotations

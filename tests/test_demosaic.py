@@ -332,3 +332,65 @@ def test_rcd_matches_reference_mirror():
     m = slice(10, H - 10), slice(10, W - 10)
     err = np.abs(got[:, m[0], m[1]] - want[:, m[0], m[1]]).max()
     assert err < 1e-3, err
+
+
+def test_xtrans_vng_and_dual():
+    """3-color VNG for X-Trans (vng.c filters==9 path) + X-Trans dual
+    (dual.c:66 uses the generic vng_interpolate as the low-freq half)."""
+    import jax.numpy as jnp
+
+    from ansel_tpu.kernels.vng import xtrans_vng_demosaic
+
+    XT = (1, 2, 0, 1, 0, 2,
+          0, 1, 1, 2, 1, 1,
+          2, 1, 1, 0, 1, 1,
+          1, 0, 2, 1, 2, 0,
+          2, 1, 1, 0, 1, 1,
+          0, 1, 1, 2, 1, 1)
+    h, w = 96, 132
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = 0.4 + 0.3 * np.sin(xx / 17)
+    g = 0.5 + 0.25 * np.sin((xx + yy) / 23)
+    b = 0.45 + 0.2 * np.cos(xx / 13)
+    rgb = np.clip(np.stack([r, g, b]) + 0.01 * rng.random((3, h, w)),
+                  0.02, 0.98).astype(np.float32)
+    idx = np.asarray(XT).reshape(6, 6)
+    sel = idx[np.arange(h)[:, None] % 6, np.arange(w)[None, :] % 6]
+    mosaic = np.take_along_axis(rgb, sel[None], axis=0)[0]
+
+    out = np.asarray(xtrans_vng_demosaic(jnp.asarray(mosaic), XT))
+    m = 8
+    mse = float(np.mean((out[:, m:-m, m:-m] - rgb[:, m:-m, m:-m]) ** 2))
+    assert 10 * np.log10(1.0 / mse) > 38.0
+    # measured sites pass through
+    own = sel == 1
+    assert np.allclose(out[1][own], mosaic[own], atol=1e-5)
+
+    # X-Trans dual: VNG low-freq under the detail mask (no fallback)
+    import dataclasses
+
+    from ansel_tpu.core.params import params_class
+    from ansel_tpu.core.types import CFAPattern, Colorspace, ImageSpec
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.ops.base import PlanContext, get_op
+    from ansel_tpu.ops.demosaic import DUAL_FLAG, MARKESTEIJN
+
+    _, meta, _ = synth_raw(h=h, w=w)
+    meta = dataclasses.replace(meta, xtrans=XT)
+    op = get_op("demosaic")
+    p = params_class("demosaic")(
+        demosaicing_method=MARKESTEIJN | DUAL_FLAG, dual_thrs=0.2)
+    spec = ImageSpec(height=h, width=w, channels=1,
+                     colorspace=Colorspace.RAW, cfa=CFAPattern.XTRANS)
+    ctx = PlanContext(meta=meta, scale=1.0)
+    plan = op.plan(ctx, spec, p)
+    import jax
+
+    c = jax.tree.map(jnp.asarray, op.coeffs(ctx, plan, p))
+    pad = np.zeros((spec.pad_h, spec.pad_w), np.float32)
+    pad[:h, :w] = mosaic
+    y = np.asarray(op.apply(jnp.asarray(pad), c, plan, ctx))[:, :h, :w]
+    assert np.isfinite(y).all()
+    mse2 = float(np.mean((y[:, m:-m, m:-m] - rgb[:, m:-m, m:-m]) ** 2))
+    assert 10 * np.log10(1.0 / mse2) > 30.0
