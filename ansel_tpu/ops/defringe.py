@@ -71,10 +71,17 @@ class Defringe(Op):
             avg = jnp.float32(MAGIC)
             thresh = jnp.maximum(c["thresh"], 0.1)
 
-        # one pixel of region growing (defringe.c:~365-375): 3x3 max
-        import jax
-        hit = jax.lax.reduce_window(edge, -jnp.inf, jax.lax.max,
-                                    (3, 3), (1, 1), "SAME") > thresh
+        # one pixel of region growing (defringe.c:~365-375): 3x3 max as
+        # separable shifted selects — reduce_window on a single-channel
+        # 24MP plane pays XLA's 128-lane im2col pad (CLAUDE.md rule)
+        from ..pixel.shifts import PaddedView
+
+        pv = PaddedView(edge, 1)
+        vmax = jnp.maximum(pv.at(-1, 0), jnp.maximum(pv.at(0, 0),
+                                                     pv.at(1, 0)))
+        ph = PaddedView(vmax, 1)
+        hit = jnp.maximum(ph.at(0, -1), jnp.maximum(ph.at(0, 0),
+                                                    ph.at(0, 1))) > thresh
 
         # inverse-chroma-weighted neighbourhood average
         w = 1.0 / (edge + avg)

@@ -154,18 +154,33 @@ def _factor(value, prm, invert):
     return 1.0 - f if invert else f
 
 
-def _scene_channels(rgb, y_weights):
-    """channel values for CS_RGB_SCENE (blendif_rgb_jzczhz.c)."""
-    w = jnp.asarray(y_weights, rgb.dtype).reshape(3, 1, 1)
-    gray = jnp.sum(rgb * w, axis=0)
-    xyz = tr.apply_matrix(jnp.maximum(rgb, 0.0),
-                          cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK)
-    jab = sp.xyz_to_jzazbz(xyz)
-    Jz = jab[0]
-    Cz = jnp.sqrt(jab[1] ** 2 + jab[2] ** 2)
-    hz = jnp.arctan2(jab[2], jab[1]) / (2.0 * math.pi) + 0.5
-    return {0: gray, 1: rgb[0], 2: rgb[1], 3: rgb[2],
-            8: Jz, 9: Cz, 10: hz}
+def _atan2(y, x):
+    """Pallas-safe atan2 (TPU Mosaic has no atan lowering): minimax poly,
+    |err| < 2e-7 rad — inside every blend tolerance.  Shared by the XLA
+    and fused-kernel paths so they agree bit-for-bit."""
+    from ..kernels.pointwise import atan2_full
+
+    return atan2_full(y, x)
+
+
+def _scene_channels(rgb, y_weights, needed=None):
+    """channel values for CS_RGB_SCENE (blendif_rgb_jzczhz.c).
+    Pallas-safe: scalar-FMA gray, nested-list matrix.  With `needed`
+    (static channel-id set) the JzCzhz trio is skipped when unused —
+    the fused kernel shouldn't pay two matrix applies + pows for dead
+    channels."""
+    w = [float(v) for v in np.asarray(y_weights).reshape(-1)[:3]]
+    gray = w[0] * rgb[0] + w[1] * rgb[1] + w[2] * rgb[2]
+    out = {0: gray, 1: rgb[0], 2: rgb[1], 3: rgb[2]}
+    if needed is None or needed & {8, 9, 10}:
+        xyz = tr.apply_matrix(
+            jnp.maximum(rgb, 0.0),
+            (cm.XYZ_D50_TO_D65 @ cm.XYZ_FROM_WORK).tolist())
+        jab = sp.xyz_to_jzazbz(xyz)
+        out[8] = jab[0]
+        out[9] = jnp.sqrt(jab[1] ** 2 + jab[2] ** 2)
+        out[10] = _atan2(jab[2], jab[1]) / (2.0 * math.pi) + 0.5
+    return out
 
 
 def _lab_channels(lab):
@@ -173,7 +188,7 @@ def _lab_channels(lab):
     a = lab[1] / 256.0
     b = lab[2] / 256.0
     C = jnp.sqrt(lab[1] ** 2 + lab[2] ** 2) / (128.0 * math.sqrt(2.0))
-    h = jnp.arctan2(lab[2], lab[1]) / (2.0 * math.pi) + 0.5
+    h = _atan2(lab[2], lab[1]) / (2.0 * math.pi) + 0.5
     return {0: L, 1: a, 2: b, 8: C, 9: h}
 
 
@@ -280,6 +295,12 @@ def compute_mask(a, b, bp: BlendParams, prm, cst: int, y_weights,
     return mask
 
 
+def _luma(rgb, y_weights):
+    """Pallas-safe luma: three scalar FMAs (no captured weight array)."""
+    w = [float(v) for v in np.asarray(y_weights).reshape(-1)[:3]]
+    return w[0] * rgb[0] + w[1] * rgb[1] + w[2] * rgb[2]
+
+
 def _mode_fn(mode: int, p: float, cst: int):
     """b-over-a blend value (before local-opacity lerp)."""
     pw = 2.0 ** p
@@ -372,9 +393,10 @@ def _hsl_to_rgb(hsl):
                       jnp.where(t < 2.0 / 3.0,
                                 p + (q - p) * (2.0 / 3.0 - t) * 6.0, p)))
 
-    rgb = jnp.stack([hue2rgb(h + 1.0 / 3.0), hue2rgb(h),
-                     hue2rgb(h - 1.0 / 3.0)])
-    return jnp.where(hsl[1:2] < 1e-9, jnp.broadcast_to(l, rgb.shape), rgb)
+    gray = hsl[1] < 1e-9
+    return jnp.stack([jnp.where(gray, l, hue2rgb(h + 1.0 / 3.0)),
+                      jnp.where(gray, l, hue2rgb(h)),
+                      jnp.where(gray, l, hue2rgb(h - 1.0 / 3.0))])
 
 
 def _rgb_to_hsv(rgb):
@@ -394,19 +416,21 @@ def _rgb_to_hsv(rgb):
 
 def _hsv_to_rgb(hsv):
     h, s, v = jnp.mod(hsv[0], 1.0) * 6.0, hsv[1], hsv[2]
-    i = jnp.floor(h)
+    i = jnp.minimum(jnp.floor(h), 5.0)  # float sextant: Pallas-safe selects
     f = h - i
     p = v * (1.0 - s)
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [p, p, t, v, v, q])
-    return jnp.stack([r, g, b])
+
+    def pick(c0, c1, c2, c3, c4, c5):
+        out = c5
+        for k, ck in ((4.0, c4), (3.0, c3), (2.0, c2), (1.0, c1), (0.0, c0)):
+            out = jnp.where(i <= k, ck, out)
+        return out
+
+    return jnp.stack([pick(v, q, p, p, t, v),
+                      pick(t, v, v, q, p, p),
+                      pick(p, p, t, v, v, q)])
 
 
 def _hue_mix(ha, hb, op):
@@ -423,7 +447,7 @@ def _lab_to_lch01(lab):
     a_ = lab[1] / 128.0
     b_ = lab[2] / 128.0
     c = jnp.sqrt(a_ * a_ + b_ * b_)
-    h = jnp.mod(jnp.arctan2(b_, a_) / (2.0 * np.pi) + 1.0, 1.0)
+    h = jnp.mod(_atan2(b_, a_) / (2.0 * np.pi) + 1.0, 1.0)
     return L, c, h
 
 
@@ -437,7 +461,7 @@ def _blend_hue_family(a, b, mode, cst, mask):
     """HUE / COLOR / COLORADJUST / HSV_VALUE / HSV_COLOR — the opacity
     acts on the polar components, not as a final lerp (blendif_lab.c:
     874-977, blendif_rgb_hsl.c:707-858)."""
-    op = mask[0]
+    op = mask[0] if getattr(mask, "ndim", 0) == 3 else mask
     if cst == CS_LAB:
         La, Ca, Ha = _lab_to_lch01(a)
         Lb, Cb, Hb = _lab_to_lch01(b)
@@ -470,7 +494,7 @@ def _blend_hue_family(a, b, mode, cst, mask):
             yb = tb[1] * jnp.sin(2 * np.pi * tb[0])
             xc = xa * (1 - op) + xb * op
             yc = ya * (1 - op) + yb * op
-            h = jnp.mod(jnp.arctan2(yc, xc) / (2 * np.pi) + 1.0, 1.0)
+            h = jnp.mod(_atan2(yc, xc) / (2 * np.pi) + 1.0, 1.0)
             out = jnp.stack([h, jnp.sqrt(xc * xc + yc * yc), ta[2]])
         return _hsv_to_rgb(out)
     ta = _rgb_to_hsl(ca)
@@ -508,6 +532,95 @@ def apply_blend_raw(a, b, bp: BlendParams, drawn=None):
     return aa * (1.0 - mask) + fn(aa, bb) * mask
 
 
+def blend_fusable_pointwise(bp: BlendParams, cst: int) -> bool:
+    """True when this blend is pure per-pixel math — no drawn/raster
+    mask, no spatial mask post-processing (feathering / blur / details
+    refinement) — so the engine may fold it into the fused Pallas
+    pointwise chain.  The reference applies blending as one more stage
+    of the per-pixel node loop (pixelpipe_cpu.c:18-100); this is the
+    TPU equivalent: the blend rides the same VMEM tile as the op."""
+    if bp is None or bp.mask_mode == MASK_DISABLED:
+        return False
+    if cst not in (CS_LAB, CS_RGB_SCENE):
+        return False
+    if bp.mask_mode & (MASK_SHAPE | MASK_RASTER):
+        return False
+    if bp.feathering_radius > 0.1 or bp.blur_radius > 0.1:
+        return False
+    if abs(bp.details) > 1e-6:
+        return False
+    return True
+
+
+def apply_blend_pointwise(a, b, bp: BlendParams, prm, cst: int, y_weights):
+    """Pallas-safe apply_blend for the fused pointwise chain.
+
+    Every blend parameter is STATIC (history-side): the trapezoid rows
+    arrive via `prm` (numpy (16,6)) and unroll to float immediates, and
+    a uniform (non-parametric) mask collapses to a Python scalar at
+    trace time so the lerp folds into the mode math.  Equality with
+    apply_blend is gated by tests/test_blend_fusion.py."""
+    opacity = min(max(bp.opacity / 100.0, 0.0), 1.0)
+    incl = bool(bp.mask_combine & COMBINE_INCL)
+    inv = bool(bp.mask_combine & COMBINE_INV)
+    base = 0.0 if incl else 1.0  # no drawn mask in the fusable subset
+
+    in_ids = {0, 1, 2, 8, 9} if cst == CS_LAB else {0, 1, 2, 3, 8, 9, 10}
+    need_in = {i for i in in_ids if bp.blendif & (1 << i)}
+    need_out = {i for i in in_ids if bp.blendif & (1 << (i + 4))}
+    parametric = bool(bp.mask_mode & MASK_PARAMETRIC)
+
+    temp = None
+    if parametric and (need_in or need_out):
+        prm = np.asarray(prm)
+
+        def factors(x, ids, offset):
+            nonlocal temp
+            chans = (_lab_channels(x) if cst == CS_LAB
+                     else _scene_channels(x, y_weights, needed=ids))
+            for i in sorted(ids):
+                j = i + offset
+                f = _factor(chans[i], [float(v) for v in prm[j]],
+                            bool(bp.blendif & (1 << (16 + j))) ^ incl)
+                temp = f if temp is None else temp * f
+
+        factors(a, need_in, 0)
+        factors(b, need_out, 4)
+
+    if temp is None:
+        mask = (1.0 - base) if inv else base
+    elif incl:
+        mask = (1.0 - base) * temp if inv else 1.0 - (1.0 - base) * temp
+    else:
+        mask = (1.0 - base * temp) if inv else base * temp
+    mask = mask * opacity
+
+    if abs(bp.contrast) >= 0.01 or abs(bp.brightness) >= 0.01:
+        # opacity-normalized sigmoid tone curve (blend.c:614-642)
+        e = math.exp(3.0 * bp.contrast)
+        x = mask / max(opacity, 1e-6)
+        x = 2.0 * x - 1.0
+        br = bp.brightness
+        if isinstance(mask, float):
+            if br > 0.0:
+                x = min((x + br) / (1.0 - br), 1.0)
+            elif br < 0.0:
+                x = max((x + br) / (1.0 + br), -1.0)
+            mask = min(max((x * e / (1.0 + (e - 1.0) * abs(x))) / 2.0
+                           + 0.5, 0.0), 1.0) * opacity
+        else:
+            if br > 0.0:
+                x = jnp.minimum((x + br) / (1.0 - br), 1.0)
+            elif br < 0.0:
+                x = jnp.maximum((x + br) / (1.0 + br), -1.0)
+            mask = jnp.clip(
+                (x * e / (1.0 + (e - 1.0) * jnp.abs(x))) / 2.0 + 0.5,
+                0.0, 1.0) * opacity
+
+    mask3 = mask if isinstance(mask, float) else mask[None]
+    return _apply_blend_mode(a, b, bp, cst, y_weights, mask3)
+
+
 def _apply_blend_mode(a, b, bp: BlendParams, cst: int, y_weights, mask):
     mode = bp.blend_mode & BLEND_MODE_MASK
     if bp.blend_mode & BLEND_REVERSE:
@@ -521,25 +634,23 @@ def _apply_blend_mode(a, b, bp: BlendParams, cst: int, y_weights, mask):
     if mode in (B_RGB_R, B_RGB_G, B_RGB_B, B_LAB_L, B_LAB_A, B_LAB_B):
         ch = {B_RGB_R: 0, B_RGB_G: 1, B_RGB_B: 2,
               B_LAB_L: 0, B_LAB_A: 1, B_LAB_B: 2}[mode]
-        blended = a.at[ch].set(b[ch] * (2.0**p))
+        # explicit channel stack (Pallas-safe; .at[].set is not)
+        blended = jnp.stack([b[k] * (2.0**p) if k == ch else a[k]
+                             for k in range(3)])
         return a * (1.0 - mask) + blended * mask
     if mode in (B_LIGHTNESS, B_LAB_LIGHTNESS):
         if cst == CS_LAB:
             blended = jnp.stack([b[0], a[1], a[2]])
         else:
-            w = jnp.asarray(y_weights, a.dtype).reshape(3, 1, 1)
-            la = jnp.sum(a * w, axis=0, keepdims=True)
-            lb = jnp.sum(b * w, axis=0, keepdims=True)
-            blended = a * lb / jnp.maximum(la, 1e-6)
+            la, lb = (_luma(v, y_weights) for v in (a, b))
+            blended = a * (lb / jnp.maximum(la, 1e-6))[None]
         return a * (1.0 - mask) + blended * mask
     if mode in (B_CHROMATICITY, B_LAB_COLOR):
         if cst == CS_LAB:
             blended = jnp.stack([a[0], b[1], b[2]])
         else:
-            w = jnp.asarray(y_weights, a.dtype).reshape(3, 1, 1)
-            la = jnp.sum(a * w, axis=0, keepdims=True)
-            lb = jnp.sum(b * w, axis=0, keepdims=True)
-            blended = b * la / jnp.maximum(lb, 1e-6)
+            la, lb = (_luma(v, y_weights) for v in (a, b))
+            blended = b * (la / jnp.maximum(lb, 1e-6))[None]
         return a * (1.0 - mask) + blended * mask
 
     fn = _mode_fn(mode, p, cst)

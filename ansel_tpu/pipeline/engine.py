@@ -223,7 +223,8 @@ class Pipeline:
                  scale: float = 1.0, forms=None, order_version=None,
                  pipe_type: str = PipeType.EXPORT,
                  out_window: Optional[Tuple[int, int, int, int]] = None,
-                 roi: bool = True):
+                 roi: bool = True,
+                 spec_in: Optional[ImageSpec] = None):
         self.pipe_type = pipe_type
         if pipe_type in (PipeType.PREVIEW, PipeType.THUMBNAIL):
             # fast-demosaic override (the reference's preview pipes run
@@ -247,7 +248,10 @@ class Pipeline:
         # "fast mode" pipes)
         self.ctx.notes["pipe_type"] = pipe_type
 
-        spec = ImageSpec(
+        # spec_in override: a WINDOW of a larger frame (org/full set) —
+        # the spatially sharded pipe (parallel/spatial.py) plans its
+        # per-device window with piece dims intact
+        spec = spec_in if spec_in is not None else ImageSpec(
             width=meta.width, height=meta.height, colorspace=Colorspace.RAW,
             channels=1,
             cfa=CFAPattern.XTRANS if meta.xtrans else meta.cfa,
@@ -461,11 +465,46 @@ class Pipeline:
 
         forms = self.forms
 
+        # raster side-band consumers (by source name): a blended stage
+        # whose mask some later stage reads must run on the spatial path
+        # so its mask is materialized into the side-band
+        def _raster_sources():
+            from . import blend as blend_mod
+
+            out = set()
+            for s2 in stages:
+                bp = s2.blend
+                if bp is None or not (bp.mask_mode & blend_mod.MASK_RASTER):
+                    continue
+                src = bp.raster_mask_source
+                if isinstance(src, bytes):
+                    src = src.split(b"\0")[0].decode("utf-8", "ignore")
+                src = (src or "").strip("\0")
+                if src:
+                    out.add(src)
+            return out
+
+        raster_consumed = _raster_sources()
+
         def fusable(s):
-            """geometry-preserving 3-channel pointwise stage, no blend."""
-            return (s.blend is None
-                    and s.plan.spec_in.array_shape == s.plan.spec_out.array_shape
-                    and len(s.plan.spec_in.array_shape) == 3)
+            """geometry-preserving 3-channel pointwise stage; a blend is
+            allowed when it is itself per-pixel (uniform/parametric mask,
+            no spatial post) and nothing downstream consumes its mask."""
+            from . import blend as blend_mod
+
+            if (s.plan.spec_in.array_shape != s.plan.spec_out.array_shape
+                    or len(s.plan.spec_in.array_shape) != 3):
+                return False
+            if s.blend is None:
+                return True
+            if s.plan.spec_out.colorspace is Colorspace.RAW:
+                return False
+            if s.name in raster_consumed:
+                return False
+            cst = (blend_mod.CS_LAB
+                   if s.plan.spec_out.colorspace is Colorspace.LAB
+                   else blend_mod.CS_RGB_SCENE)
+            return blend_mod.blend_fusable_pointwise(s.blend, cst)
 
         def run_fused(x, group):
             """Chain consecutive pointwise stages into ONE Pallas kernel:
@@ -487,6 +526,9 @@ class Pipeline:
             vec = pack.pack(values, order)
             with_pos = any(sp.needs_pos for (_s, sp, _c) in group)
 
+            from ..color import matrices as cmats
+            from . import blend as blend_mod
+
             def block_fn(block, consts_ref, yy=None, xx=None):
                 for k, (s, spec_pw, _c) in enumerate(group):
                     cd = {}
@@ -501,9 +543,20 @@ class Pipeline:
                                      for r in range(3)]
                         cd[name] = v
                     if spec_pw.needs_pos:
-                        block = spec_pw.fn(block, cd, yy, xx)
+                        out = spec_pw.fn(block, cd, yy, xx)
                     else:
-                        block = spec_pw.fn(block, cd)
+                        out = spec_pw.fn(block, cd)
+                    if s.blend is not None:
+                        # per-pixel blend rides the same VMEM tile
+                        # (fusable() admitted it): all params static
+                        cst = (blend_mod.CS_LAB
+                               if s.plan.spec_out.colorspace
+                               is Colorspace.LAB
+                               else blend_mod.CS_RGB_SCENE)
+                        prm = blend_mod.prepare_parameters(s.blend)
+                        out = blend_mod.apply_blend_pointwise(
+                            block, out, s.blend, prm, cst, cmats.WORK_Y)
+                    block = out
                 return block
 
             # deep chains: small tile to stay under the scoped-VMEM limit

@@ -26,6 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# test hook: run the Pallas slice in interpret mode on CPU
+_FORCE_PALLAS_INTERPRET = False
+
 
 def _pool2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     """Average-pool (..., H, W) by integer strides via reshape (H, W must be
@@ -186,14 +189,28 @@ def grid_filter(guide: jnp.ndarray, values: jnp.ndarray, sigma_s: float,
     dens = _blur_axis(dens, 0)
     base_grid = nums / jnp.maximum(dens[:, None], 1e-8)  # (D, C, gh, gw)
 
-    # ---- slice: separable factorization (exactly the same math as a
-    # per-(oy,ox)-shift einsum against Fm, but that form reads the
-    # Fm-sized tensor up to NINE times — measured HBM-bound at ~540
-    # GB/s, 25 ms/channel at 24MP).  Both the spatial bilinear and the
-    # range triangle are linear, so: upsample the grid to pixel rows
-    # (cell-centered bilinear, upsample_axis — identical weights),
-    # then per row-block upsample columns and contract the bin axis
-    # with TWO take_along_axis taps ((1-f)·G[b0] + f·G[b0+1]) — the
+    # ---- slice ----
+    # TPU: one Pallas kernel (kernels/bgrid_pallas) — the grid slab per
+    # tile lives in VMEM, the bin contraction and row interpolation run
+    # register-resident (measured: the XLA form below lost an order of
+    # magnitude to layout transposes + lax.map serialization).
+    if jax.default_backend() == "tpu" or _FORCE_PALLAS_INTERPRET:
+        from ..kernels.bgrid_pallas import slice_grid
+
+        out = slice_grid(base_grid, z, ss,
+                         interpret=_FORCE_PALLAS_INTERPRET)[:, :H, :W]
+        if detail is not None:
+            return values[:, :H, :W] + detail * (values[:, :H, :W] - out)
+        return out
+
+    # ---- XLA slice fallback (CPU): separable factorization (exactly
+    # the same math as a per-(oy,ox)-shift einsum against Fm, but that
+    # form reads the Fm-sized tensor up to NINE times — measured
+    # HBM-bound at ~540 GB/s, 25 ms/channel at 24MP).  Both the spatial
+    # bilinear and the range triangle are linear, so: upsample the grid
+    # to pixel rows (cell-centered bilinear, upsample_axis — identical
+    # weights), then per row-block upsample columns and contract the bin
+    # axis with TWO take_along_axis taps ((1-f)·G[b0] + f·G[b0+1]) — the
     # triangle has exactly two nonzero bins per pixel.  Row blocks
     # under lax.map keep the (D, C, blk, W) buffer bounded instead of
     # materializing the (D, C, H, W) 3 GB upsample.

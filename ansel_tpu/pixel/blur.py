@@ -126,7 +126,13 @@ def gaussian_blur_fast(x: jnp.ndarray, sigma: float,
     # de-convolve the block mean's variance from the target
     sig_ds = math.sqrt(max(sigma * sigma - ds * ds / 12.0, 1e-6)) / ds
     small = gaussian_blur(small, sig_ds)
-    out = jax.image.resize(small, (*lead, Hp, Wp), "linear")
+    # cell-centered bilinear upsample via static phase unroll — the
+    # SAME weights jax.image.resize("linear") uses for an integer
+    # factor, but as shifted adds instead of its gather lowering
+    # (measured ~9 ms/plane at 24MP on a v5e chip for the gather form)
+    from .bilateralgrid import upsample_axis
+
+    out = upsample_axis(upsample_axis(small, ds, axis=-2), ds, axis=-1)
     return out[..., :H, :W]
 
 
@@ -172,7 +178,12 @@ def _deriche_coeffs(sigma: float, order: int = 0):
     return a0, a1, a2, a3, b1, b2, coefp, coefn
 
 
-_IIR_BLOCK = 128
+# block length for the block-parallel IIR: larger blocks mean fewer
+# lax.scan steps (the scan's per-step latency dominated the round-5
+# profile: a 3-channel sigma=8 blur spent 44 ms, mostly in 47-step
+# scans) at the cost of a bigger triangular-Toeplitz matmul — MXU work
+# that is nearly free by comparison.
+_IIR_BLOCK = 512
 
 
 def _iir_pass(x, f, y_init0, y_init1, b1, b2, axis, reverse):

@@ -30,6 +30,13 @@ class PaddedView:
                       m + dx : m + dx + self.w]
 
 
+# test hook: run the Pallas separable filter in interpret mode on CPU
+# (also bypasses the size guard so small test planes exercise the kernel)
+_FORCE_PALLAS_INTERPRET = False
+# escape hatch: force the XLA shifted-add path even on TPU
+_DISABLE_PALLAS = False
+
+
 def sep_filter(x: jnp.ndarray, taps, dilation: int = 1,
                mode: str = "edge") -> jnp.ndarray:
     """Separable odd-length FIR as shifted adds.
@@ -37,8 +44,26 @@ def sep_filter(x: jnp.ndarray, taps, dilation: int = 1,
     XLA's TPU conv lowering im2col-pads single-channel planes to 128 lanes
     (a 5-tap blur of a 45MP plane allocates 23 GB); expressing the filter as
     slice+multiply-add chains keeps it one fused elementwise pass.
+
+    On TPU, big planes route to the halo-tile Pallas kernel
+    (kernels/sepblur_pallas): both axis passes run VMEM-resident in tap
+    order, so the result is float-identical to the XLA chain while the
+    HBM traffic drops from ~6 round-trips to read+write.
     """
     taps = list(taps)
+    import jax as _jax
+
+    r_ = (len(taps) - 1) // 2
+    if (not _DISABLE_PALLAS and mode == "edge"
+            and x.ndim in (2, 3) and (x.ndim == 2 or x.shape[0] <= 8)
+            and x.dtype == jnp.float32 and r_ * dilation <= 256
+            and (_FORCE_PALLAS_INTERPRET
+                 or (_jax.default_backend() == "tpu"
+                     and x.shape[-2] * x.shape[-1] >= (1 << 20)))):
+        from ..kernels.sepblur_pallas import sep_blur_pallas
+
+        return sep_blur_pallas(x, taps, dilation,
+                               interpret=_FORCE_PALLAS_INTERPRET)
     r = (len(taps) - 1) // 2
     m = r * dilation
     # vertical pass
