@@ -45,7 +45,19 @@ def rcd_demosaic(x: jnp.ndarray, cfa: CFAPattern, scaler=None) -> jnp.ndarray:
     `scaler` (traced scalar or None): max processed_maximum used to
     normalize into [0,1] like the reference (rcd.c:283-284) so the EPS
     constants act at the same amplitude.
+
+    Rows are edge-padded by 8 (even — CFA phase kept) before the rolled
+    dataflow: without it the top-border rolls wrap onto the BOTTOM image
+    rows, making border values depend on the image height — which broke
+    the row-sharded pipe's exactness (parallel/spatial.py) and matched
+    nothing.  Column wrap is row-local and stays (same documented ~4 px
+    approximate-border contract as rcd_pallas' edge-padded halo).
     """
+    xp = jnp.pad(x, ((8, 8), (0, 0)), mode="edge")
+    return _rcd_body(xp, cfa, scaler)[:, 8:-8, :]
+
+
+def _rcd_body(x: jnp.ndarray, cfa: CFAPattern, scaler=None) -> jnp.ndarray:
     h, w = x.shape
     if scaler is None:
         scaler = jnp.asarray(1.0, x.dtype)

@@ -76,9 +76,12 @@ class Atrous(Op):
     input_colorspace = Colorspace.LAB
 
     def plan(self, ctx: PlanContext, spec_in, p: AtrousParams) -> OpPlan:
+        from .base import full_dims
+
         scale = ctx.scale
+        fh, fw = full_dims(spec_in)  # piece dims (window-safe)
         supp0 = min(2 * (2 << (MAX_NUM_SCALES - 1)) + 1,
-                    max(spec_in.width, spec_in.height) * 0.2)
+                    max(fw, fh) * 0.2)
         i0 = math.log2(max((supp0 - 1.0) * 0.5, 1.0))
         bands = []
         for i in range(MAX_NUM_SCALES):
@@ -94,18 +97,33 @@ class Atrous(Op):
             bands.append((boost_l, boost_c, thrs_l, thrs_c, sharp))
             if t < 0.0:
                 break
-        max_scale_roi = int(math.floor(
-            math.log2(min(spec_in.width, spec_in.height)))) - 2
+        max_scale_roi = int(math.floor(math.log2(min(fw, fh)))) - 2
         n = min(max_scale_roi, len(bands))
         return OpPlan(spec_in=spec_in, spec_out=spec_in, static=n)
+
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        """à-trous B3 stencil: spacing-2^s supports compound to
+        2*(2^n - 1) rows/cols."""
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        halo = 2 * ((1 << plan.static) - 1)
+        y0 = max(0, win[0] - halo)
+        x0 = max(0, win[1] - halo)
+        y1 = min(si.height, win[0] + win[2] + halo)
+        x1 = min(si.width, win[1] + win[3] + halo)
+        return (y0, x0, y1 - y0, x1 - x0)
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: AtrousParams):
         # recompute band tables (plan() only kept the count static)
         n = plan.static
         spec = plan.spec_in
         scale = ctx.scale
+        from .base import full_dims
+
+        fh, fw = full_dims(spec)
         supp0 = min(2 * (2 << (MAX_NUM_SCALES - 1)) + 1,
-                    max(spec.width, spec.height) * 0.2)
+                    max(fw, fh) * 0.2)
         i0 = math.log2(max((supp0 - 1.0) * 0.5, 1.0))
         boost = np.zeros((n, 3), np.float32)
         thrs = np.zeros((n, 3), np.float32)

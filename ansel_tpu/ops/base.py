@@ -169,6 +169,15 @@ def all_ops() -> Dict[str, Op]:
     return dict(_OPS)
 
 
+def full_dims(spec: ImageSpec):
+    """(full_h, full_w) of the frame this spec belongs to.  Size-adaptive
+    planning (wavelet scale counts etc.) must use the FULL frame dims so
+    a windowed/sharded pipe plans the same algorithm as the full pipe —
+    the reference's tiling passes piece dims, not tile dims
+    (tiling.c:241-680 keeps self->iwidth/iheight)."""
+    return (spec.full_h or spec.height, spec.full_w or spec.width)
+
+
 def pad_to(img: np.ndarray, spec: ImageSpec) -> np.ndarray:
     """Edge-replicate pad a host image up to the spec's padded shape."""
     if img.ndim == 2:

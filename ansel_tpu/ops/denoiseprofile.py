@@ -34,6 +34,7 @@ import numpy as np
 from ..core.params import cfield, params
 from ..core.types import Colorspace
 from ..pixel.wavelets import eaw_dn_decompose, eaw_synthesize
+from . import base as base_mod
 from .base import Op, OpPlan, PlanContext, register
 
 BANDS = 7
@@ -107,8 +108,8 @@ class DenoiseProfile(Op):
         # denoiseprofile.c:1300-1316: largest filter support <= 20% of
         # the input buffer dimension, adjusted by the roi scale)
         in_scale = min(ctx.scale, 1.0)
-        supp0 = min(2 * (2 << (BANDS - 1)) + 1,
-                    max(spec_in.height, spec_in.width) * 0.2)
+        fh, fw = base_mod.full_dims(spec_in)  # piece dims, not window dims
+        supp0 = min(2 * (2 << (BANDS - 1)) + 1, max(fh, fw) * 0.2)
         i0 = math.log2(max((supp0 - 1.0) * 0.5, 1.0 + 1e-6))
         max_scale = 0
         while max_scale < BANDS:
@@ -133,6 +134,33 @@ class DenoiseProfile(Op):
                               nlm, P, K,
                               round(float(p.central_pixel_weight), 6),
                               round(float(p.scattering), 6), decimate))
+
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        """Finite stencil support: à-trous B3 at spacing 2^s compounds to
+        2*(2^S - 1); NLM mode to patch + max scattered search offset
+        (nlmeans_core.c lattice) — enables row sharding
+        (parallel/spatial.py)."""
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        (max_scale, _cm, _vst, nlm, P, K, _cpw, scattering,
+         _dec) = plan.static
+        if nlm:
+            from ..pixel.nlmeans import _scatter
+
+            m = 0
+            for dy in range(-K, K + 1):
+                for dx in range(-K, K + 1):
+                    a, b = _scatter(ctx.scale, scattering, dy, dx)
+                    m = max(m, abs(a), abs(b))
+            halo = P + m
+        else:
+            halo = 2 * ((1 << max_scale) - 1)
+        y0 = max(0, win[0] - halo)
+        x0 = max(0, win[1] - halo)
+        y1 = min(si.height, win[0] + win[2] + halo)
+        x1 = min(si.width, win[1] + win[3] + halo)
+        return (y0, x0, y1 - y0, x1 - x0)
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: DenoiseProfileParams):
         max_scale, color_mode = plan.static[0], plan.static[1]
@@ -184,6 +212,12 @@ class DenoiseProfile(Op):
             if hit is not None:
                 a1, b1 = hit[0][1], hit[1][1]
             else:
+                from ..core.log import log
+
+                log("always", "denoiseprofile: no noise profile for "
+                    f"'{ctx.meta.maker} {ctx.meta.model}' iso "
+                    f"{ctx.meta.iso} — using GENERIC coefficients "
+                    "(a=0.5e-4); profiled denoise quality degrades")
                 a1 = 0.5e-4
 
         forces = np.stack([_band_forces(p.x, p.y, ch) for ch in range(N_CH)])
@@ -257,7 +291,26 @@ class DenoiseProfile(Op):
                 * (2.0 / ((-pexp + 2.0) * sqrt_a))
             buf = jnp.einsum("dc,chw->dhw", jnp.asarray(c["toY"]), tmp)
 
+        # Row-sharded pipes (parallel/spatial.py): the per-scale variance
+        # is a GLOBAL statistic (eaw.c sum_sq over the whole frame).  Per-
+        # window sums would make each shard denoise slightly differently
+        # (the reference's own tiling artifact); instead each device sums
+        # its OWNED rows only and a psum over the mesh axis reconstructs
+        # the exact full-frame statistic.
+        shard = ctx.notes.get("shard_geom")
+        rowmask = None
         npix = x.shape[1] * x.shape[2]
+        if shard is not None:
+            import jax
+
+            Hs, hh = shard["Hs"], shard["halo"]
+            Hf, Hw = shard["H"], shard["Hw"]
+            i = jax.lax.axis_index(shard["axis"])
+            s_i = jnp.clip(i * Hs - hh, 0, Hf - Hw)
+            rows = jnp.arange(x.shape[1]) + s_i
+            own = ((rows >= i * Hs) & (rows < (i + 1) * Hs))
+            rowmask = own.astype(x.dtype)[None, :, None]
+            npix = Hf * x.shape[2]
         out = jnp.zeros_like(buf)
         cur = buf
         varf = math.sqrt(2.0 + 2.0 * 16.0 + 36.0) / 16.0
@@ -265,6 +318,12 @@ class DenoiseProfile(Op):
             sigma_band = varf**scale
             coarse, detail, sum_sq = eaw_dn_decompose(
                 cur, scale, 1.0 / (sigma_band * sigma_band))
+            if rowmask is not None:
+                import jax
+
+                sum_sq = jax.lax.psum(
+                    jnp.sum(detail * detail * rowmask, axis=(1, 2)),
+                    shard["axis"])
             sb2 = sigma_band * sigma_band
             var_y = sum_sq / (npix - 1.0)
             std_x = jnp.sqrt(jnp.maximum(1e-6, var_y - sb2))

@@ -403,7 +403,15 @@ def compute_spline(p: FilmicParams) -> Spline:
 
 
 def _log_tonemapping(x, grey, black, dynamic_range):
-    return jnp.clip((jnp.log2(x / grey) - black) / dynamic_range, 0.0, 1.0)
+    """log_tonemapping (filmicrgb.c:1025-1029), made total: the input is
+    clamped to NORM_MIN first.  The reference computes log2f(negative) =
+    NaN on negative channels (possible in the AgX inset rendering) and
+    then *silently* maps them to the spline TOP through C's
+    NaN-suppressing fminf/fmaxf in CLAMPF — a discontinuity jnp.clip
+    would instead propagate as NaN.  Clamping to the bottom is the
+    continuous limit of x -> 0+ and keeps the graph NaN-free."""
+    xx = jnp.maximum(x, NORM_MIN)
+    return jnp.clip((jnp.log2(xx / grey) - black) / dynamic_range, 0.0, 1.0)
 
 
 def _spline_eval(x, s: Spline, c):

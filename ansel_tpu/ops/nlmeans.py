@@ -53,6 +53,20 @@ class NLMeans(Op):
         return OpPlan(spec_in=spec_in, spec_out=spec_in,
                       static=(P, K, decimate))
 
+    def roi_in(self, plan: OpPlan, ctx: PlanContext, win):
+        """Finite stencil: patch radius + search radius (no scattering
+        in this op) — enables row sharding (parallel/spatial.py)."""
+        si, so = plan.spec_in, plan.spec_out
+        if tuple(win) == (0, 0, so.height, so.width):
+            return (0, 0, si.height, si.width)
+        P, K, _dec = plan.static
+        halo = P + K
+        y0 = max(0, win[0] - halo)
+        x0 = max(0, win[1] - halo)
+        y1 = min(si.height, win[0] + win[2] + halo)
+        x1 = min(si.width, win[1] + win[3] + halo)
+        return (y0, x0, y1 - y0, x1 - x0)
+
     def coeffs(self, ctx, plan, p):
         nL, nC = 1.0 / 120.0, 1.0 / 512.0
         return {"sharpness": 3000.0 / (1.0 + p.strength),

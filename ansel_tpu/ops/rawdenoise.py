@@ -82,6 +82,9 @@ def _channel_noise(p: RawDenoiseParams, color: int) -> np.ndarray:
 class RawDenoise(Op):
     name = "rawdenoise"
     input_colorspace = Colorspace.RAW
+    # hat wavelet on half-res CFA planes: sum(1*2^l, l<BANDS) = 31 plane
+    # rows = 62 mosaic rows of stencil support (window-sharding halo)
+    window_halo = 2 * ((1 << BANDS) - 1)
 
     def coeffs(self, ctx: PlanContext, plan: OpPlan, p: RawDenoiseParams):
         cfa = plan.spec_in.cfa
