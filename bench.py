@@ -23,12 +23,18 @@ CONFIGS = {
         ("channelmixerrgb", {}),
         ("filmicrgb", {}),
     ], label="24MP default pipe"),
+    # BASELINE config 2: "profiled denoise (à-trous wavelet + non-local
+    # means) + highlight reconstruction" — wavelet pass + NLM pass +
+    # guided-laplacian highlight reconstruction (mode 3)
     2: dict(h=4000, w=6016, history=[
+        ("highlights", {"mode": 3, "clip": 1.0}),
         ("denoiseprofile", {"a": (4e-4,) * 3, "b": (1e-5,) * 3,
                             "strength": 2.0}),
+        ("denoiseprofile", {"a": (4e-4,) * 3, "b": (1e-5,) * 3,
+                            "strength": 1.0, "mode": 0}),  # NLM pass
         ("exposure", {"exposure": 0.5}),
         ("filmicrgb", {}),
-    ], label="24MP high-ISO denoise stack"),
+    ], label="24MP high-ISO denoise stack (wavelets+NLM+highlights)"),
     3: dict(h=5504, w=8256, history=[
         ("diffuse", {"iterations": 4, "first": 0.2, "second": 0.2,
                      "third": 0.2, "fourth": 0.2, "radius": 8}),
