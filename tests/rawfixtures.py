@@ -732,3 +732,185 @@ def _pack_msb(mosaic: np.ndarray, bits: int) -> bytes:
     if n:
         out.append((acc << (8 - n)) & 0xFF)
     return bytes(out)
+
+
+# ----------------------------------------- Fuji lossless-compressed RAF
+# Encoder mirror of native/rawdec fuji_compressed_decode (scheme per the
+# published Danilchenko fuji_compressed reverse-engineering: vertical
+# strips, per-color sample lines, even/odd interleaved passes, 41
+# sign-folded gradient contexts with (sum,count)-adaptive Rice codes,
+# q_points 0x12/0x43/0x114, counter halving at 64, unary escape at 16).
+# Real camera files cannot be validated in this environment; the C++
+# decoder is gated bit-exact against THIS encoder on random mosaics.
+
+def _fuji_qlevel(d):
+    a = abs(d)
+    q = 0 if a == 0 else 1 if a < 0x12 else 2 if a < 0x43 else \
+        3 if a < 0x114 else 4
+    return -q if d < 0 else q
+
+
+class _FujiCtx:
+    __slots__ = ("sum", "cnt")
+
+    def __init__(self):
+        self.sum, self.cnt = 256, 1
+
+    def k(self):
+        k = 0
+        while k < 12 and (self.cnt << k) < self.sum:
+            k += 1
+        return k
+
+    def update(self, m):
+        self.sum += m
+        self.cnt += 1
+        if self.cnt >= 64:
+            self.sum >>= 1
+            self.cnt >>= 1
+
+
+def _fuji_put_err(bw, ctx, err, bits):
+    m = 2 * err if err >= 0 else -2 * err - 1
+    k = ctx.k()
+    q = m >> k
+    if q >= 16:
+        bw.put(0, 16)                   # escape marker: 16 zero bits
+        bw.put(m, bits + 1)
+    else:
+        bw.put(0, q)                    # q zeros...
+        bw.put(1, 1)                    # ...then a 1
+        bw.put(m & ((1 << k) - 1), k)
+    ctx.update(m)
+
+
+def _fuji_encode_strip(mosaic, info_cfa, is_xtrans, bits, x0, x1):
+    H = mosaic.shape[0]
+    period = 6 if is_xtrans else 2
+    maxv = (1 << bits) - 1
+
+    class BW:  # MSB-first writer
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, val, nbits):
+            if nbits <= 0:
+                return
+            self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+            self.n += nbits
+            while self.n >= 8:
+                self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+                self.n -= 8
+
+        def flush(self):
+            if self.n:
+                self.out.append((self.acc << (8 - self.n)) & 0xFF)
+                self.n = 0
+            return bytes(self.out)
+
+    bw = BW()
+    grads = {}
+    prev = {}
+    for r in range(H):
+        phase = r % period
+        for c in range(3):
+            if is_xtrans:
+                xs = [x for x in range(x0, x1)
+                      if info_cfa[(r % 6) * 6 + (x % 6)] == c]
+            else:
+                xs = [x for x in range(x0, x1)
+                      if info_cfa[(r % 2) * 2 + (x % 2)] == c]
+            if not xs:
+                continue
+            n = len(xs)
+            line = [int(mosaic[r, x]) for x in xs]
+            pl = prev.get((c, phase))
+            first = pl is None or len(pl) != n
+            key = (c, phase)
+            if key not in grads:
+                grads[key] = ([_FujiCtx() for _ in range(41)],
+                              [_FujiCtx() for _ in range(41)])
+            ge, go = grads[key]
+            dec = [0] * n
+            for i in range(0, n, 2):     # even pass
+                if first:
+                    b = dec[i - 2] if i else (1 << (bits - 1))
+                    cL = dR = b
+                else:
+                    b = pl[i]
+                    cL = pl[i - 1] if i else pl[0]
+                    dR = pl[i + 1] if i + 1 < n else pl[n - 1]
+                gidx = 9 * _fuji_qlevel(dR - b) + _fuji_qlevel(b - cL)
+                sign = -1 if gidx < 0 else 1
+                gidx = abs(gidx)
+                interp = b if first else (2 * b + cL + dR) >> 2
+                err = sign * (line[i] - interp)
+                _fuji_put_err(bw, ge[gidx], err, bits)
+                dec[i] = max(0, min(interp + sign * err, maxv))
+            for i in range(1, n, 2):     # odd pass
+                a = dec[i - 1]
+                gR = dec[i + 1] if i + 1 < n else a
+                b = a if first else pl[i]
+                gidx = 9 * _fuji_qlevel(b - a) + _fuji_qlevel(gR - b)
+                sign = -1 if gidx < 0 else 1
+                gidx = abs(gidx)
+                lo, hi = min(a, gR), max(a, gR)
+                interp = ((a + gR + 2 * b) >> 2) if (b < lo or b > hi) \
+                    else (a + gR) >> 1
+                err = sign * (line[i] - interp)
+                _fuji_put_err(bw, go[gidx], err, bits)
+                dec[i] = max(0, min(interp + sign * err, maxv))
+            assert dec == line, "lossless invariant"
+            prev[key] = line
+    return bw.flush()
+
+
+def fuji_compressed_payload(mosaic: np.ndarray, xtrans=None, bits=14,
+                            block_size=768) -> bytes:
+    """-> the compressed CFA payload (header + size table + strips)."""
+    h, w = mosaic.shape
+    is_xtrans = xtrans is not None
+    cfa = ([int(v) for v in np.asarray(xtrans).reshape(-1)]
+           if is_xtrans else [0, 1, 1, 2])
+    nblocks = -(-w // block_size)
+    strips = []
+    for s in range(nblocks):
+        x0 = s * block_size
+        x1 = min(x0 + block_size, w)
+        strips.append(_fuji_encode_strip(mosaic, cfa, is_xtrans, bits,
+                                         x0, x1))
+    head = struct.pack(">HBBBBHHHI", 0x4953, 1, 16 if is_xtrans else 0,
+                       bits, nblocks, block_size, h, w, 0)
+    table = b"".join(struct.pack(">I", len(s)) for s in strips)
+    return head + table + b"".join(strips)
+
+
+def write_raf_compressed(path, mosaic: np.ndarray, xtrans=None, bits=14,
+                         block_size=768, model="X-T5"):
+    """Fujifilm RAF with a lossless-compressed CFA payload."""
+    h, w = mosaic.shape
+    head = bytearray(b"FUJIFILMCCD-RAW ")
+    head += b"0201"
+    head += b"FF000000"
+    head += model.encode().ljust(32, b"\x00")
+    head += b"\x00" * (0x54 - len(head))
+    recs = [(0x0100, struct.pack(">HH", h, w)),
+            (0x0115, struct.pack(">H", bits))]
+    if xtrans is not None:
+        recs.append((0x0131, bytes(int(v) for v in
+                                   np.asarray(xtrans).reshape(-1))))
+    meta = bytearray()
+    meta += struct.pack(">I", len(recs))
+    for tag, payload in recs:
+        meta += struct.pack(">HH", tag, len(payload)) + payload
+    data = fuji_compressed_payload(mosaic, xtrans, bits, block_size)
+    meta_off = 0x70
+    cfa_off = meta_off + len(meta)
+    directory = struct.pack(">IIIIII", 0, 0, meta_off, len(meta),
+                            cfa_off, len(data))
+    head += directory
+    head += b"\x00" * (meta_off - len(head))
+    with open(path, "wb") as f:
+        f.write(bytes(head) + bytes(meta) + data)

@@ -12,7 +12,7 @@ import pytest
 from ansel_tpu.core.types import CFAPattern
 from ansel_tpu.io.dng import load_raw
 from rawfixtures import (write_arw, write_arw2, write_cr2, write_nef,
-                         write_nef_34713, write_raf)
+                         write_nef_34713, write_raf, write_raf_compressed)
 
 XTRANS6 = ((1, 2, 0, 1, 0, 2),
            (0, 1, 1, 2, 1, 1),
@@ -64,6 +64,46 @@ def test_cr2_lj92_slices_roundtrip(tmp_path, n_slices):
         np.argwhere(raw != m)[:4]
     assert meta.maker == "Canon"
     assert "40D" in meta.model
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_raf_compressed_xtrans_roundtrip(tmp_path, bits):
+    """Fuji lossless-compressed payload (the default on modern X
+    bodies), bit-exact vs the independent Python encoder — incl. a
+    block_size smaller than the width so the multi-strip path and the
+    per-strip context reset are exercised."""
+    m = _mosaic(48, 96, bits, seed=3)
+    p = str(tmp_path / "shot.raf")
+    write_raf_compressed(p, m, XTRANS6, bits=bits, block_size=48)
+    raw, meta = load_raw(p)
+    assert raw.shape == (48, 96)
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.cfa is CFAPattern.XTRANS
+    assert meta.white_point == (1 << bits) - 1
+
+
+def test_raf_compressed_bayer_roundtrip(tmp_path):
+    """GFX-class Bayer RAF with the compressed payload."""
+    m = _mosaic(40, 64, 14, seed=5)
+    p = str(tmp_path / "shot.raf")
+    write_raf_compressed(p, m, xtrans=None, bits=14, block_size=64)
+    raw, meta = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32))
+    assert meta.cfa is CFAPattern.RGGB
+
+
+def test_raf_compressed_smooth_scene(tmp_path):
+    """A smooth gradient compresses well below 1 byte/sample/…; also a
+    non-random payload exercises long Rice runs + the escape path."""
+    yy, xx = np.mgrid[0:48, 0:96]
+    m = ((np.sin(yy / 7.0) + np.cos(xx / 11.0) + 2.0)
+         * ((1 << 13) / 4.0)).astype(np.uint16)
+    m[5, 9] = (1 << 14) - 1  # spike -> escape code
+    p = str(tmp_path / "smooth.raf")
+    write_raf_compressed(p, m, XTRANS6, bits=14, block_size=96)
+    raw, _ = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32))
 
 
 def test_raf_xtrans_roundtrip(tmp_path):
