@@ -56,7 +56,8 @@ class _RawInfo(ctypes.Structure):
     ]
 
 
-CONTAINERS = {0: "dng/tiff", 1: "cr2", 2: "raf", 3: "nef", 4: "arw"}
+CONTAINERS = {0: "dng/tiff", 1: "cr2", 2: "raf", 3: "nef", 4: "arw",
+              5: "cr3"}
 
 
 def _lib() -> ctypes.CDLL:

@@ -1,10 +1,11 @@
 """Raw file container IO.
 
-Camera-native decode (the reference's vendored rawspeed/LibRaw C++ stage,
-src/imageio/imageio_rawspeed.cc) is a scheduled native-code milestone; until
-then raws travel as .npz bundles: mosaic uint16/float32 + metadata fields —
-enough to run and validate the full pipeline, and the decode stage plugs in
-behind the same RawMeta interface.
+Camera-native containers (DNG/TIFF, CR2, CR3, NEF, ARW, RAF — incl. the
+vendor entropy codecs: NEF 34713, Sony ARW2, Fuji lossless, Canon CRX)
+decode through the native C++ library (`native/rawdec` via `io/dng.py`),
+the framework's equivalent of the reference's rawspeed/LibRaw stage
+(src/imageio/imageio_rawspeed.cc).  `.npz` bundles remain supported as
+the portable interchange format (mosaic + RawMeta fields).
 """
 
 from __future__ import annotations
@@ -39,10 +40,11 @@ def load_raw(path: str):
     """Dispatch on container: .npz bundles, or TIFF-based raws (DNG)
     through the native decoder (`io/dng.py`)."""
     low = path.lower()
-    if low.endswith((".dng", ".tif", ".tiff")):
-        from .dng import load_dng
+    if low.endswith((".dng", ".tif", ".tiff", ".cr2", ".cr3", ".nef",
+                     ".arw", ".raf")):
+        from .dng import load_raw as load_native
 
-        return load_dng(path)
+        return load_native(path)
     z = np.load(path, allow_pickle=False)
     raw = np.asarray(z["raw"], np.float32)
     h, w = raw.shape

@@ -26,10 +26,14 @@ values are never read because every tap lands on the correct coset):
  12. final R/B at G sites via hvwt-weighted cardinal
      colour differences                                    (:1278-1410)
 
-Documented deviations (all border/scheduling, not algorithm):
-  * stage 3's in-place column-sequential update (later pixels see
-    already-updated hcd/vcd neighbours) is evaluated Jacobi-style from
-    the pre-update values;
+Gated float-exact (<=1e-7 interior) against the scalar transcription of
+the reference in tests/mirrors/amaze_ref.py — including the reference's
+in-place sequential semantics: stage 3's hcd/vcd selection+bounding
+(1-D dependencies -> two lax.scans) and the hvwt/pmwt neighbour
+escalations (row scan), plus its half-index quirks (stage-11 p1+v2 far
+taps, calloc-zero cddiffsq at G sites under the Nyquist quincunx).
+
+Documented deviations (border-only):
   * the Nyquist consensus/area pass runs on the whole frame instead of
     the reference's bounding-box optimization (identical result inside
     the box; the >4-of-8 consensus suppresses isolated outliers
@@ -64,6 +68,102 @@ def _ulim(x, y, z):
     lo = jnp.minimum(y, z)
     hi = jnp.maximum(y, z)
     return jnp.clip(x, lo, hi)
+
+
+def _bound_g(cd, gint, n1, n2, c0, clip_pt):
+    """green-site bounding (:618-654): cd = G - X."""
+    ulim = -_ulim(gint, n1, n2) + c0
+    big = 3.0 * cd > (gint + c0)
+    w = 1.0 - 3.0 * cd / (EPS + gint + c0)
+    bounded = jnp.where(big, ulim, w * cd + (1.0 - w) * ulim)
+    cd = jnp.where(cd > 0, bounded, cd)
+    return jnp.where(gint > clip_pt, ulim, cd)
+
+
+def _bound_rb(cd, gint, n1, n2, c0, clip_pt):
+    """R/B-site bounding (:662-698): cd = G - X, X = cfa."""
+    ulim = _ulim(gint, n1, n2) - c0
+    big = 3.0 * cd < -(gint + c0)
+    w = 1.0 + 3.0 * cd / (EPS + gint + c0)
+    bounded = jnp.where(big, ulim, w * cd + (1.0 - w) * ulim)
+    cd = jnp.where(cd < 0, bounded, cd)
+    return jnp.where(gint > clip_pt, ulim, cd)
+
+
+def _stage3_seq(raw, alt, gmask, c0, n1, n2, clip_pt, axis: int):
+    """Reference stage-3 variance selection + bounding with the C's
+    in-place sequential semantics (:585-705): the selected-and-bounded
+    value 2 steps back along `axis` feeds the next variance.  One
+    lax.scan along that axis, vectorized over the other."""
+    import jax
+
+    def T(a):
+        return a if axis == 0 else a.T
+
+    rawT, altT = T(raw), T(alt)
+    N = rawT.shape[0]
+
+    def sh(a, k):  # shift along axis 0 (edge copies; ends masked off)
+        if k < 0:
+            return jnp.concatenate(
+                [jnp.repeat(a[:1], -k, axis=0), a[:k]], axis=0)
+        return jnp.concatenate(
+            [a[k:], jnp.repeat(a[-1:], k, axis=0)], axis=0)
+
+    xs = (rawT, altT, sh(altT, -2), sh(altT, 2), sh(rawT, 2),
+          ((jnp.arange(N) >= 4) & (jnp.arange(N) < N - 4))[:, None],
+          T(gmask), T(c0), T(n1), T(n2))
+
+    def step(carry, x):
+        u2, u1 = carry
+        raw_i, alt_i, a_m2, a_p2, r_p2, m_i, gm, cc, nn1, nn2 = x
+        var = (3.0 * (u2 * u2 + raw_i * raw_i + r_p2 * r_p2)
+               - (u2 + raw_i + r_p2) ** 2)
+        avar = (3.0 * (a_m2 * a_m2 + alt_i * alt_i + a_p2 * a_p2)
+                - (a_m2 + alt_i + a_p2) ** 2)
+        sel = jnp.where(avar < var, alt_i, raw_i)
+        upd = jnp.where(
+            gm, _bound_g(sel, -sel + cc, nn1, nn2, cc, clip_pt),
+            _bound_rb(sel, sel + cc, nn1, nn2, cc, clip_pt))
+        upd = jnp.where(m_i, upd, raw_i)
+        return (u1, upd), upd
+
+    _, out = jax.lax.scan(step, (rawT[0], rawT[0]), xs)
+    return out if axis == 0 else out.T
+
+
+def _escalate_rows(w, start_row: int, margin: int):
+    """The reference's neighbour escalation (hvwt :899-905, pmwt
+    :1113-1119) updates IN PLACE while scanning rows, so row r's
+    alt-average reads the already-escalated row r-1 and the raw row
+    r+1.  A lax.scan over rows reproduces that sequential semantics
+    exactly; rows < start_row and columns outside [margin, W-margin)
+    stay raw like the reference's loop bounds (caught by
+    tests/mirrors/amaze_ref.py — the Jacobi version diverges on ~4% of
+    pixels through decision cascades)."""
+    import jax
+
+    H, W = w.shape
+    colm = (jnp.arange(W) >= margin) & (jnp.arange(W) < W - margin)
+    w_next = jnp.concatenate([w[1:], w[-2:-1]], axis=0)  # raw row r+1
+
+    def step(carry, inp):
+        row, nxt, r = inp
+        prev = carry
+        pl = jnp.concatenate([prev[1:2], prev[:-1]])   # (r-1, c-1)
+        pr = jnp.concatenate([prev[1:], prev[-2:-1]])  # (r-1, c+1)
+        nl = jnp.concatenate([nxt[1:2], nxt[:-1]])     # (r+1, c-1)
+        nr = jnp.concatenate([nxt[1:], nxt[-2:-1]])    # (r+1, c+1)
+        alt = 0.25 * (pl + pr + nl + nr)
+        esc = jnp.where(jnp.abs(0.5 - row) < jnp.abs(0.5 - alt),
+                        alt, row)
+        out = jnp.where((r >= start_row) & (r < H - start_row) & colm,
+                        esc, row)
+        return out, out
+
+    _, rows = jax.lax.scan(
+        step, w[0], (w, w_next, jnp.arange(H)))
+    return rows
 
 
 def amaze_demosaic(x: jnp.ndarray, cfa: CFAPattern,
@@ -144,49 +244,22 @@ def amaze_demosaic(x: jnp.ndarray, cfa: CFAPattern,
                                             (glar - grar) ** 2))
 
     # ---- 3. variance selection + saturation bounding (:585-705)
-    hv = PaddedView(jnp.stack([hcd, vcd, hcdalt, vcdalt]), 3,
-                    mode="reflect")
-
-    def var3(a, b, cc_):
-        return 3.0 * (a * a + b * b + cc_ * cc_) - (a + b + cc_) ** 2
-
-    hcdvar = var3(hv.at(0, -2)[0], hcd, hv.at(0, 2)[0])
-    hcdaltvar = var3(hv.at(0, -2)[2], hcdalt, hv.at(0, 2)[2])
-    vcdvar = var3(hv.at(-2, 0)[1], vcd, hv.at(2, 0)[1])
-    vcdaltvar = var3(hv.at(-2, 0)[3], vcdalt, hv.at(2, 0)[3])
-    hcd = jnp.where(hcdaltvar < hcdvar, hcdalt, hcd)
-    vcd = jnp.where(vcdaltvar < vcdvar, vcdalt, vcd)
-
+    # The reference updates hcd/vcd IN PLACE while scanning row-major,
+    # so each pixel's 3-tap variance reads the already-selected-and-
+    # bounded value 2 columns back (hcd) / 2 rows up (vcd).  The two
+    # dependencies are each one-dimensional, so two lax.scans reproduce
+    # the sequential semantics exactly — vectorized over the other axis
+    # (caught by tests/mirrors/amaze_ref.py; the former Jacobi
+    # evaluation was a documented deviation, now gone).
     cN, cS = c.at(-1, 0), c.at(1, 0)
     cW, cE = c.at(0, -1), c.at(0, 1)
-
-    def bound_g(cd, gint, n1, n2):
-        """green-site bounding (:618-654): cd = G - X."""
-        ulim = -_ulim(gint, n1, n2) + c0
-        big = 3.0 * cd > (gint + c0)
-        w = 1.0 - 3.0 * cd / (EPS + gint + c0)
-        bounded = jnp.where(big, ulim, w * cd + (1.0 - w) * ulim)
-        cd = jnp.where(cd > 0, bounded, cd)
-        return jnp.where(gint > clip_pt, ulim, cd)
-
-    def bound_rb(cd, gint, n1, n2):
-        """R/B-site bounding (:662-698): cd = G - X, X = cfa."""
-        ulim = _ulim(gint, n1, n2) - c0
-        big = 3.0 * cd < -(gint + c0)
-        w = 1.0 + 3.0 * cd / (EPS + gint + c0)
-        bounded = jnp.where(big, ulim, w * cd + (1.0 - w) * ulim)
-        cd = jnp.where(cd < 0, bounded, cd)
-        return jnp.where(gint > clip_pt, ulim, cd)
-
-    ginth_g = -hcd + c0     # green site: R/B estimate
-    gintv_g = -vcd + c0
-    ginth_rb = hcd + c0     # R/B site: G estimate
-    gintv_rb = vcd + c0
-    hcd = jnp.where(gmask, bound_g(hcd, ginth_g, cW, cE),
-                    bound_rb(hcd, ginth_rb, cW, cE))
-    vcd = jnp.where(gmask, bound_g(vcd, gintv_g, cN, cS),
-                    bound_rb(vcd, gintv_rb, cN, cS))
-    cddiffsq = (vcd - hcd) ** 2            # used at R/B sites only
+    hcd = _stage3_seq(hcd, hcdalt, gmask, c0, cW, cE, clip_pt, axis=1)
+    vcd = _stage3_seq(vcd, vcdalt, gmask, c0, cN, cS, clip_pt, axis=0)
+    # the reference writes cddiffsq ONLY in the R/B branch (:699), so
+    # the G sites stay calloc-ZERO and the Nyquist quincunx taps at
+    # (+-1, +-1) sum zeros — zero the G sites to match exactly
+    # (caught by tests/mirrors/amaze_ref.py)
+    cddiffsq = jnp.where(rb_mask, (vcd - hcd) ** 2, 0.0)
 
     # ---- 4. hvwt at R/B sites (:707-760)
     vp = PaddedView(vcd, 4, mode="reflect")
@@ -289,11 +362,8 @@ def amaze_demosaic(x: jnp.ndarray, cfa: CFAPattern,
                      hvwt)
 
     # ---- 6. G at R/B sites (+ Nyquist curvature refinement, :893-955)
-    hw = PaddedView(hvwt, 3, mode="reflect")
-    hvwtalt = 0.25 * (hw.at(-1, -1) + hw.at(-1, 1) + hw.at(1, -1)
-                      + hw.at(1, 1))
-    hvwt = jnp.where(jnp.abs(0.5 - hvwt) < jnp.abs(0.5 - hvwtalt),
-                     hvwtalt, hvwt)
+    # sequential (scan) escalation: the reference updates hvwt in place
+    hvwt = _escalate_rows(hvwt, 8, 8)
     dgrb0 = hvwt * vcd + (1.0 - hvwt) * hcd
     rgbgreen = jnp.where(rb_mask, c0 + dgrb0, c0)
 
@@ -377,11 +447,8 @@ def amaze_demosaic(x: jnp.ndarray, cfa: CFAPattern,
     rbm_ = bound_diag(rbm_, c.at(-1, -1), c.at(1, 1))
 
     # ---- 9. pmwt escalation + rbint (:1109-1126)
-    pw = PaddedView(pmwt, 1, mode="reflect")
-    pmwtalt = 0.25 * (pw.at(-1, -1) + pw.at(-1, 1) + pw.at(1, -1)
-                      + pw.at(1, 1))
-    pmwt = jnp.where(jnp.abs(0.5 - pmwt) < jnp.abs(0.5 - pmwtalt),
-                     pmwtalt, pmwt)
+    # sequential (scan) escalation like hvwt's (:1113-1119)
+    pmwt = _escalate_rows(pmwt, 10, 10)
     rbint = 0.5 * (c0 + rbm_ * (1.0 - pmwt) + rbp_ * pmwt)
 
     # ---- 10. G re-interpolation from R+B (:1129-1233)
@@ -441,12 +508,16 @@ def amaze_demosaic(x: jnp.ndarray, cfa: CFAPattern,
                       + jnp.abs(ne1 - sw3))
         wtse = 1.0 / (EPS + jnp.abs(se1 - nw1) + jnp.abs(se1 - sw3)
                       + jnp.abs(nw1 - se3))
+        # NB the reference's NE/SW 4th taps are (indx+p1+v2)>>1 and
+        # (indx-p1-v2)>>1 = the 1-away SE/NW neighbours (p1+v2 == m1),
+        # NOT the symmetric (-3,+1)/(+3,-1) — upstream RT quirk, kept
+        # verbatim (caught by tests/mirrors/amaze_ref.py)
         est = (wtnw * (1.325 * nw1 - 0.175 * nw3
                        - 0.075 * d.at(-1, -3) - 0.075 * d.at(-3, -1))
                + wtne * (1.325 * ne1 - 0.175 * ne3
-                         - 0.075 * d.at(-1, 3) - 0.075 * d.at(-3, 1))
+                         - 0.075 * d.at(-1, 3) - 0.075 * se1)
                + wtsw * (1.325 * sw1 - 0.175 * sw3
-                         - 0.075 * d.at(1, -3) - 0.075 * d.at(3, -1))
+                         - 0.075 * d.at(1, -3) - 0.075 * nw1)
                + wtse * (1.325 * se1 - 0.175 * se3
                          - 0.075 * d.at(1, 3) - 0.075 * d.at(3, 1))) \
             / (wtnw + wtne + wtsw + wtse)
