@@ -914,3 +914,135 @@ def write_raf_compressed(path, mosaic: np.ndarray, xtrans=None, bits=14,
     head += b"\x00" * (meta_off - len(head))
     with open(path, "wb") as f:
         f.write(bytes(head) + bytes(meta) + data)
+
+
+# ------------------------------------------------------- Canon CR3 (CRX)
+# Container per the public "Inside Canon RAW v3" structure documentation
+# (ISO-BMFF: ftyp 'crx ', moov/uuid(Canon) with CMT1/CMT2 TIFF blobs,
+# trak/stbl sample tables, CRAW + CMP1 stsd entry, mdat payload).  The
+# codec mirror matches native/rawdec crx_decode: four half-res CFA
+# subplanes, median-edge-detector prediction, 2e/-2e-1 mapping,
+# per-sample K+-1 Rice adaptation from K=4, 41-quotient escape.
+
+_CANON_UUID = bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+
+
+def _crx_adapt_k(k, m):
+    if (m >> k) >= 2 and k < 15:
+        return k + 1
+    if k > 0 and (m << 1) < (1 << k):
+        return k - 1
+    return k
+
+
+def _crx_med(a, b, c):
+    mx, mn = max(a, b), min(a, b)
+    if c >= mx:
+        return mn
+    if c <= mn:
+        return mx
+    return a + b - c
+
+
+def crx_encode_plane(plane: np.ndarray, bits: int) -> bytes:
+    ph, pw = plane.shape
+    out = bytearray()
+    acc = 0
+    nb = 0
+
+    def put(val, nbits):
+        nonlocal acc, nb
+        if nbits <= 0:
+            return
+        acc = (acc << nbits) | (val & ((1 << nbits) - 1))
+        nb += nbits
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+
+    k = 4
+    pl = plane.astype(np.int64)
+    for y in range(ph):
+        for x in range(pw):
+            a = int(pl[y, x - 1]) if x else (int(pl[y - 1, 0]) if y else 0)
+            b = int(pl[y - 1, x]) if y else a
+            c = int(pl[y - 1, x - 1]) if (x and y) else b
+            pred = _crx_med(a, b, c) if (x or y) else 1 << (bits - 1)
+            e = int(pl[y, x]) - pred
+            m = 2 * e if e >= 0 else -2 * e - 1
+            q = m >> k
+            if q >= 41:
+                put(0, 41)
+                put(m, bits + 1)
+            else:
+                put(0, q)
+                put(1, 1)
+                put(m & ((1 << k) - 1), k)
+            k = _crx_adapt_k(k, m)
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def crx_payload(mosaic: np.ndarray, bits: int) -> bytes:
+    h, w = mosaic.shape
+    assert h % 2 == 0 and w % 2 == 0
+    planes = [mosaic[0::2, 0::2], mosaic[0::2, 1::2],
+              mosaic[1::2, 0::2], mosaic[1::2, 1::2]]
+    out = bytearray()
+    for i, p in enumerate(planes):
+        s = crx_encode_plane(p, bits)
+        out += struct.pack(">III", 0xFF020008, i, len(s)) + s
+    return bytes(out)
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _tiff_blob(entries) -> bytes:
+    t = TiffWriter()
+    t.add_ifd(entries, link_from="header")
+    return bytes(t.buf)
+
+
+def write_cr3(path, mosaic: np.ndarray, bits=14, model="Canon EOS R5",
+              iso=800):
+    """Canon CR3: ISO-BMFF container with a CRX-coded raw track."""
+    h, w = mosaic.shape
+    payload = crx_payload(mosaic, bits)
+
+    cmt1 = _tiff_blob([
+        (0x010F, 2, 6, b"Canon\x00"),
+        (0x0110, 2, len(model) + 1, model.encode() + b"\x00"),
+    ])
+    cmt2 = _tiff_blob([(0x8827, 3, 1, TiffWriter.shorts(iso))])
+
+    # stsd: ver/flags + count + CRAW sample entry (+ CMP1 codec box)
+    cmp1 = _box(b"CMP1", struct.pack(">HH", 1, bits))
+    craw_body = (b"\x00" * 6 + struct.pack(">H", 1)   # reserved + dataref
+                 + b"\x00" * 16                        # predefined
+                 + struct.pack(">HH", w, h) + cmp1)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(b"CRAW", craw_body))
+    stsz = _box(b"stsz", struct.pack(">III", 0, len(payload), 1))
+
+    def assemble(mdat_off):
+        co64 = _box(b"co64", struct.pack(">II", 0, 1)
+                    + struct.pack(">Q", mdat_off + 8))
+        stbl = _box(b"stbl", stsd + stsz + co64)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", minf)
+        trak = _box(b"trak", mdia)
+        uuid_box = _box(b"uuid", _CANON_UUID + _box(b"CMT1", cmt1)
+                        + _box(b"CMT2", cmt2))
+        moov = _box(b"moov", uuid_box + trak)
+        ftyp = _box(b"ftyp", b"crx " + struct.pack(">I", 1) + b"crx isom")
+        return ftyp + moov
+
+    head = assemble(0)
+    mdat_off = len(head)
+    head = assemble(mdat_off)
+    assert len(head) == mdat_off
+    mdat = _box(b"mdat", payload)
+    with open(path, "wb") as f:
+        f.write(head + mdat)

@@ -11,8 +11,9 @@ import pytest
 
 from ansel_tpu.core.types import CFAPattern
 from ansel_tpu.io.dng import load_raw
-from rawfixtures import (write_arw, write_arw2, write_cr2, write_nef,
-                         write_nef_34713, write_raf, write_raf_compressed)
+from rawfixtures import (write_arw, write_arw2, write_cr2, write_cr3,
+                         write_nef, write_nef_34713, write_raf,
+                         write_raf_compressed)
 
 XTRANS6 = ((1, 2, 0, 1, 0, 2),
            (0, 1, 1, 2, 1, 1),
@@ -64,6 +65,49 @@ def test_cr2_lj92_slices_roundtrip(tmp_path, n_slices):
         np.argwhere(raw != m)[:4]
     assert meta.maker == "Canon"
     assert "40D" in meta.model
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_cr3_crx_roundtrip(tmp_path, bits):
+    """CR3 (ISO-BMFF + CRX raw track): bit-exact vs the Python encoder;
+    the BMFF walk, Canon uuid CMT metadata, CRAW/CMP1 stsd entry,
+    stsz/co64 sample location, and all four subplane streams."""
+    m = _mosaic(40, 64, bits, seed=7)
+    p = str(tmp_path / "shot.cr3")
+    write_cr3(p, m, bits=bits, iso=1600)
+    raw, meta = load_raw(p)
+    assert raw.shape == (40, 64)
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.cfa is CFAPattern.RGGB
+    assert meta.maker == "Canon"
+    assert "R5" in meta.model
+    assert meta.iso == 1600
+    assert meta.white_point == (1 << bits) - 1
+
+
+def test_cr3_smooth_scene(tmp_path):
+    """Smooth scene: long low-K runs + one escape spike."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    m = ((np.sin(yy / 9.0) + np.cos(xx / 13.0) + 2.0)
+         * (16383 / 4.0)).astype(np.uint16)
+    m[7, 11] = 16383
+    p = str(tmp_path / "smooth.cr3")
+    write_cr3(p, m, bits=14)
+    raw, _ = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32))
+
+
+def test_cr3_feeds_pipeline(tmp_path):
+    from ansel_tpu import HistoryItem, compile_pipeline
+
+    m = _mosaic(64, 96, 14, seed=9)
+    p = str(tmp_path / "shot.cr3")
+    write_cr3(p, m)
+    raw, meta = load_raw(p)
+    pipe = compile_pipeline(meta, [HistoryItem("exposure", {})])
+    out = np.asarray(pipe.output_array(raw))
+    assert out.shape[0] == 3 and np.isfinite(out).all()
 
 
 @pytest.mark.parametrize("bits", [12, 14])
