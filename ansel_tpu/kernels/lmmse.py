@@ -46,7 +46,11 @@ def _median3(a, b, c):
 
 
 def _median9(vs):
-    """Exact 9-element median via a sorting network (lmmse.c:76-119)."""
+    """The reference's 9-element network, op for op (lmmse.c:74-115).
+
+    NOT a textbook median: lmmse.c:99 assigns ``a5 = fminf(a4, a5)``
+    (both a4 and a5 take the min) and :101-102 leaves a7 untouched.
+    Those are the shipped weights — transcribed, not repaired."""
     v = list(vs)
 
     def mm(i, j):
@@ -54,18 +58,24 @@ def _median9(vs):
         hi = jnp.maximum(v[i], v[j])
         v[i], v[j] = lo, hi
 
-    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
-                 (4, 5), (7, 8)):
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2)):
         mm(i, j)
+    t45 = jnp.minimum(v[4], v[5])
+    v[4] = t45
+    v[5] = t45
+    tmp = jnp.minimum(v[7], v[8])
+    v[8] = jnp.maximum(v[7], v[8])
     v[3] = jnp.maximum(v[0], v[3])
     v[5] = jnp.minimum(v[5], v[8])
-    mm(4, 7)
+    a7 = jnp.maximum(v[4], tmp)
+    tmp = jnp.minimum(v[4], tmp)
     v[6] = jnp.maximum(v[3], v[6])
-    v[4] = jnp.maximum(v[1], v[4])
+    v[4] = jnp.maximum(v[1], tmp)
     v[2] = jnp.minimum(v[2], v[5])
-    v[4] = jnp.minimum(v[4], v[7])
-    mm(4, 2)
-    v[4] = jnp.maximum(v[6], v[4])
+    v[4] = jnp.minimum(v[4], a7)
+    tmp = jnp.minimum(v[4], v[2])
+    v[2] = jnp.maximum(v[4], v[2])
+    v[4] = jnp.maximum(v[6], tmp)
     return jnp.minimum(v[4], v[2])
 
 
