@@ -126,7 +126,8 @@ def lin_interpolate4(x: jnp.ndarray, cfa: CFAPattern):
                     vals4.append(None)  # own site: copy
                     continue
                 offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-                        if _fc(f4, row + dy, col + dx) == c]
+                        if _fc(f4, row + dy, col + dx) == c
+                        and (dy, dx) != (0, 0)]
                 vals4.append(offs)
         plane = jnp.zeros((h, w), x.dtype)
         for idx, offs in enumerate(vals4):
@@ -134,7 +135,11 @@ def lin_interpolate4(x: jnp.ndarray, cfa: CFAPattern):
             if offs is None:
                 plane = jnp.where(m, x, plane)
             else:
-                v = sum(p.at(dy, dx) for dy, dx in offs) / float(len(offs))
+                # adjacency weights 1 << ((dy==0)+(dx==0)) (basic.c:86)
+                ws = [float(1 << ((dy == 0) + (dx == 0)))
+                      for dy, dx in offs]
+                v = sum(wt * p.at(dy, dx)
+                        for wt, (dy, dx) in zip(ws, offs)) / sum(ws)
                 plane = jnp.where(m, v, plane)
         planes.append(plane)
     return planes, pos
@@ -210,9 +215,9 @@ def vng4_demosaic(x: jnp.ndarray, cfa: CFAPattern) -> jnp.ndarray:
         tot = jnp.where(center_col == c, pixc, tot)
         tot = jnp.where(gmax_all == 0.0, P[c], tot)
         out4.append(tot)
-    # mix the two greens (vng.c:195-199)
-    return jnp.maximum(
-        jnp.stack([out4[0], 0.5 * (out4[1] + out4[3]), out4[2]]), 0.0)
+    # mix the two greens (vng.c:195-199); no clamp — the reference's
+    # vng_interpolate returns signed values
+    return jnp.stack([out4[0], 0.5 * (out4[1] + out4[3]), out4[2]])
 
 
 # ----------------------------------------------------------- X-Trans VNG
@@ -280,7 +285,11 @@ def xtrans_lin_interpolate(x: jnp.ndarray, xtrans: tuple):
                 offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
                         if (dy, dx) != (0, 0)
                         and fc(row + dy, col + dx) == c]
-                v = sum(p.at(dy, dx) for dy, dx in offs) / float(len(offs))
+                # adjacency weights 1 << ((dy==0)+(dx==0)) (basic.c:86)
+                ws = [float(1 << ((dy == 0) + (dx == 0)))
+                      for dy, dx in offs]
+                v = sum(wt * p.at(dy, dx)
+                        for wt, (dy, dx) in zip(ws, offs)) / sum(ws)
                 plane = jnp.where(m, v, plane)
         planes.append(plane)
     return planes, pos
@@ -350,4 +359,5 @@ def xtrans_vng_demosaic(x: jnp.ndarray, xtrans: tuple) -> jnp.ndarray:
         tot = jnp.where(center_col == c, pixc, tot)
         tot = jnp.where(gmax_all == 0.0, P[c], tot)
         out.append(tot)
-    return jnp.maximum(jnp.stack(out), 0.0)
+    # no clamp — the reference's vng_interpolate returns signed values
+    return jnp.stack(out)
