@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -50,13 +51,15 @@ CONFIGS = {
         ("exposure", {"exposure": 0.5}),
         ("filmicrgb", {}),
     ], label="24MP X-Trans Markesteijn-3pass+lens+TCA"),
-    # BASELINE config 5: batch export throughput (vmap batch on this
-    # chip; the v5e-8 dp-mesh path is exercised by dryrun_multichip)
-    5: dict(h=4000, w=6016, batch=4, history=[
-        ("exposure", {"exposure": 0.5}),
-        ("channelmixerrgb", {}),
-        ("filmicrgb", {}),
-    ], label="batch export (4-image stream, per-chip rate)"),
+    # BASELINE config 5: catalog batch export through the LIBRARY path —
+    # SQLite import + collection query + USER_EXPORT queue + host decode
+    # -> device render -> host JPEG encode, mixed Bayer/X-Trans pipes
+    # (library/export.py; reference export.c + export_jobs.c).  Small
+    # frames: the sandbox relay tunnel (~1-35 MB/s) would otherwise
+    # dominate with transfer time no real deployment pays.
+    5: dict(library=True, n_images=24, h=1024, w=1536,
+            label="library batch export (24-image mixed catalog, "
+                  "full decode->render->encode path)"),
     # config 6: the reference's own benchmark pipeline — the full
     # darktable-bench-3.4 sidecar history (~60 module instances incl.
     # denoiseprofile x2, retouch x2, bilat x2, atrous, liquify,
@@ -75,6 +78,85 @@ XTRANS6 = (1, 2, 0, 1, 0, 2,
            0, 1, 1, 2, 1, 1)
 
 
+def _remosaic_xtrans(raw, meta, scene, h, w):
+    """Re-sample a synthetic Bayer scene through the X-Trans pattern."""
+    import dataclasses
+
+    import numpy as _np
+
+    meta = dataclasses.replace(meta, xtrans=XTRANS6)
+    idx = _np.asarray(XTRANS6).reshape(6, 6)
+    sel = idx[_np.arange(h)[:, None] % 6, _np.arange(w)[None, :] % 6]
+    lin = _np.take_along_axis(_np.asarray(scene), sel[None], axis=0)[0]
+    wb = _np.asarray(meta.wb_coeffs)[:3][sel]
+    raw = (lin / _np.maximum(wb, 1e-6)
+           * (meta.white_point - meta.black_levels[0])
+           + meta.black_levels[0]).astype(_np.float32)
+    return raw, meta
+
+
+def run_library_config(cfg):
+    """Config 5: the full library path — import, collection, scheduler
+    USER_EXPORT queue, host decode -> device render -> host encode.
+    Steady-state rate: run the catalog twice, time the second pass
+    (pipe compiles are plan-signature cached; decode/render/encode all
+    re-run per image)."""
+    import shutil
+    import tempfile
+
+    from ansel_tpu import HistoryItem
+    from ansel_tpu.io.rawfile import save_raw
+    from ansel_tpu.io.synthetic import synth_raw
+    from ansel_tpu.io.xmp import write_xmp
+    from ansel_tpu.library.collections import Collection
+    from ansel_tpu.library.db import Library
+    from ansel_tpu.library.export import batch_export
+
+    H, W, n = cfg["h"], cfg["w"], cfg["n_images"]
+    root = tempfile.mkdtemp(prefix="ansel_bench5_")
+    try:
+        src = os.path.join(root, "film")
+        os.makedirs(src)
+        hist = [HistoryItem("exposure", {"exposure": 0.5}),
+                HistoryItem("channelmixerrgb", {}),
+                HistoryItem("filmicrgb", {})]
+        for i in range(n):
+            raw, meta, scene = synth_raw(h=H, w=W, kind="gradients",
+                                         seed=i)
+            if i % 2:  # odd images: X-Trans (Markesteijn pipe)
+                raw, meta = _remosaic_xtrans(raw, meta, scene, H, W)
+            path = os.path.join(src, f"img{i:03d}.npz")
+            save_raw(path, raw, meta)
+            write_xmp(path + ".xmp", hist)
+
+        lib = Library(os.path.join(root, "library.db"))
+        lib.import_film_roll(src)
+        coll = Collection(film_folder=src)
+
+        out1 = os.path.join(root, "out1")
+        out2 = os.path.join(root, "out2")
+        written = batch_export(lib, coll, out1)   # compile warmup pass
+        assert len(written) == n, written
+        t0 = time.perf_counter()
+        written = batch_export(lib, coll, out2)
+        dt = time.perf_counter() - t0
+        assert len(written) == n and all(
+            os.path.getsize(p) > 1000 for p in written)
+
+        import jax
+        ips = n / dt
+        return ips, {
+            "pixelpipe_mp_per_sec": round(n * H * W / 1e6 / dt, 1),
+            "image_mp": round(H * W / 1e6, 1),
+            "images": n,
+            "mixed": "bayer+xtrans",
+            "path": "sqlite+collection+user_export_queue+decode+encode",
+            "backend": jax.default_backend(),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_config(cfg_id: int):
     """Measure one config -> (images_per_sec, detail_dict)."""
     import jax
@@ -84,27 +166,15 @@ def run_config(cfg_id: int):
     from ansel_tpu.ops import base as ops_base
 
     cfg = CONFIGS[cfg_id]
+    if cfg.get("library"):
+        return run_library_config(cfg)
     H, W = cfg["h"], cfg["w"]
     raw, meta, scene = synth_raw(h=H, w=W, kind="gradients")
     if cfg.get("xtrans"):
-        import dataclasses
-
-        import numpy as _np
-
-        meta = dataclasses.replace(meta, xtrans=XTRANS6)
-        # remosaic the synthetic scene through the 6x6 pattern
-        idx = _np.asarray(XTRANS6).reshape(6, 6)
-        sel = idx[_np.arange(H)[:, None] % 6, _np.arange(W)[None, :] % 6]
-        lin = _np.take_along_axis(_np.asarray(scene), sel[None], axis=0)[0]
-        wb = _np.asarray(meta.wb_coeffs)[:3][sel]
-        raw = (lin / _np.maximum(wb, 1e-6) * (meta.white_point
-               - meta.black_levels[0]) + meta.black_levels[0]).astype(
-                   _np.float32)
+        raw, meta = _remosaic_xtrans(raw, meta, scene, H, W)
 
     forms = None
     if cfg.get("sidecar"):
-        import os
-
         from ansel_tpu.io.xmp import parse_xmp
 
         path = os.path.join("/root/reference/tests/benchmark",
