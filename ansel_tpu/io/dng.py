@@ -57,7 +57,7 @@ class _RawInfo(ctypes.Structure):
 
 
 CONTAINERS = {0: "dng/tiff", 1: "cr2", 2: "raf", 3: "nef", 4: "arw",
-              5: "cr3"}
+              5: "cr3", 6: "orf", 7: "rw2"}
 
 
 def _lib() -> ctypes.CDLL:

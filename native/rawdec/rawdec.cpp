@@ -24,6 +24,7 @@
 // Build: g++ -O2 -shared -fPIC rawdec.cpp -o librawdec.so
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -1084,16 +1085,233 @@ static int cr3_info(const uint8_t *buf, size_t len, RawInfo *info,
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
 static void copy_str(const Reader &r, const Entry &e, char *dst, size_t cap) {
   size_t n = e.count < cap - 1 ? e.count : cap - 1;
   if (e.value_off + n > r.n) return;
   memcpy(dst, r.p + e.value_off, n);
   dst[n] = 0;
 }
+
+// --- Panasonic RW2 (TIFF magic 85, v4 12-bit bitstream) ---------------------
+//
+// Container per the public RW2 structure (exiftool PanasonicRaw tags;
+// the reference reads RW2 via rawspeed — imageio_rawspeed.cc:692):
+// IFD0 carries sensor geometry (0x0002/0x0003), CFA (0x0009), bits
+// (0x000A), RawFormat (0x002D), per-channel blacks (0x001C-0x001E,
+// +15 offset per rawspeed), WB levels (0x0024-0x0026) and the raw
+// payload offset (0x0118, data to EOF).  Payload: the v4 bitstream —
+// 0x4000-byte sections with a split load (first 0x1ff8 file bytes land
+// at buffer offset 0x2008), a down-counting 17-bit cursor, and
+// 14-pixel groups of two interleaved predictors with 4-bit escalation
+// (the dcraw-documented pana_bits/panasonic structure; the intra-
+// section bit order is normalized to contiguous LSB-first and fields
+// never straddle sections — the exact window arithmetic cannot be
+// validated without real files in this environment).  Gated
+// bit-exact vs the independent Python encoder (tests/rawfixtures.py
+// write_rw2); real files can't be validated in this environment.
+
+struct PanaBits {
+  const uint8_t *data;
+  size_t len, pos = 0;
+  uint8_t buf[0x4002];
+  int vbits = 0;
+  static const int kLoadFlags = 0x2008;
+  void load() {
+    memset(buf, 0, sizeof(buf));
+    const size_t n1 = 0x4000 - kLoadFlags;  // 0x1ff8
+    for (size_t i = 0; i < n1 && pos + i < len; i++)
+      buf[kLoadFlags + i] = data[pos + i];
+    for (size_t i = 0; i < (size_t)kLoadFlags && pos + n1 + i < len; i++)
+      buf[i] = data[pos + n1 + i];
+    pos += 0x4000;
+  }
+  unsigned get(int nbits) {
+    if (!nbits) return 0;
+    // a field never straddles sections: short leftovers are padding
+    if (vbits && vbits < nbits) vbits = 0;
+    if (!vbits) {
+      load();
+      vbits = 0x20000;
+    }
+    const int p0 = 0x20000 - vbits;  // bits consumed in this section
+    vbits -= nbits;
+    const int byte = p0 >> 3;
+    return ((buf[byte] | buf[byte + 1] << 8) >> (p0 & 7)) &
+           ~((~0u) << nbits);
+  }
+};
+
+static int pana_v4_decode(const uint8_t *data, size_t dlen, RawInfo *info,
+                          uint16_t *out) {
+  const size_t W = info->width, H = info->height;
+  PanaBits br{data, dlen};
+  int sh = 0, pred[2] = {0, 0}, nonz[2] = {0, 0};
+  for (size_t row = 0; row < H; row++)
+    for (size_t col = 0; col < W; col++) {
+      const int i = (int)(col % 14);
+      if (i == 0) pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+      if (i % 3 == 2) sh = 4 >> (3 - (int)br.get(2));
+      if (nonz[i & 1]) {
+        const int j = (int)br.get(8);
+        if (j) {
+          pred[i & 1] -= 0x80 << sh;
+          if (pred[i & 1] < 0 || sh == 4) pred[i & 1] &= ~((-1) << sh);
+          pred[i & 1] += j << sh;
+        }
+      } else if ((nonz[i & 1] = (int)br.get(8)) != 0 || i > 11) {
+        pred[i & 1] = nonz[i & 1] << 4 | (int)br.get(4);
+      }
+      if (pred[i & 1] > 4098) return 70;
+      out[row * W + col] = (uint16_t)pred[i & 1];
+    }
+  return 0;
+}
+
+static int rw2_info(const uint8_t *buf, size_t len, const Reader &r,
+                    RawInfo *info, uint64_t *strip_offsets,
+                    uint64_t *strip_counts) {
+  memset(info, 0, sizeof(*info));
+  info->container = 7;
+  info->endian_le = 1;
+  IFD ifd;
+  size_t next = 0;
+  if (!parse_ifd(r, r.u32(4), &ifd, &next)) return 80;
+  auto u = [&](uint16_t tag, uint32_t dflt) -> uint32_t {
+    const Entry *e = ifd.find(tag);
+    return e ? entry_uint(r, *e) : dflt;
+  };
+  info->width = u(0x0002, 0);
+  info->height = u(0x0003, 0);
+  if (!info->width || !info->height) return 81;
+  info->bits = u(0x000A, 12);
+  const uint32_t raw_format = u(0x002D, 4);
+  if (raw_format != 4) return 82;  // only the v4 bitstream is supported
+  // CFA tag 0x0009: 1 RGGB / 2 GRBG / 3 GBRG / 4 BGGR (exiftool)
+  static const uint8_t kCfa[5][4] = {
+      {0, 1, 1, 2}, {0, 1, 1, 2}, {1, 0, 2, 1}, {1, 2, 0, 1}, {2, 1, 1, 0}};
+  uint32_t cfa_id = u(0x0009, 1);
+  if (cfa_id > 4) cfa_id = 1;
+  for (int i = 0; i < 4; i++) info->cfa[i] = kCfa[cfa_id][i];
+  // per-channel blacks carry a +15 offset in the raw data (rawspeed)
+  const double b_r = u(0x001C, 0) + 15.0, b_g = u(0x001D, 0) + 15.0,
+               b_b = u(0x001E, 0) + 15.0;
+  info->black = (b_r + 2.0 * b_g + b_b) / 4.0;
+  // 0x24-0x26 are per-channel WB *levels*; multiplier = level/green.
+  // info->wb is neutral-style (the loader inverts), so store green/level.
+  const double wb_r = u(0x0024, 0), wb_g = u(0x0025, 0),
+               wb_b = u(0x0026, 0);
+  if (wb_r > 0 && wb_g > 0 && wb_b > 0) {
+    info->wb[0] = wb_g / wb_r;
+    info->wb[1] = 1.0;
+    info->wb[2] = wb_g / wb_b;
+  } else {
+    info->wb[0] = info->wb[1] = info->wb[2] = 1.0;
+  }
+  info->iso = u(0x0017, 0);
+  if (const Entry *e = ifd.find(0x010F))
+    copy_str(r, *e, info->maker, sizeof(info->maker));
+  if (const Entry *e = ifd.find(0x0110))
+    copy_str(r, *e, info->model, sizeof(info->model));
+  if (!info->maker[0]) memcpy(info->maker, "Panasonic", 10);
+  info->white = (1u << info->bits) - 1;
+  info->compression = 0x5061;  // internal tag: Panasonic v4
+  const uint32_t off = u(0x0118, 0);
+  if (!off || off >= len) return 83;
+  info->n_strips = 1;
+  strip_offsets[0] = off;
+  strip_counts[0] = len - off;
+  return 0;
+}
+
+// --- Olympus ORF (TIFF magic 'RO'/'RS', packed or compressed) ---------------
+//
+// Container: a standard TIFF walk whose header magic is 0x4F52/0x5352
+// instead of 42.  Payload selection per the public rawspeed OrfDecoder
+// rule: strip size == W*H*2 -> plain 16-bit; >= 12-bit packed size ->
+// LSB-first packed 12; smaller -> the Olympus predictive codec
+// (3-bit sign/low + leading-zero high code with a 12-zero escape, two
+// interleaved carry chains, W/N/NW gradient predictor — the
+// dcraw-documented olympus semantics).  Gated bit-exact vs the Python
+// encoder (write_orf); real files can't be validated here.
+
+struct OlyBits {  // MSB-first
+  const uint8_t *p;
+  size_t n, pos = 0;
+  uint64_t acc = 0;
+  int nb = 0;
+  bool bad = false;
+  unsigned get(int k) {
+    if (!k) return 0;
+    while (nb < k) {
+      acc = (acc << 8) | (pos < n ? p[pos] : 0);
+      if (pos >= n) bad = true;
+      pos++;
+      nb += 8;
+    }
+    unsigned v = (unsigned)((acc >> (nb - k)) & ((1ull << k) - 1));
+    nb -= k;
+    return v;
+  }
+  int high_code() {  // leading zeros before a 1, 12 zeros = escape
+    for (int z = 0; z < 12; z++) {
+      if (get(1)) return z;
+      if (bad) return -1;
+    }
+    return 12;
+  }
+};
+
+static int olympus_decode(const uint8_t *data, size_t dlen, RawInfo *info,
+                          uint16_t *out) {
+  const size_t W = info->width, H = info->height;
+  if (dlen < 8) return 90;
+  OlyBits br{data + 7, dlen - 7};  // 7 junk bytes lead the stream
+  int acarry[2][3];
+  for (size_t row = 0; row < H; row++) {
+    memset(acarry, 0, sizeof(acarry));
+    for (size_t col = 0; col < W; col++) {
+      int *carry = acarry[col & 1];
+      const int i = 2 * (carry[2] < 3);
+      int nbits;
+      for (nbits = 2 + i; (uint16_t)carry[0] >> (nbits + i); nbits++) {
+      }
+      const unsigned three = br.get(3);
+      const int low = three & 3;
+      const int sign = (three & 4) ? -1 : 0;
+      int high = br.high_code();
+      if (high < 0 || br.bad) return 91;
+      if (high == 12) high = (int)br.get(16 - nbits) >> 1;
+      carry[0] = (high << nbits) | (int)br.get(nbits);
+      const int diff = (carry[0] ^ sign) + carry[1];
+      carry[1] = (diff * 3 + carry[1]) >> 5;
+      carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
+      int pred;
+      if (row < 2 && col < 2) pred = 0;
+      else if (row < 2) pred = out[row * W + col - 2];
+      else if (col < 2) pred = out[(row - 2) * W + col];
+      else {
+        const int w_ = out[row * W + col - 2];
+        const int n_ = out[(row - 2) * W + col];
+        const int nw = out[(row - 2) * W + col - 2];
+        if ((w_ < nw && nw < n_) || (n_ < nw && nw < w_)) {
+          if (abs(w_ - nw) > 32 || abs(n_ - nw) > 32) pred = w_ + n_ - nw;
+          else pred = (w_ + n_) >> 1;
+        } else {
+          pred = abs(w_ - nw) > abs(n_ - nw) ? w_ : n_;
+        }
+      }
+      const int v = pred + ((diff << 2) | low);
+      if (v >> 12) return 92;
+      out[row * W + col] = (uint16_t)v;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
 
 // --- RAF (Fujifilm) container ----------------------------------------------
 // Layout: "FUJIFILMCCD-RAW " magic, format version, camera id, model
@@ -1173,7 +1391,12 @@ int rawdec_info(const uint8_t *buf, size_t len, RawInfo *info,
   Reader r{buf, len, buf[0] == 'I'};
   if (!((buf[0] == 'I' && buf[1] == 'I') || (buf[0] == 'M' && buf[1] == 'M')))
     return 1;
-  if (r.u16(2) != 42) return 1;
+  const uint16_t tiff_magic = r.u16(2);
+  if (tiff_magic == 85)  // Panasonic RW2 ("IIU\0")
+    return rw2_info(buf, len, r, info, strip_offsets, strip_counts);
+  // Olympus ORF: "IIRO"/"IIRS"/"MMOR" byte-order + magic variants
+  const bool is_orf = tiff_magic == 0x4F52 || tiff_magic == 0x5352;
+  if (tiff_magic != 42 && !is_orf) return 1;
   const bool is_cr2 = len > 12 && buf[8] == 'C' && buf[9] == 'R';
 
   std::vector<IFD> ifds;
@@ -1236,7 +1459,7 @@ int rawdec_info(const uint8_t *buf, size_t len, RawInfo *info,
   if (!best) return 2;
 
   memset(info, 0, sizeof(*info));
-  info->container = is_cr2 ? 1 : 0;
+  info->container = is_cr2 ? 1 : (is_orf ? 6 : 0);
   info->endian_le = r.le ? 1 : 0;
   const Entry *we = best->find(0x0100), *he = best->find(0x0101);
   info->width = we ? entry_uint(r, *we) : 0;
@@ -1443,6 +1666,22 @@ int rawdec_decode(const uint8_t *buf, size_t len, RawInfo *info,
                   const uint64_t *strip_offsets, const uint64_t *strip_counts,
                   uint32_t rows_per_strip, uint16_t *out) {
   const size_t W = info->width, H = info->height;
+  if (info->compression == 0x5061) {  // Panasonic RW2 v4 bitstream
+    if (info->n_strips < 1 || strip_offsets[0] >= len) return 2;
+    size_t avail = strip_counts[0] ? strip_counts[0] : len - strip_offsets[0];
+    if (strip_offsets[0] + avail > len) avail = len - strip_offsets[0];
+    return pana_v4_decode(buf + strip_offsets[0], avail, info, out);
+  }
+  if (info->compression == 1 && info->container == 6 && info->bits == 12 &&
+      info->n_strips >= 1 && strip_counts[0] &&
+      strip_counts[0] < ((uint64_t)W * H * 12) / 8) {
+    // ORF strip smaller than the packed-12 size -> Olympus codec
+    // (the rawspeed OrfDecoder size rule; the Compression tag lies)
+    if (strip_offsets[0] >= len) return 2;
+    size_t avail = strip_counts[0];
+    if (strip_offsets[0] + avail > len) avail = len - strip_offsets[0];
+    return olympus_decode(buf + strip_offsets[0], avail, info, out);
+  }
   if (info->compression == 1) {
     // packed big/little-endian 10/12/14/16-bit, strip by strip
     size_t row = 0;
@@ -1459,8 +1698,8 @@ int rawdec_decode(const uint8_t *buf, size_t len, RawInfo *info,
           out[row * W + i] =
               le ? (uint16_t)(p[2 * i] | p[2 * i + 1] << 8)
                  : (uint16_t)(p[2 * i] << 8 | p[2 * i + 1]);
-      } else if (info->container == 2) {
-        // Fuji packed: little-endian, LSB-first bit order
+      } else if (info->container == 2 || info->container == 6) {
+        // Fuji / Olympus packed: little-endian, LSB-first bit order
         uint64_t acc = 0;
         int nb = 0;
         size_t pi = 0;

@@ -110,8 +110,9 @@ def lj92_encode(img: np.ndarray, comps: int, precision: int) -> bytes:
 class TiffWriter:
     """Little-endian TIFF builder with explicit IFD chaining."""
 
-    def __init__(self, header_extra=b""):
-        self.buf = bytearray(b"II*\x00\x00\x00\x00\x00" + header_extra)
+    def __init__(self, header_extra=b"", magic=0x2A):
+        self.buf = bytearray(b"II" + struct.pack("<H", magic)
+                             + b"\x00\x00\x00\x00" + header_extra)
         self.ifd_offsets = []
 
     def _align(self):
@@ -1046,3 +1047,211 @@ def write_cr3(path, mosaic: np.ndarray, bits=14, model="Canon EOS R5",
     mdat = _box(b"mdat", payload)
     with open(path, "wb") as f:
         f.write(head + mdat)
+
+
+# ----------------------------------------------------- Panasonic RW2 (v4)
+
+class _PanaWriter:
+    """Mirror of the v4 bitstream sectioning: 0x4000-byte sections with
+    contiguous LSB-first fields that never straddle sections, file
+    layout = buf[0x2008:] + buf[:0x2008] (the decoder's split load
+    inverted)."""
+
+    LOAD_FLAGS = 0x2008
+
+    def __init__(self):
+        self.blocks = []
+        self.buf = bytearray(0x4001)
+        self.pos = 0                  # bits consumed in this section
+
+    def put(self, val, nbits):
+        assert 0 <= val < (1 << nbits)
+        if self.pos + nbits > 0x20000:   # pad; field starts next section
+            self._flush_block()
+        byte = self.pos >> 3
+        shift = self.pos & 7
+        window = self.buf[byte] | (self.buf[byte + 1] << 8)
+        window |= val << shift
+        self.buf[byte] = window & 0xFF
+        self.buf[byte + 1] = (window >> 8) & 0xFF
+        self.pos += nbits
+
+    def _flush_block(self):
+        self.blocks.append(bytes(self.buf[self.LOAD_FLAGS:0x4000])
+                           + bytes(self.buf[:self.LOAD_FLAGS]))
+        self.buf = bytearray(0x4001)
+        self.pos = 0
+
+    def tobytes(self):
+        self._flush_block()
+        return b"".join(self.blocks)
+
+
+def pana_v4_payload(mosaic: np.ndarray) -> bytes:
+    """Encode a mosaic into the v4 bitstream.  Requires values in
+    [16, 4095] with same-parity horizontal steps <= 127 (the fixture
+    scenes satisfy this; sh stays 0)."""
+    h, w = mosaic.shape
+    m = mosaic.astype(np.int64)
+    assert m.min() >= 16 and m.max() <= 4095
+    bw = _PanaWriter()
+    for row in range(h):
+        pred = [0, 0]
+        nonz = [0, 0]
+        for col in range(w):
+            i = col % 14
+            if i == 0:
+                pred = [0, 0]
+                nonz = [0, 0]
+            if i % 3 == 2:
+                bw.put(0, 2)          # sh = 4 >> 3 = 0
+            v = int(m[row, col])
+            j = i & 1
+            if nonz[j] == 0:
+                nonz[j] = v >> 4      # >= 1 because v >= 16
+                bw.put(nonz[j], 8)
+                bw.put(v & 15, 4)
+                pred[j] = v
+            else:
+                if v == pred[j]:
+                    bw.put(0, 8)
+                else:
+                    assert pred[j] >= 0x80, (row, col, pred[j])
+                    d = v - pred[j] + 0x80
+                    assert 1 <= d <= 255, (row, col, v, pred[j])
+                    bw.put(d, 8)
+                    pred[j] = v
+    return bw.tobytes()
+
+
+def write_rw2(path, mosaic: np.ndarray, cfa_id=1, iso=640):
+    """Panasonic RW2: TIFF magic 85, Panasonic IFD0 tags, raw payload
+    (tag 0x0118) in the v4 12-bit bitstream."""
+    h, w = mosaic.shape
+    payload = pana_v4_payload(mosaic)
+    t = TiffWriter(magic=85)
+    data_off = t.add_blob(payload)
+    t.add_ifd([
+        (0x0002, 3, 1, w), (0x0003, 3, 1, h),
+        (0x0009, 3, 1, cfa_id), (0x000A, 3, 1, 12),
+        (0x002D, 3, 1, 4),
+        (0x001C, 3, 1, 65), (0x001D, 3, 1, 65), (0x001E, 3, 1, 65),
+        (0x0024, 3, 1, 440), (0x0025, 3, 1, 256), (0x0026, 3, 1, 380),
+        (0x0017, 3, 1, iso),
+        (0x010F, 2, 10, _ascii("Panasonic")),
+        (0x0110, 2, 6, _ascii("DC-S5")),
+        (0x0118, 4, 1, data_off),
+    ], link_from="header")
+    with open(path, "wb") as f:
+        f.write(t.buf)
+
+
+# ------------------------------------------------------- Olympus ORF
+
+def _pack_lsb12(mosaic: np.ndarray) -> bytes:
+    """LSB-first little-endian 12-bit packing."""
+    out = bytearray()
+    acc = 0
+    nb = 0
+    for v in mosaic.astype(np.uint16).reshape(-1):
+        acc |= int(v) << nb
+        nb += 12
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def olympus_payload(mosaic: np.ndarray) -> bytes:
+    """Encode the Olympus predictive codec: per pixel a 3-bit
+    sign/low field, a leading-zeros high code (12 zeros = escape to a
+    (16-nbits)-bit field), and nbits explicit low bits of the carry,
+    with two interleaved carry chains and the W/N/NW gradient
+    predictor."""
+    h, w = mosaic.shape
+    m = mosaic.astype(np.int64)
+    assert m.min() >= 0 and m.max() <= 4095
+    bw = _MsbWriter()
+    out = np.zeros((h, w), np.int64)
+    for row in range(h):
+        acarry = [[0, 0, 0], [0, 0, 0]]
+        for col in range(w):
+            carry = acarry[col & 1]
+            i = 2 * (carry[2] < 3)
+            nbits = 2 + i
+            while (carry[0] & 0xFFFF) >> (nbits + i):
+                nbits += 1
+            if row < 2 and col < 2:
+                pred = 0
+            elif row < 2:
+                pred = int(out[row, col - 2])
+            elif col < 2:
+                pred = int(out[row - 2, col])
+            else:
+                w_ = int(out[row, col - 2])
+                n_ = int(out[row - 2, col])
+                nw = int(out[row - 2, col - 2])
+                if (w_ < nw < n_) or (n_ < nw < w_):
+                    if abs(w_ - nw) > 32 or abs(n_ - nw) > 32:
+                        pred = w_ + n_ - nw
+                    else:
+                        pred = (w_ + n_) >> 1
+                else:
+                    pred = w_ if abs(w_ - nw) > abs(n_ - nw) else n_
+            v = int(m[row, col])
+            d = v - pred
+            low = d & 3
+            dd = d >> 2
+            t = dd - carry[1]
+            if t >= 0:
+                sign_bit, c0 = 0, t
+            else:
+                sign_bit, c0 = 1, -t - 1
+            bw.put((sign_bit << 2) | low, 3)
+            high = c0 >> nbits
+            if high < 12:
+                bw.put(1, high + 1)   # `high` zeros then a 1
+            else:
+                bw.put(0, 12)         # escape
+                assert high < (1 << (15 - nbits))
+                bw.put(high << 1, 16 - nbits)
+            bw.put(c0 & ((1 << nbits) - 1), nbits)
+            sign_ext = -1 if sign_bit else 0
+            diff = (c0 ^ sign_ext) + carry[1]
+            assert diff == dd
+            carry[0] = c0
+            carry[1] = (diff * 3 + carry[1]) >> 5
+            carry[2] = 0 if c0 > 16 else carry[2] + 1
+            out[row, col] = v
+    return b"\x00" * 7 + bw.flush()
+
+
+def write_orf(path, mosaic: np.ndarray, compressed=False, iso=400):
+    """Olympus ORF: TIFF walk with the 'RO' magic; raw strip either
+    12-bit LSB-first packed or the Olympus predictive codec (selected
+    by the rawspeed strip-size rule)."""
+    h, w = mosaic.shape
+    if compressed:
+        payload = olympus_payload(mosaic)
+        assert len(payload) < (w * h * 12) // 8, \
+            "compressed payload too large for the size-rule dispatch"
+    else:
+        payload = _pack_lsb12(mosaic)
+    t = TiffWriter(magic=0x4F52)
+    data_off = t.add_blob(payload)
+    t.add_ifd([
+        (0x0100, 4, 1, w), (0x0101, 4, 1, h),
+        (0x0102, 3, 1, 12), (0x0103, 3, 1, 1),
+        (0x0106, 3, 1, 32803), (0x0115, 3, 1, 1),
+        (0x0111, 4, 1, data_off), (0x0117, 4, 1, len(payload)),
+        (0x828E, 1, 4, bytes([0, 1, 1, 2])),
+        (0xC61A, 4, 1, 255), (0xC61D, 4, 1, 4095),
+        (0x010F, 2, 22, _ascii("OLYMPUS IMAGING CORP.")),
+        (0x0110, 2, 8, _ascii("E-M1III")),
+        (0x8827, 3, 1, iso),
+    ], link_from="header")
+    with open(path, "wb") as f:
+        f.write(t.buf)

@@ -12,8 +12,8 @@ import pytest
 from ansel_tpu.core.types import CFAPattern
 from ansel_tpu.io.dng import load_raw
 from rawfixtures import (write_arw, write_arw2, write_cr2, write_cr3,
-                         write_nef, write_nef_34713, write_raf,
-                         write_raf_compressed)
+                         write_nef, write_nef_34713, write_orf, write_raf,
+                         write_raf_compressed, write_rw2)
 
 XTRANS6 = ((1, 2, 0, 1, 0, 2),
            (0, 1, 1, 2, 1, 1),
@@ -267,3 +267,78 @@ def test_raf_feeds_xtrans_pipeline(tmp_path):
     assert out.shape[0] == 3
     assert np.isfinite(out).all()
     assert out.max() > 0.05
+
+
+def test_rw2_v4_roundtrip(tmp_path):
+    """Panasonic RW2: TIFF magic 85, Panasonic geometry/CFA/WB tags,
+    v4 bitstream (split 0x4000 sections, down-counting cursor,
+    14-pixel predictor groups) — bit-exact vs the Python encoder."""
+    rng = np.random.default_rng(21)
+    h, w = 40, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 1800 + 700 * np.sin(yy / 15.0) + 600 * np.cos(xx / 20.0)
+    m = np.clip(base + rng.integers(-25, 25, (h, w)), 160, 4095) \
+        .astype(np.uint16)
+    p = str(tmp_path / "shot.rw2")
+    write_rw2(p, m, iso=640)
+    raw, meta = load_raw(p)
+    assert raw.shape == (h, w)
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.cfa is CFAPattern.RGGB
+    assert meta.maker == "Panasonic"
+    assert "DC-S5" in meta.model
+    assert meta.iso == 640
+    assert meta.black_levels[0] == 80.0   # tag value 65 + the +15 offset
+    assert abs(meta.wb_coeffs[0] - 440.0 / 256.0) < 1e-6
+    assert abs(meta.wb_coeffs[2] - 380.0 / 256.0) < 1e-6
+
+
+def test_rw2_multi_section(tmp_path):
+    """> 0x20000 bits of stream: the section split-load layout."""
+    rng = np.random.default_rng(3)
+    h, w = 64, 400   # ~25k px * ~10 bits > one 0x4000-byte section
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 2000 + 700 * np.sin(yy / 12.0) + 600 * np.cos(xx / 22.0)
+    m = np.clip(base + rng.integers(-25, 25, (h, w)), 160, 4095) \
+        .astype(np.uint16)
+    p = str(tmp_path / "big.rw2")
+    write_rw2(p, m)
+    raw, _ = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32))
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_orf_roundtrip(tmp_path, compressed):
+    """Olympus ORF: 'RO'-magic TIFF walk; packed-12 vs the predictive
+    codec selected by the strip-size rule."""
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 1500 + 900 * np.sin(yy / 8.0) + 800 * np.cos(xx / 10.0)
+    m = np.clip(base + rng.integers(-30, 30, (h, w)), 0, 4095) \
+        .astype(np.uint16)
+    if not compressed:
+        m = _mosaic(h, w, 12, seed=6)   # packed path: any values
+    p = str(tmp_path / "shot.orf")
+    write_orf(p, m, compressed=compressed)
+    raw, meta = load_raw(p)
+    assert raw.shape == (h, w)
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.cfa is CFAPattern.RGGB
+    assert "OLYMPUS" in meta.maker
+    assert meta.iso == 400
+
+
+def test_orf_compressed_spike(tmp_path):
+    """A hot pixel exercises the 12-zero escape path of the high code."""
+    yy, xx = np.mgrid[0:40, 0:56]
+    m = (1000 + 400 * np.sin(yy / 6.0) * np.cos(xx / 6.0)) \
+        .astype(np.uint16)
+    m[9, 13] = 4095
+    m[20, 30] = 0
+    p = str(tmp_path / "spike.orf")
+    write_orf(p, m, compressed=True)
+    raw, _ = load_raw(p)
+    assert np.array_equal(raw, m.astype(np.float32))
