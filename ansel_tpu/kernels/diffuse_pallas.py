@@ -32,8 +32,12 @@ B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 # ceiling (CompilerParams below) and a 128x512 tile that keeps the DMA
 # amplification at 3.75x (the old 16MB-limit 32x256 attempt was 14x)
 _GEOM = {  # scales -> (TILE_H, TILE_W, BORDER_H, BORDER_W)
-    1: (64, 512, 8, 64), 2: (64, 512, 16, 64), 3: (64, 512, 24, 64),
-    4: (64, 512, 48, 64), 5: (128, 512, 96, 128),
+    # round-5 sweep at 45MP/scales=4: 64 rows = 197ms, 128 = 161,
+    # 256 = 158, 128x1024 = 176 — the 48-row halo wants tall tiles
+    # (row amplification 2.5x -> 1.4x); smaller scales keep the cheap
+    # short tiles (halo <= 24 rows costs little).
+    1: (64, 512, 8, 64), 2: (64, 512, 16, 64), 3: (128, 512, 24, 64),
+    4: (256, 512, 48, 64), 5: (128, 512, 96, 128),
 }
 MAX_SCALES = 5
 

@@ -30,11 +30,14 @@ same reason, segmentation.c:130-137).  So:
 
 Luminance gets the biharmonic dome (gradient-matching at the rim ->
 recovers energy ABOVE the clip ceiling; a harmonic fill cannot, by the
-maximum principle).  Chromaticity r_c = c/L is bounded, so it gets a
-masked harmonic (Laplace) fill from the rim inward — the isotropic
-translation of region.c's structure-steered div(D grad r)=0 (documented
-deviation: D = identity).  The saturation floor max(rec, clip0)
-(region.c:73-77) applies unconditionally — reconstruction only raises.
+maximum principle).  Chromaticity r_c = c/L is bounded, so it gets the
+STRUCTURE-STEERED fill of region.c step 8: the variance-adaptive tensor
+D blends isophote and gradient transport from the dome-luminance guide
+(coefficient_field.c:_cf_adaptive_tensor), the fill relaxes div(D grad
+r)=0 through the Weickert nonnegativity stencil (chroma.h), and every
+sweep projects the saturation-floor obstacle r >= clip0/L
+(_aniso_iterate_obs semantics).  The remosaic floor max(rec, clip0)
+(region.c:73-77) still applies unconditionally.
 """
 
 from __future__ import annotations
@@ -120,6 +123,98 @@ def _masked_laplace(u, fixed, hole, iters):
     return _masked_cg(u, fixed, hole, iters, biharmonic=False)
 
 
+def _adaptive_tensor(steer, k=0.15):
+    """Variance-adaptive steering tensor D from the guide plane
+    (coefficient_field.c:_cf_adaptive_tensor, transcribed math):
+
+      D = [m + (1-m) c2] t t^T + [m c2 + (1-m)] g g^T
+      c2 = exp(-|grad Lb| / (4 <|grad Lb|>))
+      m  = v / (v + (k Lb)^2),  v = max(var_w(Lb) - 4/3 |grad Lb|^2, 0)
+
+    with Lb = twice-3x3-box-blurred steer, g the unit gradient, t the
+    unit isophote.  m->0 (clean halo ramp): transport radially along
+    the ramp; m->1 (hard edge in the zone): transport along the edge,
+    never across it.  -> (Dxx, Dxy, Dyy), SPD with entries in (0, 1]."""
+    def box3(p):
+        pv = PaddedView(p, 1)
+        row = (pv.at(-1, 0) + p + pv.at(1, 0)) / 3.0
+        pr = PaddedView(row, 1)
+        return (pr.at(0, -1) + row + pr.at(0, 1)) / 3.0
+
+    lb = box3(box3(steer))
+    qb = box3(box3(steer * steer))
+    p = PaddedView(lb, 1)
+    gx = 0.5 * (p.at(0, 1) - p.at(0, -1))
+    gy = 0.5 * (p.at(1, 0) - p.at(-1, 0))
+    gmag = jnp.sqrt(gx * gx + gy * gy)
+    gmean = jnp.maximum(jnp.mean(gmag), 1e-9)
+    nonzero = (gmag > 1e-12).astype(steer.dtype)
+    inv = nonzero / (gmag + (1.0 - nonzero))
+    gux = gx * inv + (1.0 - nonzero)
+    guy = gy * inv
+    tx, ty = -guy, gux
+    c2 = jnp.exp(-gmag / (4.0 * gmean))
+    var = jnp.maximum(qb - lb * lb, 0.0)
+    vres = jnp.maximum(var - (4.0 / 3.0) * (gx * gx + gy * gy), 0.0)
+    kterm = (k * jnp.maximum(lb, 1e-9)) ** 2
+    m = vres / (vres + kterm + 1e-18)
+    dt_ = m + (1.0 - m) * c2
+    dg = m * c2 + (1.0 - m)
+    dxx = dt_ * tx * tx + dg * gux * gux
+    dxy = dt_ * tx * ty + dg * gux * guy
+    dyy = dt_ * ty * ty + dg * guy * guy
+    return dxx, dxy, dyy
+
+
+def _masked_aniso_laplace(u, fixed, hole, steer, iters, obstacle=None):
+    """Structure-steered harmonic fill: div(D grad u) = 0 on the holes,
+    Dirichlet anchors elsewhere (region.c step 8 / chroma.h).  Weickert
+    nonnegativity stencil (_aniso_edge_w): per edge, tensor entries
+    averaged across the edge, cross term clamped to +-min(a, c); axis
+    weights a-|b| / c-|b|, diagonal weights +-b halves — all >= 0, so
+    each Jacobi sweep is a convex combination of anchors (maximum
+    principle).  With `obstacle`, every sweep projects u = max(u, obs):
+    the monotone obstacle relaxation of chroma.h (_aniso_iterate_obs,
+    the saturation floor r >= c0/L spread smoothly, not clamped)."""
+    dxx, dxy, dyy = _adaptive_tensor(steer)
+    pxx = PaddedView(dxx, 1)
+    pxy = PaddedView(dxy, 1)
+    pyy = PaddedView(dyy, 1)
+
+    ws = []
+    offs = [(0, -1), (0, 1), (-1, 0), (1, 0),
+            (-1, -1), (1, 1), (-1, 1), (1, -1)]
+    for (dy, dx) in offs:
+        axx = 0.5 * (dxx + pxx.at(dy, dx))
+        ayy = 0.5 * (dyy + pyy.at(dy, dx))
+        limit = jnp.minimum(axx, ayy)
+        cross = jnp.clip(0.5 * (dxy + pxy.at(dy, dx)), -limit, limit)
+        if dy == 0:
+            w = jnp.maximum(axx - jnp.abs(cross), 1e-4)
+        elif dx == 0:
+            w = jnp.maximum(ayy - jnp.abs(cross), 1e-4)
+        elif dx == dy:
+            w = jnp.maximum(cross, 0.0)
+        else:
+            w = jnp.maximum(-cross, 0.0)
+        ws.append(w)
+    wsum = sum(ws)
+
+    u0 = jnp.where(hole, u, fixed)
+
+    def sweep(v, _):
+        pv = PaddedView(v, 1)
+        acc = sum(w * pv.at(dy, dx)
+                  for w, (dy, dx) in zip(ws, offs))
+        upd = acc / jnp.maximum(wsum, 1e-12)
+        if obstacle is not None:
+            upd = jnp.maximum(upd, obstacle)
+        return jnp.where(hole, upd, v), None
+
+    v, _ = jax.lax.scan(sweep, u0, None, length=iters)
+    return jnp.where(hole, v, fixed)
+
+
 def _masked_biharmonic(u, fixed, hole, iters):
     """Biharmonic dome (Delta^2 u = 0 on holes): rim value AND gradient
     continuation — the energy-recovering solve of dome.c."""
@@ -127,11 +222,18 @@ def _masked_biharmonic(u, fixed, hole, iters):
 
 
 def _solve_pyramid(field, valid, hole, nlev, lap_iters=40, bih_iters=80,
-                   biharmonic=True):
+                   biharmonic=True, steer=None, obstacle=None):
     """Coarse-to-fine masked solve.  field: (H, W) with garbage in the
     hole; valid: float 0/1 (1 - hole); returns field with the hole
-    filled by the dome / harmonic fill."""
+    filled by the dome / harmonic fill.  With `steer` (a guide plane),
+    the harmonic fills become structure-steered div(D grad u) = 0
+    sweeps — the tensor is rebuilt per level from the downsampled guide
+    exactly as the reference's pyramid path does (coefficient_field.c
+    _cf_harmonic_fill with steer != NULL); `obstacle` adds the per-sweep
+    projection u = max(u, obs)."""
     fields, valids, holes = [field], [valid], [hole]
+    steers = [steer]
+    obss = [obstacle]
     for _ in range(nlev):
         v2 = _down2(valids[-1])
         f2 = _down2(fields[-1] * valids[-1]) / jnp.maximum(v2, 1e-6)
@@ -141,6 +243,14 @@ def _solve_pyramid(field, valid, hole, nlev, lap_iters=40, bih_iters=80,
         fields.append(jnp.where(h2, 0.0, f2))
         valids.append(jnp.where(h2, 0.0, 1.0))
         holes.append(h2)
+        steers.append(_down2(steers[-1]) if steer is not None else None)
+        obss.append(_down2(obss[-1]) if obstacle is not None else None)
+
+    def hfill(u, fixed, hl, iters, lev):
+        if steer is not None:
+            return _masked_aniso_laplace(u, fixed, hl, steers[lev],
+                                         iters, obstacle=obss[lev])
+        return _masked_laplace(u, fixed, hl, iters)
 
     # coarsest: seed holes with the valid mean (dome.c:286-301 fallback
     # semantics), harmonic-fill, then dome
@@ -148,14 +258,14 @@ def _solve_pyramid(field, valid, hole, nlev, lap_iters=40, bih_iters=80,
     vL = 1.0 - hL
     mean = jnp.sum(fL * vL) / jnp.maximum(jnp.sum(vL), 1.0)
     u = jnp.where(hL, mean, fL)
-    u = _masked_laplace(u, fL, hL, lap_iters)
+    u = hfill(u, fL, hL, lap_iters, nlev)
     if biharmonic:
         u = _masked_biharmonic(u, fL, hL, bih_iters)
 
     for lev in range(nlev - 1, -1, -1):
         h, w = fields[lev].shape
         init = jnp.where(holes[lev], _up2(u, h, w), fields[lev])
-        u = _masked_laplace(init, fields[lev], holes[lev], lap_iters // 2)
+        u = hfill(init, fields[lev], holes[lev], lap_iters // 2, lev)
         if biharmonic:
             u = _masked_biharmonic(u, fields[lev], holes[lev], bih_iters)
     return u
@@ -175,10 +285,11 @@ def harmonic_dome_core(x, rec, clips, cfa: CFAPattern):
         the clip ceiling ("opposed-color estimates grown into the
         region": R's dome deep inside is informed by the ring where
         only R was lost);
-      * in the all-clip core, chromaticity r_c = c/L is harmonically
-        re-diffused from the rim over the dome luminance (the joint
-        core / step 8, isotropic D), preventing per-channel dome drift
-        from collapsing hue;
+      * in the all-clip core, chromaticity r_c = c/L is re-diffused
+        from the rim over the dome luminance with the structure-steered
+        tensor fill (the joint core / step 8), preventing per-channel
+        dome drift from collapsing hue AND keeping chroma from bleeding
+        across hard luminance edges that cross the zone;
       * saturation floor max(rec, clip) per site (region.c:73-77).
     """
     h, w = x.shape
@@ -208,7 +319,10 @@ def harmonic_dome_core(x, rec, clips, cfa: CFAPattern):
     domes = jnp.stack(domes)
 
     # all-clip core: re-diffuse chromaticity from the rim over the dome
-    # luminance (joint core x step 8, D = identity)
+    # luminance — step 8's structure-steered div(D grad r) = 0 with the
+    # dome luminance as the steering plane (region.c:519 builds the
+    # steering plane from the measured guide structure; chroma.h's
+    # Weickert stencil + the obstacle r >= clip/L projected per sweep)
     hole_all = ((maskds[0] > 0.5) & (maskds[1] > 0.5)
                 & (maskds[2] > 0.5))
     valid_all = 1.0 - hole_all.astype(x.dtype)
@@ -216,7 +330,9 @@ def harmonic_dome_core(x, rec, clips, cfa: CFAPattern):
     Lsafe = jnp.maximum(L_dome, 1e-6)
     ratios = jnp.stack([
         _solve_pyramid(jnp.where(hole_all, 0.0, domes[c] / Lsafe),
-                       valid_all, hole_all, nlev, biharmonic=False)
+                       valid_all, hole_all, nlev, biharmonic=False,
+                       lap_iters=100, steer=L_dome,
+                       obstacle=clips[c] / Lsafe)
         for c in range(3)
     ])
     rec_planes = jnp.where(hole_all[None], ratios * Lsafe, domes)

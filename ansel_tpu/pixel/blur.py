@@ -257,6 +257,77 @@ def _iir_pass(x, f, y_init0, y_init1, b1, b2, axis, reverse):
     return jnp.moveaxis(y, -1, axis)
 
 
+def _iir_axis_dual(v, f_fwd, f_bwd, yb, yn, b1, b2, axis):
+    """Forward + backward recurrences of ONE axis in one blocked pass:
+    the two streams share the move/reshape, one stacked
+    triangular-Toeplitz einsum, and one entry-state scan — the per-pass
+    HBM round-trips (the measured cost at 24MP; the scans themselves
+    are tiny) are paid once instead of twice."""
+    import jax
+
+    K = _IIR_BLOCK
+    n = f_fwd.shape[axis]
+    axis = axis % f_fwd.ndim
+
+    c = np.zeros(K, np.float64)
+    u = np.zeros(K + 2, np.float64)
+    w = np.zeros(K + 2, np.float64)
+    c[0] = 1.0
+    if K > 1:
+        c[1] = -b1
+    for j in range(2, K):
+        c[j] = -b1 * c[j - 1] - b2 * c[j - 2]
+    u[0], u[1] = 0.0, 1.0
+    w[0], w[1] = 1.0, 0.0
+    for j in range(2, K + 2):
+        u[j] = -b1 * u[j - 1] - b2 * u[j - 2]
+        w[j] = -b1 * w[j - 1] - b2 * w[j - 2]
+    u, w = u[2:], w[2:]
+    T = np.zeros((K, K), np.float32)
+    for i in range(K):
+        T[i, : i + 1] = c[: i + 1][::-1]
+    M = np.float32([[u[K - 1], w[K - 1]], [u[K - 2], w[K - 2]]])
+    uj = jnp.asarray(u.astype(np.float32))
+    wj = jnp.asarray(w.astype(np.float32))
+    Tm = jnp.asarray(T)
+
+    nb = -(-n // K)
+    pad = nb * K - n
+
+    def blocks(f, reverse):
+        fm = jnp.moveaxis(f, axis, -1)
+        if reverse:
+            fm = jnp.flip(fm, -1)
+        if pad:
+            fm = jnp.pad(fm, [(0, 0)] * (fm.ndim - 1) + [(0, pad)])
+        return fm.reshape(fm.shape[:-1] + (nb, K))
+
+    fb = jnp.stack([blocks(f_fwd, False), blocks(f_bwd, True)])
+    ylocal = jnp.einsum("ik,s...bk->s...bi", Tm, fb,
+                        preferred_element_type=jnp.float32)
+    d = ylocal[..., -2:][..., ::-1]            # (2, ..., nb, 2)
+
+    def init(y0):
+        i0 = jnp.moveaxis(y0, axis, -1)[..., 0]
+        return jnp.stack([i0, i0], axis=-1)    # (..., 2)
+
+    s_init = jnp.stack([init(yb), init(yn)])   # (2, ..., 2)
+    M_ = jnp.asarray(M)
+
+    def step(s, dm):
+        s_next = jnp.einsum("ij,s...j->s...i", M_, s) + dm
+        return s_next, s
+
+    dmoved = jnp.moveaxis(d, -2, 0)            # (nb, 2, ..., 2)
+    _, entries = jax.lax.scan(step, s_init, dmoved)
+    entries = jnp.moveaxis(entries, 0, -2)     # (2, ..., nb, 2)
+
+    y = ylocal + uj * entries[..., 0:1] + wj * entries[..., 1:2]
+    y = y.reshape(y.shape[:-2] + (nb * K,))[..., :n]
+    out = y[0] + jnp.flip(y[1], -1)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def gaussian_iir(x: jnp.ndarray, sigma: float, order: int = 0,
                  vmin: float = None, vmax: float = None) -> jnp.ndarray:
     """Deriche recursive Gaussian, exact mirror of dt_gaussian_blur
@@ -284,8 +355,6 @@ def gaussian_iir(x: jnp.ndarray, sigma: float, order: int = 0,
         f_fwd = a0 * v + a1 * xprev
         x0 = take(v, slice(0, 1))
         yb = coefp * x0
-        y1 = _iir_pass(v, f_fwd, yb, yb, b1, b2,
-                       axis % v.ndim, reverse=False)
 
         # backward: f_n = a2 x_{n+1} + a3 x_{n+2}
         xn1 = jnp.concatenate([take(v, slice(1, n)),
@@ -295,7 +364,7 @@ def gaussian_iir(x: jnp.ndarray, sigma: float, order: int = 0,
         f_bwd = a2 * xn1 + a3 * xn2
         xlast = take(v, slice(n - 1, n))
         yn = coefn * xlast
-        y2 = _iir_pass(v, f_bwd, yn, yn, b1, b2,
-                       axis % v.ndim, reverse=True)
-        v = y1 + y2
+
+        v = _iir_axis_dual(v, f_fwd, f_bwd, yb, yn, b1, b2,
+                           axis % v.ndim)
     return v
