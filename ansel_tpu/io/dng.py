@@ -53,6 +53,9 @@ class _RawInfo(ctypes.Structure):
         ("has_sony_curve", ctypes.c_uint32),
         ("maker", ctypes.c_char * 64),
         ("model", ctypes.c_char * 64),
+        ("pentax_meta_off", ctypes.c_uint64),
+        ("pentax_meta_len", ctypes.c_uint32),
+        ("pentax_pad", ctypes.c_uint32),
     ]
 
 

@@ -41,7 +41,7 @@ def load_raw(path: str):
     through the native decoder (`io/dng.py`)."""
     low = path.lower()
     if low.endswith((".dng", ".tif", ".tiff", ".cr2", ".cr3", ".nef",
-                     ".arw", ".raf", ".rw2", ".orf")):
+                     ".arw", ".raf", ".rw2", ".orf", ".pef")):
         from .dng import load_raw as load_native
 
         return load_native(path)

@@ -52,6 +52,10 @@ struct RawInfo {
   uint32_t has_sony_curve;
   char maker[64];
   char model[64];
+  // --- round 5 ---
+  uint64_t pentax_meta_off;  // abs offset of MakerNote tag 0x0220 payload
+  uint32_t pentax_meta_len;
+  uint32_t pentax_pad;
 };
 }  // extern "C"
 
@@ -1085,6 +1089,104 @@ static int cr3_info(const uint8_t *buf, size_t len, RawInfo *info,
   return 0;
 }
 
+// --- Pentax PEF (TIFF, compression 65535, MakerNote huffman) ----------------
+//
+// Container: a standard TIFF whose raw IFD carries Compression 65535;
+// the huffman spec lives in the PENTAX MakerNote ("AOC\0" header) tag
+// 0x0220: u16 (dep-12), 12 skip bytes, dep u16 left-aligned 12-bit code
+// starts, dep u8 code lengths (the dcraw pentax semantics).  Payload:
+// MSB-first ssss-coded diffs with two-row vertical predictors for the
+// first two columns and horizontal predictors after (dcraw
+// pentax_load_raw).  Gated bit-exact vs the Python encoder (write_pef).
+
+static int pentax_decode(const uint8_t *buf, size_t len, RawInfo *info,
+                         const uint64_t *strip_offsets,
+                         const uint64_t *strip_counts, uint16_t *out) {
+  if (!info->pentax_meta_off ||
+      info->pentax_meta_off + 16 > len) return 110;
+  const uint8_t *m = buf + info->pentax_meta_off;
+  size_t mlen = len - (size_t)info->pentax_meta_off;
+  const bool le = info->endian_le != 0;
+  auto g2 = [&](size_t o) -> uint32_t {
+    return le ? (uint32_t)(m[o] | m[o + 1] << 8)
+              : (uint32_t)(m[o] << 8 | m[o + 1]);
+  };
+  const int dep = (int)((g2(0) + 12) & 15);
+  size_t pos = 2 + 12;
+  if (pos + dep * 3 > mlen) return 111;
+  uint16_t bit0[16];
+  uint8_t bit1[16];
+  for (int c = 0; c < dep; c++) { bit0[c] = (uint16_t)g2(pos); pos += 2; }
+  for (int c = 0; c < dep; c++) bit1[c] = m[pos++];
+  uint16_t huff[4097];
+  memset(huff, 0, sizeof(huff));
+  for (int c = 0; c < dep; c++) {
+    if (bit1[c] == 0 || bit1[c] > 12) return 112;
+    for (uint32_t i = bit0[c];
+         i <= ((bit0[c] + (4096u >> bit1[c]) - 1) & 4095u); i++)
+      huff[i + 1] = (uint16_t)(bit1[c] << 8 | c);
+  }
+
+  const size_t W = info->width, H = info->height;
+  if (info->n_strips < 1 || strip_offsets[0] >= len) return 2;
+  size_t avail = strip_counts[0] ? strip_counts[0] : len - strip_offsets[0];
+  if (strip_offsets[0] + avail > len) avail = len - strip_offsets[0];
+
+  // raw MSB-first stream, no JPEG byte stuffing; zero-filled tail so
+  // the final codes can peek past the end
+  struct PefBits {
+    const uint8_t *p;
+    size_t n, pos = 0;
+    uint64_t acc = 0;
+    int nb = 0;
+    bool bad = false;
+    void fill(int want) {
+      while (nb < want) {
+        acc = (acc << 8) | (pos < n ? p[pos] : 0);
+        pos++;
+        nb += 8;
+      }
+    }
+    uint32_t peek(int k) {
+      fill(k);
+      return (uint32_t)((acc >> (nb - k)) & ((1ull << k) - 1));
+    }
+    void drop(int k) { nb -= k; }
+    uint32_t get(int k) {
+      if (!k) return 0;
+      uint32_t v = peek(k);
+      drop(k);
+      if (pos > n + 8) bad = true;  // far past the end: corrupt
+      return v;
+    }
+  } br{buf + strip_offsets[0], avail};
+
+  auto ljdiff = [&]() -> int {
+    uint32_t peek = br.peek(12);
+    uint16_t e = huff[1 + peek];
+    int l = e >> 8, v = e & 0xFF;
+    if (l == 0 || l > 12) { br.bad = true; return 0; }
+    br.drop(l);
+    if (v == 0) return 0;
+    int diff = (int)br.get(v);
+    if (!(diff & (1 << (v - 1)))) diff -= (1 << v) - 1;
+    return diff;
+  };
+
+  int vpred[2][2] = {{0, 0}, {0, 0}}, hpred[2] = {0, 0};
+  const int maxv = (1 << info->bits) - 1;
+  for (size_t row = 0; row < H; row++)
+    for (size_t col = 0; col < W; col++) {
+      const int diff = ljdiff();
+      if (br.bad) return 113;
+      if (col < 2) hpred[col] = vpred[row & 1][col] += diff;
+      else hpred[col & 1] += diff;
+      if (hpred[col & 1] > maxv || hpred[col & 1] < 0) return 114;
+      out[row * W + col] = (uint16_t)hpred[col & 1];
+    }
+  return 0;
+}
+
 static void copy_str(const Reader &r, const Entry &e, char *dst, size_t cap) {
   size_t n = e.count < cap - 1 ? e.count : cap - 1;
   if (e.value_off + n > r.n) return;
@@ -1559,6 +1661,34 @@ int rawdec_info(const uint8_t *buf, size_t len, RawInfo *info,
     else if (!strncmp(info->maker, "SONY", 4)) info->container = 4;
   }
 
+  if (!strncmp(info->maker, "PENTAX", 6) && info->compression == 65535) {
+    // PEF huffman spec: ExifIFD -> MakerNote ("AOC\0" + order mark,
+    // IFD entries with file-absolute value offsets) -> tag 0x0220
+    for (auto &ifd : ifds) {
+      const Entry *ex = ifd.find(0x8769);
+      if (!ex) continue;
+      size_t eoff = entry_uint(r, *ex);
+      IFD exif;
+      size_t nx = 0;
+      if (eoff >= len || !parse_ifd(r, eoff, &exif, &nx)) continue;
+      const Entry *mn = exif.find(0x927C);
+      if (!mn) continue;
+      size_t mo = mn->value_off;
+      if (mo + 8 < len && !memcmp(buf + mo, "AOC\0", 4)) {
+        Reader pr{buf, len, buf[mo + 4] == 'I'};
+        IFD mifd;
+        size_t nn = 0;
+        if (parse_ifd(pr, mo + 6, &mifd, &nn)) {
+          if (const Entry *ht = mifd.find(0x0220)) {
+            info->pentax_meta_off = ht->value_off;
+            info->pentax_meta_len = ht->count;
+          }
+        }
+      }
+      break;
+    }
+  }
+
   if (info->container == 3) {
     // Nikon linearization meta: ExifIFD (0x8769) -> MakerNote (0x927C,
     // "Nikon\0" header + embedded TIFF at +10 with self-relative
@@ -1666,6 +1796,9 @@ int rawdec_decode(const uint8_t *buf, size_t len, RawInfo *info,
                   const uint64_t *strip_offsets, const uint64_t *strip_counts,
                   uint32_t rows_per_strip, uint16_t *out) {
   const size_t W = info->width, H = info->height;
+  if (info->compression == 65535) {  // Pentax PEF
+    return pentax_decode(buf, len, info, strip_offsets, strip_counts, out);
+  }
   if (info->compression == 0x5061) {  // Panasonic RW2 v4 bitstream
     if (info->n_strips < 1 || strip_offsets[0] >= len) return 2;
     size_t avail = strip_counts[0] ? strip_counts[0] : len - strip_offsets[0];

@@ -1255,3 +1255,77 @@ def write_orf(path, mosaic: np.ndarray, compressed=False, iso=400):
     ], link_from="header")
     with open(path, "wb") as f:
         f.write(t.buf)
+
+
+# ------------------------------------------------------- Pentax PEF
+
+def pef_payload(mosaic: np.ndarray, dep=13):
+    """ssss-coded diff stream with the PEF predictor scheme (two-row
+    vertical predictors on cols 0/1, horizontal after)."""
+    h, w = mosaic.shape
+    m = mosaic.astype(np.int64)
+    bw = _MsbWriter()
+    vpred = [[0, 0], [0, 0]]
+    for row in range(h):
+        hpred = [0, 0]
+        for col in range(w):
+            if col < 2:
+                prev = vpred[row & 1][col]
+            else:
+                prev = hpred[col & 1]
+            diff = int(m[row, col]) - prev
+            c = 0 if diff == 0 else max(diff, -diff).bit_length()
+            assert c < dep
+            bw.put(c, 4)                  # canonical len-4 code = symbol
+            if c:
+                v = diff if diff >= 0 else diff + (1 << c) - 1
+                bw.put(v, c)
+            if col < 2:
+                vpred[row & 1][col] = int(m[row, col])
+            hpred[col & 1] = int(m[row, col])
+    return bw.flush()
+
+
+def write_pef(path, mosaic: np.ndarray, bits=12, iso=200):
+    """Pentax PEF: TIFF with Compression 65535 and the huffman spec in
+    the PENTAX MakerNote ("AOC\\0" header, file-absolute entry offsets)
+    tag 0x0220 — u16 dep-12, 12 pad bytes, dep u16 left-aligned code
+    starts, dep u8 lengths.  All 13 ssss symbols at length 4."""
+    h, w = mosaic.shape
+    assert int(mosaic.max()) < (1 << bits)
+    dep = bits + 1          # ssss symbols 0..bits
+    payload = pef_payload(mosaic, dep=dep)
+    spec = struct.pack("<H", (dep - 12) & 0xFFFF) + b"\x00" * 12
+    spec += b"".join(struct.pack("<H", c << 8) for c in range(dep))
+    spec += bytes([4] * dep)
+
+    t = TiffWriter()
+    data_off = t.add_blob(payload)
+    spec_off = t.add_blob(spec)
+    # makernote: "AOC\0" + "II" + IFD whose offsets are file-absolute;
+    # built after spec so the 0x0220 entry can point at it
+    mn = bytearray(b"AOC\x00II")
+    mn += struct.pack("<H", 1)  # one entry
+    mn += struct.pack("<HHII", 0x0220, 7, len(spec), spec_off)
+    mn += struct.pack("<I", 0)
+    mn_off = t.add_blob(bytes(mn))
+
+    raw_off, _ = t.add_ifd([
+        (0x0100, 4, 1, w), (0x0101, 4, 1, h),
+        (0x0102, 3, 1, bits), (0x0103, 3, 1, 65535),
+        (0x0106, 3, 1, 32803), (0x0115, 3, 1, 1),
+        (0x0111, 4, 1, data_off), (0x0117, 4, 1, len(payload)),
+        (0x828E, 1, 4, bytes([0, 1, 1, 2])),
+        (0xC61A, 4, 1, 128), (0xC61D, 4, 1, (1 << bits) - 1),
+    ])
+    exif_entries = [(0x927C, 7, len(mn), mn_off),
+                    (0x8827, 3, 1, iso)]
+    exif_off, _ = t.add_ifd(exif_entries)
+    t.add_ifd([
+        (0x010F, 2, 19, _ascii("PENTAX Corporation")),
+        (0x0110, 2, 11, _ascii("PENTAX K-5")),
+        (0x014A, 4, 1, raw_off),
+        (0x8769, 4, 1, exif_off),
+    ], link_from="header")
+    with open(path, "wb") as f:
+        f.write(t.buf)

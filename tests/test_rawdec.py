@@ -12,8 +12,8 @@ import pytest
 from ansel_tpu.core.types import CFAPattern
 from ansel_tpu.io.dng import load_raw
 from rawfixtures import (write_arw, write_arw2, write_cr2, write_cr3,
-                         write_nef, write_nef_34713, write_orf, write_raf,
-                         write_raf_compressed, write_rw2)
+                         write_nef, write_nef_34713, write_orf, write_pef,
+                         write_raf, write_raf_compressed, write_rw2)
 
 XTRANS6 = ((1, 2, 0, 1, 0, 2),
            (0, 1, 1, 2, 1, 1),
@@ -342,3 +342,20 @@ def test_orf_compressed_spike(tmp_path):
     write_orf(p, m, compressed=True)
     raw, _ = load_raw(p)
     assert np.array_equal(raw, m.astype(np.float32))
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_pef_roundtrip(tmp_path, bits):
+    """Pentax PEF: MakerNote 0x0220 huffman spec + ssss diff stream
+    with the two-row vertical / horizontal predictor scheme."""
+    m = _mosaic(40, 64, bits, seed=17)
+    p = str(tmp_path / "shot.pef")
+    write_pef(p, m, bits=bits)
+    raw, meta = load_raw(p)
+    assert raw.shape == (40, 64)
+    assert np.array_equal(raw, m.astype(np.float32)), \
+        np.argwhere(raw != m)[:4]
+    assert meta.cfa is CFAPattern.RGGB
+    assert "PENTAX" in meta.maker
+    assert "K-5" in meta.model
+    assert meta.white_point == (1 << bits) - 1
