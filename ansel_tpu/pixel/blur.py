@@ -258,16 +258,23 @@ def _iir_pass(x, f, y_init0, y_init1, b1, b2, axis, reverse):
 
 
 def _iir_axis_dual(v, f_fwd, f_bwd, yb, yn, b1, b2, axis):
-    """Forward + backward recurrences of ONE axis in one blocked pass:
-    the two streams share the move/reshape, one stacked
-    triangular-Toeplitz einsum, and one entry-state scan — the per-pass
-    HBM round-trips (the measured cost at 24MP; the scans themselves
-    are tiny) are paid once instead of twice."""
+    """Forward + backward recurrences of ONE axis in one blocked pass,
+    blocked NATIVELY on that axis: no transposes and no flips (each was
+    a full HBM round-trip at 24MP — the r5 component profile measured
+    every such pass at ~1.5 ms of pure memory traffic).
+
+    The backward recurrence runs in forward memory order through the
+    mirrored Toeplitz (T_rev[i, j] = c[j - i], upper-triangular) and
+    mirrored homogeneous sequences (u_rev[k] = u[K-1-k]); its entry
+    states propagate through a `reverse=True` scan with the SAME 2x2
+    companion M.  The right pad feeds the backward stream its
+    steady-state drive f = yn (1 + b1 + b2), so the carry entering the
+    real data is exactly the primed (yn, yn)."""
     import jax
 
     K = _IIR_BLOCK
-    n = f_fwd.shape[axis]
     axis = axis % f_fwd.ndim
+    n = f_fwd.shape[axis]
 
     c = np.zeros(K, np.float64)
     u = np.zeros(K + 2, np.float64)
@@ -286,46 +293,99 @@ def _iir_axis_dual(v, f_fwd, f_bwd, yb, yn, b1, b2, axis):
     T = np.zeros((K, K), np.float32)
     for i in range(K):
         T[i, : i + 1] = c[: i + 1][::-1]
-    M = np.float32([[u[K - 1], w[K - 1]], [u[K - 2], w[K - 2]]])
-    uj = jnp.asarray(u.astype(np.float32))
-    wj = jnp.asarray(w.astype(np.float32))
-    Tm = jnp.asarray(T)
+    T_rev = T[::-1, ::-1].copy()               # T_rev[i, j] = c[j - i]
+    M_ = jnp.asarray(np.float32([[u[K - 1], w[K - 1]],
+                                 [u[K - 2], w[K - 2]]]))
+    Ts = jnp.asarray(np.stack([T, T_rev]))
+    uf = jnp.asarray(u.astype(np.float32))
+    wf = jnp.asarray(w.astype(np.float32))
+    ub = jnp.asarray(u[::-1].astype(np.float32))
+    wb = jnp.asarray(w[::-1].astype(np.float32))
 
     nb = -(-n // K)
     pad = nb * K - n
 
-    def blocks(f, reverse):
-        fm = jnp.moveaxis(f, axis, -1)
-        if reverse:
-            fm = jnp.flip(fm, -1)
-        if pad:
-            fm = jnp.pad(fm, [(0, 0)] * (fm.ndim - 1) + [(0, pad)])
-        return fm.reshape(fm.shape[:-1] + (nb, K))
+    def pad_axis(f, value):
+        if not pad:
+            return f
+        shape = list(f.shape)
+        shape[axis] = pad
+        tail = (jnp.zeros(shape, f.dtype) if value is None
+                else jnp.broadcast_to(value, shape))
+        return jnp.concatenate([f, tail], axis=axis)
 
-    fb = jnp.stack([blocks(f_fwd, False), blocks(f_bwd, True)])
-    ylocal = jnp.einsum("ik,s...bk->s...bi", Tm, fb,
-                        preferred_element_type=jnp.float32)
-    d = ylocal[..., -2:][..., ::-1]            # (2, ..., nb, 2)
+    # steady-state drive for the backward stream's pad region
+    steady = yn * np.float32(1.0 + b1 + b2)
+    f_bwd_p = pad_axis(f_bwd, steady)
+    f_fwd_p = pad_axis(f_fwd, None)
+
+    def blocks(f):
+        shape = list(f.shape)
+        shape[axis:axis + 1] = [nb, K]
+        return f.reshape(shape)
+
+    fb = jnp.stack([blocks(f_fwd_p), blocks(f_bwd_p)])
+    # per-stream block axes: nb at `axis`, K at `axis + 1`; the stacked
+    # frame shifts both by one
+    ba0, ka0 = axis, axis + 1
+    sub_in = list("abcdefg"[: fb.ndim])
+    sub_in[ka0 + 1] = "k"
+    sub_out = list(sub_in)
+    sub_out[ka0 + 1] = "i"
+    sub_in[0] = sub_out[0] = "s"
+    eq = f"sik,{''.join(sub_in)}->{''.join(sub_out)}"
+    ylocal = jnp.einsum(eq, Ts, fb, preferred_element_type=jnp.float32)
+
+    def take_k(arr, idx):
+        sl = [slice(None)] * arr.ndim
+        sl[ka0] = idx
+        return arr[tuple(sl)]
+
+    # forward entries read (y_{K-1}, y_{K-2}) of the previous block;
+    # backward entries read (y_0, y_1) of the next block
+    d_f = jnp.stack([take_k(ylocal[0], K - 1), take_k(ylocal[0], K - 2)],
+                    axis=-1)
+    d_b = jnp.stack([take_k(ylocal[1], 0), take_k(ylocal[1], 1)],
+                    axis=-1)
 
     def init(y0):
-        i0 = jnp.moveaxis(y0, axis, -1)[..., 0]
-        return jnp.stack([i0, i0], axis=-1)    # (..., 2)
+        i0 = jnp.take(y0, jnp.zeros(1, jnp.int32), axis=axis)
+        i0 = jnp.squeeze(i0, axis=axis)
+        return jnp.stack([i0, i0], axis=-1)
 
-    s_init = jnp.stack([init(yb), init(yn)])   # (2, ..., 2)
-    M_ = jnp.asarray(M)
+    def run_scan(d, s0, reverse):
+        dm = jnp.moveaxis(d, ba0, 0)  # block axis -> leading
+        def step(s, x_):
+            return jnp.einsum("ij,...j->...i", M_, s) + x_, s
+        # nb is ~8-12: fully unrolled, the scan's ~0.2 ms/step TPU
+        # bookkeeping (dynamic-update-slice per iteration) vanishes
+        _, entries = jax.lax.scan(step, s0, dm, reverse=reverse,
+                                  unroll=True)
+        return jnp.moveaxis(entries, 0, ba0)
 
-    def step(s, dm):
-        s_next = jnp.einsum("ij,s...j->s...i", M_, s) + dm
-        return s_next, s
+    e_f = run_scan(d_f, init(yb), False)
+    e_b = run_scan(d_b, init(yn), True)
 
-    dmoved = jnp.moveaxis(d, -2, 0)            # (nb, 2, ..., 2)
-    _, entries = jax.lax.scan(step, s_init, dmoved)
-    entries = jnp.moveaxis(entries, 0, -2)     # (2, ..., nb, 2)
+    def kvec(vec, arr):
+        shape = [1] * arr.ndim
+        shape[ka0] = K
+        return vec.reshape(shape)
 
-    y = ylocal + uj * entries[..., 0:1] + wj * entries[..., 1:2]
-    y = y.reshape(y.shape[:-2] + (nb * K,))[..., :n]
-    out = y[0] + jnp.flip(y[1], -1)
-    return jnp.moveaxis(out, -1, axis)
+    ent_f0 = jnp.expand_dims(e_f[..., 0], ka0)
+    ent_f1 = jnp.expand_dims(e_f[..., 1], ka0)
+    ent_b0 = jnp.expand_dims(e_b[..., 0], ka0)
+    ent_b1 = jnp.expand_dims(e_b[..., 1], ka0)
+    y = (ylocal[0] + kvec(uf, ylocal[0]) * ent_f0
+         + kvec(wf, ylocal[0]) * ent_f1
+         + ylocal[1] + kvec(ub, ylocal[1]) * ent_b0
+         + kvec(wb, ylocal[1]) * ent_b1)
+
+    shape = list(y.shape)
+    shape[ba0:ka0 + 1] = [nb * K]
+    y = y.reshape(shape)
+    sl = [slice(None)] * y.ndim
+    sl[axis] = slice(0, n)
+    return y[tuple(sl)]
 
 
 def gaussian_iir(x: jnp.ndarray, sigma: float, order: int = 0,
@@ -333,9 +393,25 @@ def gaussian_iir(x: jnp.ndarray, sigma: float, order: int = 0,
     """Deriche recursive Gaussian, exact mirror of dt_gaussian_blur
     (src/pixel/gaussian.c:150-320): forward + backward second-order IIR
     along each axis, with the reference's boundary priming (coefp/coefn
-    steady-state).  Works on any (..., H, W) array."""
+    steady-state).  Works on any (..., H, W) array.
+
+    On TPU, big planes route to the Pallas dual-direction kernel
+    (kernels/iir_pallas): ~2x the XLA block form at 24MP, and its pure
+    sequential VPU f32 arithmetic is the closer match to the C
+    reference (the XLA form's MXU einsum carries bf16x3 rounding that
+    the sigma-8 feedback gain amplifies to ~1e-3 absolute — still under
+    the display quantum, but the kernel removes it)."""
     if sigma <= 0:
         return x
+    import jax as _jax
+
+    if (_jax.default_backend() == "tpu" and x.ndim in (2, 3)
+            and x.dtype == jnp.float32
+            and x.shape[-2] * x.shape[-1] >= (1 << 20)):
+        from ..kernels.iir_pallas import gaussian_iir_pallas
+
+        return gaussian_iir_pallas(x, sigma, order=order,
+                                   vmin=vmin, vmax=vmax)
     a0, a1, a2, a3, b1, b2, coefp, coefn = _deriche_coeffs(sigma, order)
     v = x
     if vmin is not None or vmax is not None:
