@@ -9,10 +9,23 @@ per scale.
 The XLA form (pixel/shifts.sep_filter) fuses each axis pass into one
 elementwise chain, but the two passes and their padded buffers still
 cost ~6 HBM round-trips per scale; measured on a v5e chip the rawdenoise
-5-level chain spent 62 ms where its op count is ~4 ms.  Here each grid
-step DMAs one haloed tile into VMEM and runs BOTH axis passes resident
-(the eaw_pallas halo-tile pattern: one sublane roll per row tap, then
-one lane roll per column tap, aligned crops only).
+5-level chain spent 62 ms where its op count is ~4 ms.
+
+Two kernel shapes:
+
+* **Row-strip (default)**: full-width strips gridded over (channel,
+  strip); halo rows only, and the strip DMA for step t+1 is issued
+  BEFORE waiting on step t's (cross-step double buffering — scratch
+  and DMA semaphores persist across TPU grid iterations), so the HBM
+  read streams behind the VPU work.  The first tiled version of this
+  kernel serial-waited a (64, 512)-tile DMA per step across ~1500
+  steps with a 128-lane halo (1.9x read amplification): measured
+  10.1 ms for a 45MP blur5 whose traffic bound is ~1 ms.
+* **Tiled (fallback)**: the original bounded-tile kernel, kept for
+  dilations too large for a strip's VMEM budget.
+
+Both do one sublane roll per row tap, one lane roll per column tap,
+aligned crops only (Mosaic discipline).
 
 Boundary semantics are the caller's: the input is edge-padded per call,
 so per-scale edge clamping (the reference's convention) is preserved
@@ -38,6 +51,104 @@ def _cdiv(a, b):
 
 def _round_up(v, m):
     return _cdiv(v, m) * m
+
+
+def _strip_kernel(hbm_ref, o_ref, buf, sems, *, taps, d, bh, bw,
+                  nh, nt, tile_h, strip_h, buf_w, w_out):
+    t = pl.program_id(0)
+    c = t // nh
+    i = t % nh
+
+    def dma(slot, tt):
+        return pltpu.make_async_copy(
+            hbm_ref.at[tt // nh,
+                       pl.ds((tt % nh) * tile_h, strip_h), :],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    dma(t % 2, t).wait()
+    strip = buf[t % 2]
+
+    r = (len(taps) - 1) // 2
+    vert = None
+    for iy, ty in enumerate(taps):
+        dy = (iy - r) * d
+        s = (pltpu.roll(strip, -dy % strip_h, 0) if dy
+             else strip)[bh:bh + tile_h, :]
+        term = float(ty) * s
+        vert = term if vert is None else vert + term
+    acc = None
+    for ix, tx in enumerate(taps):
+        dx = (ix - r) * d
+        s = (pltpu.roll(vert, -dx % buf_w, 1) if dx
+             else vert)[:, bw:bw + w_out]
+        term = float(tx) * s
+        acc = term if acc is None else acc + term
+    o_ref[0] = acc
+
+
+def _sep_blur_strip(x, taps, dilation, tile_h, interpret=False):
+    """Row-strip form: x is (C, h, w); returns (C, h, w)."""
+    C, h, w = x.shape
+    r = (len(taps) - 1) // 2
+    m = r * dilation
+    bh = _round_up(max(m, 8), 8)
+    bw = _round_up(max(m, 128), 128)
+    w_out = _round_up(w, 128)
+    nh = _cdiv(h, tile_h)
+    strip_h = tile_h + 2 * bh
+    buf_w = w_out + 2 * bw
+    xp = jnp.pad(x, ((0, 0), (bh, nh * tile_h + bh - h),
+                     (bw, buf_w - bw - w)), mode="edge")
+    nt = C * nh
+
+    out = pl.pallas_call(
+        functools.partial(_strip_kernel, taps=taps, d=dilation, bh=bh,
+                          bw=bw, nh=nh, nt=nt, tile_h=tile_h,
+                          strip_h=strip_h, buf_w=buf_w, w_out=w_out),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tile_h, w_out),
+                               lambda t: (t // nh, t % nh, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nh * tile_h, w_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_h, buf_w), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:, :h, :w]
+
+
+def _strip_tile_h(h, w, taps, dilation, dtype_bytes=4):
+    """Largest strip height whose VMEM footprint (2 input slots +
+    Mosaic's double-buffered output blocks) fits the scoped budget;
+    None if even 8 rows don't fit (huge dilation -> tiled fallback)."""
+    r = (len(taps) - 1) // 2
+    m = r * dilation
+    bh = _round_up(max(m, 8), 8)
+    bw = _round_up(max(m, 128), 128)
+    w_out = _round_up(w, 128)
+    buf_w = w_out + 2 * bw
+    budget = 13 * (1 << 20)
+    for tile_h in (128, 64, 32, 16, 8):
+        # 2 input slots + Mosaic's double-buffered out blocks + ~3
+        # strip-sized roll/accumulate stack temporaries (hardware-OOM
+        # calibrated: the first model without the temps allocated
+        # 17.4M at tile_h=64 on a 45MP plane)
+        need = (5 * (tile_h + 2 * bh) * buf_w
+                + 2 * tile_h * w_out) * dtype_bytes
+        if need <= budget:
+            return tile_h
+    return None
 
 
 def _kernel(hbm_ref, o_ref, tile, sem, *, taps, d, bh, bw, C):
@@ -82,6 +193,11 @@ def sep_blur_pallas(x: jnp.ndarray, taps, dilation: int = 1,
         x = x[None]
     C, h, w = x.shape
     taps = [float(t) for t in taps]
+    tile_h = _strip_tile_h(h, w, taps, dilation)
+    if tile_h is not None:
+        out = _sep_blur_strip(x, taps, dilation, tile_h,
+                              interpret=interpret)
+        return out[0] if squeeze else out
     r = (len(taps) - 1) // 2
     m = r * dilation
     bh = max(8, _round_up(m, 8))

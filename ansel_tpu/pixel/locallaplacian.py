@@ -31,18 +31,20 @@ def _reduce(x):
     # two single-axis strided slices with a barrier: the fused
     # [::2, ::2] lowers to a 15x-slower 2D strided copy on TPU
     b = _blur5(x)
-    b = jax.lax.optimization_barrier(b[::2])
-    return b[:, ::2]
+    b = jax.lax.optimization_barrier(b[..., ::2, :])
+    return b[..., :, ::2]
 
 
 def _expand(x, shape):
     h, w = shape
-    x = x[: (h + 1) // 2, : (w + 1) // 2]
-    h2, w2 = x.shape
+    x = x[..., : (h + 1) // 2, : (w + 1) // 2]
+    lead = x.shape[:-2]
+    h2, w2 = x.shape[-2:]
     # zero-interleave via stack+reshape (a [::2, ::2] scatter is 5x slower)
-    up = jnp.stack([x, jnp.zeros_like(x)], axis=-1).reshape(h2, w2 * 2)
-    up = jnp.stack([up, jnp.zeros_like(up)], axis=-2).reshape(h2 * 2, w2 * 2)
-    up = up[:h, :w]
+    up = jnp.stack([x, jnp.zeros_like(x)], axis=-1).reshape(*lead, h2, w2 * 2)
+    up = jnp.stack([up, jnp.zeros_like(up)], axis=-2).reshape(*lead, h2 * 2,
+                                                              w2 * 2)
+    up = up[..., :h, :w]
     return _blur5(up) * 4.0
 
 
@@ -82,7 +84,11 @@ def local_laplacian(L: jnp.ndarray, sigma: float, shadows: float,
     def gamma_body(carry, g):
         """One gamma's remap pyramid + its weighted laplacian contribution
         accumulated per level.  lax.scan keeps only ONE gamma pyramid live
-        at a time — 6 materialized pyramids OOM'd the 45MP config."""
+        at a time — 6 materialized pyramids OOM'd the 45MP config.  (A
+        level-synchronous (6, h, w) batched variant was built and
+        measured 80 ms vs this form's 73 ms at 45MP — the batch's larger
+        interleave/weight intermediates cost more than the 6x dispatch
+        savings; see docs/PERF.md dead-end list.)"""
         accs, k = carry
         r = curve(L, g, sigma, shadows, highlights, clarity)
         pyr = [r]
@@ -99,7 +105,8 @@ def local_laplacian(L: jnp.ndarray, sigma: float, shadows: float,
                       for lvl in range(n_levels - 1))
     gammas = jnp.asarray([(k + 0.5) / NUM_GAMMA for k in range(NUM_GAMMA)],
                          L.dtype)
-    (accs, _), _ = jax.lax.scan(gamma_body, (init_accs, jnp.asarray(0.0, L.dtype)),
+    (accs, _), _ = jax.lax.scan(gamma_body,
+                                (init_accs, jnp.asarray(0.0, L.dtype)),
                                 gammas)
 
     # collapse: coarsest gaussian + accumulated per-level laplacians
