@@ -24,7 +24,7 @@ import numpy as np
 
 from ..core.params import cfield, params
 from ..core.types import Colorspace
-from ..pixel.guided import eigf, guided_filter
+from ..pixel.guided import eigf_surface_blur, fast_surface_blur
 from .base import Op, OpPlan, PlanContext, register
 
 CHANNELS = 9
@@ -148,17 +148,18 @@ class ToneEqualizer(Op):
         )
 
         if details != TEQ_NONE:
+            # toneequal.c:829-875: the *fast* (4x-downsampled) surface
+            # blurs with iterations INSIDE and geomean blending only on
+            # the last iteration — not per-iteration full-res filtering
             use_eigf = details in (TEQ_AVG_EIGF, TEQ_EIGF)
             geomean = details in (TEQ_AVG_GUIDED, TEQ_AVG_EIGF)
-            for _ in range(iterations):
-                if use_eigf:
-                    blurred = eigf(lum, lum, radius, c["feathering"])
-                else:
-                    blurred = guided_filter(lum, lum, radius, c["feathering"])
-                if geomean:
-                    lum = jnp.sqrt(jnp.maximum(lum * blurred, MIN_FLOAT))
-                else:
-                    lum = blurred
+            if use_eigf:
+                lum = eigf_surface_blur(lum, float(radius),
+                                        c["feathering"], iterations,
+                                        geomean)
+            else:
+                lum = fast_surface_blur(lum, radius, c["feathering"],
+                                        iterations, geomean)
             lum = jnp.maximum(lum, MIN_FLOAT)
 
         exposure = jnp.clip(jnp.log2(lum), -8.0, 0.0)

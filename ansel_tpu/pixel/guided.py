@@ -84,3 +84,139 @@ def eigf(guide: jnp.ndarray, src: jnp.ndarray, radius: int,
     a = cov_gs / (var_g + feathering * norm)
     b = mean_s - a * mean_g
     return box_blur(a, radius) * guide + box_blur(b, radius)
+
+
+def _upsample_node(x, s, axis):
+    """Node-aligned integer-factor bilinear upsample on one axis:
+    out[q*s + p] = (1 - p/s) * x[q] + (p/s) * x[q+1] (edge-clamped) —
+    the exact interpolate_bilinear mapping (fast_guided_filter.h:99-151,
+    x_in = x_out * in/out with floor+clamp neighbors) when out = s * in,
+    as shifted adds instead of its gather lowering."""
+    import jax
+
+    axis = axis % x.ndim
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                              axis=axis)], axis=axis)
+    phases = [(1.0 - p / s) * x + (p / s) * nxt for p in range(s)]
+    stacked = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= s
+    return stacked.reshape(shape)
+
+
+def _interp_node(x, out_h, out_w):
+    """interpolate_bilinear (fast_guided_filter.h:99-151) on the last two
+    axes.  Integer-ratio cases (the production scaling = 4 path) avoid
+    gathers entirely: x_in = s * x_out has zero fractional part, so the
+    downsample is pure decimation (split single-axis slices — a fused 2D
+    strided slice is a 15x-slower strided copy on TPU) and the upsample
+    is a phase unroll."""
+    import jax
+
+    in_h, in_w = x.shape[-2:]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    if (in_h >= out_h and in_w >= out_w
+            and in_h % out_h == 0 and in_w % out_w == 0):
+        sh, sw = in_h // out_h, in_w // out_w
+        if sh > 1:
+            x = jax.lax.optimization_barrier(x[..., ::sh, :])
+        if sw > 1:
+            x = x[..., :, ::sw]
+        return x
+    if (out_h >= in_h and out_w >= in_w
+            and out_h % in_h == 0 and out_w % in_w == 0):
+        return _upsample_node(_upsample_node(x, out_h // in_h, -2),
+                              out_w // in_w, -1)
+
+    def axis_gather(arr, n_out, axis):
+        n_in = arr.shape[axis]
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in / n_out)
+        prev = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        nxt = jnp.clip(prev + 1, 0, n_in - 1)
+        w_next = jnp.clip(nxt.astype(jnp.float32) - pos, 0.0, 1.0)
+        shape = [1] * arr.ndim
+        shape[axis] = n_out
+        w_next = w_next.reshape(shape)
+        a = jnp.take(arr, prev, axis=axis)
+        b = jnp.take(arr, nxt, axis=axis)
+        return w_next * a + (1.0 - w_next) * b
+
+    x = axis_gather(x, out_h, -2)
+    return axis_gather(x, out_w, -1)
+
+
+def fast_surface_blur(image: jnp.ndarray, radius: int, feathering: float,
+                      iterations: int = 1,
+                      geomean: bool = False) -> jnp.ndarray:
+    """fast_surface_blur (fast_guided_filter.h:269-365), no-quantization
+    path (mask = image): guided-filter variance analysis + (a, b) box
+    mean at a FIXED 4x downsample; intermediate iterations blend at the
+    downsampled size, only the final (a, b) surface is upsampled
+    (node-aligned bilinear) and blended at full resolution — geomean
+    blending (apply_linear_blending_w_geomean) on the last iteration
+    when requested."""
+    H, W = image.shape[-2:]
+    scaling = 4
+    ds_radius = 1 if radius < 4 else int(radius // scaling)
+    dh, dw = max(H // scaling, 1), max(W // scaling, 1)
+    ds = _interp_node(image, dh, dw)
+    ab = None
+    for _ in range(iterations):
+        mean_i = box_blur(ds, ds_radius)
+        corr_ii = box_blur(ds * ds, ds_radius)
+        var_i = jnp.maximum(corr_ii - mean_i * mean_i, 0.0)
+        a = var_i / (var_i + feathering)
+        b = mean_i - a * mean_i
+        a = box_blur(a, ds_radius)
+        b = box_blur(b, ds_radius)
+        ab = (a, b)
+        ds = a * ds + b
+    a_f = _interp_node(ab[0], H, W)
+    b_f = _interp_node(ab[1], H, W)
+    lin = a_f * image + b_f
+    if geomean:
+        return jnp.sqrt(jnp.maximum(image * lin, 0.0))
+    return lin
+
+
+def eigf_surface_blur(image: jnp.ndarray, sigma: float, feathering: float,
+                      iterations: int = 1,
+                      geomean: bool = False) -> jnp.ndarray:
+    """fast_eigf_surface_blur (eigf.h:262-336), no-mask path: per
+    iteration, bilinear-downsample by scaling = clamp(sigma, 1, 4),
+    Deriche-gaussian average/variance analysis at ds_sigma =
+    max(sigma/scaling, 1) (eigf_variance_analysis_no_mask), upsample the
+    (avg, var) surfaces, and blend per-pixel at full resolution with the
+    exposure-normalized gain a = nvar / (nvar + feathering), nvar =
+    var / max(avg * pixel, 1e-6), b = avg - a * avg
+    (eigf_blending_no_mask) — NO spatial smoothing of a/b (the
+    reference removed it to kill bright halos; eigf.h:54-62).  Geomean
+    blending on the last iteration only."""
+    from .blur import gaussian_iir
+
+    H, W = image.shape[-2:]
+    scaling = min(max(float(sigma), 1.0), 4.0)
+    ds_sigma = max(float(sigma) / scaling, 1.0)
+    dh, dw = max(int(H / scaling), 1), max(int(W / scaling), 1)
+    img = image
+    for i in range(iterations):
+        ds = _interp_node(img, dh, dw)
+        pair = jnp.stack([ds, ds * ds])
+        blurred = gaussian_iir(pair, ds_sigma)
+        avg = blurred[0]
+        var = jnp.maximum(blurred[1] - avg * avg, 0.0)
+        avg_f = _interp_node(avg, H, W)
+        var_f = _interp_node(var, H, W)
+        norm = jnp.maximum(avg_f * img, 1e-6)
+        nvar = var_f / norm
+        a = nvar / (nvar + feathering)
+        b = avg_f - a * avg_f
+        lin = jnp.maximum(img * a + b, 1.17549435e-38)
+        if geomean and i == iterations - 1:
+            img = jnp.sqrt(jnp.maximum(img * lin, 1.17549435e-38))
+        else:
+            img = lin
+    return img
