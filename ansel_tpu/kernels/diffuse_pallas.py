@@ -101,20 +101,34 @@ def _aniso_abc(c2, cs, c_sq, s_sq, mode):
     return (c2 * c_sq + s_sq, c_sq + c2 * s_sq, (1.0 - c2) * cs)
 
 
-def _kernel(consts_ref, hbm_ref, o0, o1, o2, tile, sem, *, scales, modes,
-            geom):
+def _kernel(consts_ref, hbm_ref, o0, o1, o2, tile, sems, *, scales, modes,
+            geom, nw, nt):
     from ..ops.diffuse import _direction
 
     TILE_H, TILE_W, BORDER_H, BORDER_W = geom
     BUF_H = TILE_H + 2 * BORDER_H
     BUF_W = TILE_W + 2 * BORDER_W
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        hbm_ref.at[:, pl.ds(i * TILE_H, BUF_H), pl.ds(j * TILE_W, BUF_W)],
-        tile, sem)
-    copy.start()
-    copy.wait()
+    t = pl.program_id(0)
+
+    # cross-step double buffering (the sepblur row-strip pattern): the
+    # DMA for tile t+1 is in flight while tile t computes — the serial
+    # start/wait form left ~370 DMA stalls on the 45MP critical path
+    def dma(slot, tt):
+        return pltpu.make_async_copy(
+            hbm_ref.at[:, pl.ds((tt // nw) * TILE_H, BUF_H),
+                       pl.ds((tt % nw) * TILE_W, BUF_W)],
+            tile.at[slot], sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    dma(t % 2, t).wait()
+    cur_ref = tile.at[t % 2]
 
     def c_scalar(idx):
         return consts_ref[idx]
@@ -128,7 +142,7 @@ def _kernel(consts_ref, hbm_ref, o0, o1, o2, tile, sem, *, scales, modes,
     strength = [consts_ref[off + scales + s] for s in range(scales)]
     abcd_off = off + 2 * scales
 
-    chans = [tile[k] for k in range(3)]
+    chans = [cur_ref[k] for k in range(3)]
     # decompose
     HF = []
     cur = chans
@@ -223,20 +237,21 @@ def diffuse_iteration_pallas(x: jnp.ndarray, c, scales: int, modes,
     ])
     out_shape = [jax.ShapeDtypeStruct((nh * TILE_H, nw * TILE_W),
                                       x.dtype)] * 3
-    out_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+    out_spec = pl.BlockSpec((TILE_H, TILE_W),
+                            lambda t: (t // nw, t % nw),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, scales=scales, modes=tuple(modes),
-                             geom=geom)
+                             geom=geom, nw=nw, nt=nh * nw)
     a, b, cc = pl.pallas_call(
         kern,
-        grid=(nh, nw),
+        grid=(nh * nw,),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((3, BUF_H, BUF_W), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3, BUF_H, BUF_W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
