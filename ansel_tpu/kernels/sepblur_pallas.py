@@ -139,12 +139,14 @@ def _strip_tile_h(h, w, taps, dilation, dtype_bytes=4):
     w_out = _round_up(w, 128)
     buf_w = w_out + 2 * bw
     budget = 13 * (1 << 20)
+    # Mosaic's roll/accumulate stack temporaries scale with the tap
+    # count — hardware-OOM calibrated at two points: 5 taps allocated
+    # ~3 strip-sized temps (17.4M total at tile_h=64, 45MP), a 33-tap
+    # FIR allocated ~11 (22.6M at tile_h=32, 24MP/C=2).  Long-tap
+    # cases that fit no strip fall back to the small-tile kernel.
+    temps = max(3, len(taps) // 3 + 1)
     for tile_h in (128, 64, 32, 16, 8):
-        # 2 input slots + Mosaic's double-buffered out blocks + ~3
-        # strip-sized roll/accumulate stack temporaries (hardware-OOM
-        # calibrated: the first model without the temps allocated
-        # 17.4M at tile_h=64 on a 45MP plane)
-        need = (5 * (tile_h + 2 * bh) * buf_w
+        need = ((2 + temps) * (tile_h + 2 * bh) * buf_w
                 + 2 * tile_h * w_out) * dtype_bytes
         if need <= budget:
             return tile_h

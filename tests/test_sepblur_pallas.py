@@ -58,3 +58,15 @@ def test_large_dilation_exceeding_tile():
     x = jnp.asarray(rng.rand(260, 520).astype(np.float32))
     ref, got = _run_both(x, HAT, 128)
     assert np.abs(ref - got).max() < 1e-6
+
+
+def test_long_fir_c2():
+    """33-tap FIR on 2 channels — the config-6 defringe-class shape whose
+    Mosaic stack temporaries OOM'd the first strip-kernel budget model
+    (each unrolled tap holds a strip-sized temp; hardware-calibrated)."""
+    rng = np.random.RandomState(3)
+    t = np.exp(-0.5 * (np.arange(-16, 17) / 4.0) ** 2)
+    taps = list((t / t.sum()).astype(np.float32))
+    x = jnp.asarray(rng.rand(2, 240, 384).astype(np.float32))
+    ref, got = _run_both(x, taps, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
