@@ -37,15 +37,14 @@ LAST_SCALE = 2
 
 
 def _sep_blur4(x4, mult):
-    """B3 a-trous blur of a (4, H, W) stack at dilation mult."""
-    out = []
-    for ch in range(4):
-        p = PaddedView(x4[ch], 2 * mult)
-        row = sum(_B3[k] * p.at((k - 2) * mult, 0) for k in range(5))
-        pr = PaddedView(row, 2 * mult)
-        out.append(sum(_B3[k] * pr.at(0, (k - 2) * mult)
-                       for k in range(5)))
-    return jnp.stack(out)
+    """B3 a-trous blur of a (4, H, W) stack at dilation mult — via
+    sep_filter, which routes big planes to the row-strip Pallas kernel
+    (same edge-clamp semantics as the PaddedView chain it replaces;
+    this blur runs 30 iterations x 2 passes x ~6 scales per laplacian
+    reconstruction, the config-2 profile's largest block)."""
+    from ..pixel.shifts import sep_filter
+
+    return sep_filter(x4, list(_B3), mult)
 
 
 def _interpolate_and_mask(x, clips, norm, cfa: CFAPattern):
@@ -108,6 +107,10 @@ def _interpolate_and_mask(x, clips, norm, cfa: CFAPattern):
 def _guide_laplacians(HF, LF, mask, out, mult, radius_sq, stype,
                       noise_level, salt, key):
     """guide_laplacians (laplacian.c:85-248) on (4, h, w) stacks."""
+    # NOTE: a separable-box-sum rewrite through the Pallas sepblur (20
+    # pointwise-product planes, C<=8 groups) measured 1.78 -> 1.33
+    # img/s on config 2 — the explicit stacks materialize traffic that
+    # XLA's fusion of this tap loop never pays.  Keep the fused form.
     taps = [[PaddedView(HF[ch], mult).at(dy * mult, dx * mult)
              for ch in range(4)]
             for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
@@ -173,6 +176,8 @@ def _guide_laplacians(HF, LF, mask, out, mult, radius_sq, stype,
 
 def _heat_pde(HF, LF, mask, out, mult, stype, f1):
     """heat_PDE_diffusion (laplacian.c:248-374) on ratios+norm."""
+    # (a sep([.5,1,.5]) - 4*center Pallas form measured 1.685 vs the
+    # fused chain's 1.784 on config 2 — same lesson as the moments)
     iso = (0.25, 0.5, 0.25, 0.5, -3.0, 0.5, 0.25, 0.5, 0.25)
     alpha = mask
     newHF = []
